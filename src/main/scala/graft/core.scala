@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One keyed operator query from SURVEY.md §2.
+  *
+  * `key` is the stable inventory key; `oracle` is the equivalent DuckDB
+  * ANSI SQL (None for non-SQL-expressible ops — those get a rows-only
+  * check from the driver plus a scalatest spec here).
+  */
+final case class Q(key: String, oracle: Option[String], run: (SparkSession, String) => DataFrame)
+
+object Q {
+  def apply(key: String, oracle: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(key, Some(oracle), run)
+  def smoke(key: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(key, None, run)
+}
+
+/** Determinism helpers (SURVEY.md §7.3 oracle-determinism rules).
+  *
+  * Double summation order differs between Spark and DuckDB (and between
+  * partitionings at scale), so any rounded double aggregate can flip a
+  * rounding boundary. All money/quantity aggregates therefore run in
+  * exact DECIMAL(18,2) arithmetic and convert back to double at the end
+  * — order-independent, so also stable under repartitioning at 100 TB.
+  */
+object Det {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact sum of a 2-decimal-valued double column, as double. */
+  def dsum(c: Column): Column = round(sum(dec2(c)).cast("double"), 2)
+
+  /** Exact-sum-based average rounded to 4 decimals. */
+  def davg(c: Column): Column = round(sum(dec2(c)).cast("double") / count(c), 4)
+
+  /** DuckDB SQL fragments mirroring the above. */
+  def sqlDsum(x: String): String = s"round(CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE), 2)"
+  def sqlDavg(x: String): String = s"round(CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / count($x), 4)"
+}
+
+/** Table loaders over the driver-generated corpus (TESTDATA.md). */
+object T {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String)     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String)     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String)   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String)   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String)       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String)     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)   = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String)     = apply(s, d, "events")
+  def documents(s: SparkSession, d: String)  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = apply(s, d, "embeddings")
+}

@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check.py <verify_out_dir> [sf_dir]
+
+Reads each <out>/<name>/ parquet (Spark result), runs the matching
+oracle SQL from <out>/oracle_sql.json in DuckDB over the sf tables,
+sorts columns by name on both sides, and compares values exactly
+(with a small float report on mismatch).
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None) if getattr(df[c].dt, "tz", None) else df[c]
+        # duckdb DECIMAL -> object(Decimal); normalize numerics to float
+        if df[c].dtype == object:
+            try:
+                import decimal
+                if df[c].map(lambda v: isinstance(v, decimal.Decimal)).any():
+                    df[c] = df[c].astype(float)
+            except Exception:
+                pass
+    return df
+
+
+def cells_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+            if math.isnan(af) and math.isnan(bf):
+                return True
+            return af == bf or abs(af - bf) <= 1e-9 * max(1.0, abs(af), abs(bf))
+        except (TypeError, ValueError):
+            return False
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        a, b = list(a), list(b)
+        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+    import numpy as np
+    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+        a, b = list(a), list(b)
+        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+    return a == b or str(a) == str(b)
+
+
+def main():
+    out_dir = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = 0
+    fails = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
+        except Exception as e:
+            print(f"FAIL {name}: no spark result ({e})")
+            n_fail += 1
+            fails.append(name)
+            continue
+        try:
+            duck_df = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {str(e)[:200]}")
+            n_fail += 1
+            fails.append(name)
+            continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+            n_fail += 1
+            fails.append(name)
+            continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+            n_fail += 1
+            fails.append(name)
+            continue
+        bad = None
+        for c in spark_df.columns:
+            sv, dv = spark_df[c].tolist(), duck_df[c].tolist()
+            for i, (x, y) in enumerate(zip(sv, dv)):
+                if not cells_equal(x, y):
+                    bad = (c, i, x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, x, y = bad
+            print(f"FAIL {name}: col={c} row={i} spark={x!r} duck={y!r}")
+            n_fail += 1
+            fails.append(name)
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail" + (f": {fails}" if fails else ""))
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
