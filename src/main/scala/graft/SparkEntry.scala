@@ -7,7 +7,13 @@ object SparkEntry {
 
   /** All keyed operator queries (SURVEY.md §2 inventory). */
   def registry: Seq[Q] =
-    operators.Flagship.all
+    operators.Flagship.all ++
+      operators.Scans.all ++
+      operators.Filters.all ++
+      operators.Joins.all ++
+      operators.Aggs.all ++
+      operators.Sorts.all ++
+      operators.SetOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

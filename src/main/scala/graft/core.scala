@@ -54,7 +54,15 @@ object T {
   def part(s: SparkSession, d: String)       = apply(s, d, "part")
   def orders(s: SparkSession, d: String)     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String)   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String)     = apply(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright; read it as nanos-since-epoch long and downcast to Spark's
+    * native microsecond timestamp (lossless here: fixture values are µs).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
   def documents(s: SparkSession, d: String)  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = apply(s, d, "embeddings")
 }

@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.{Det, Q, T}
+import graft.functions.WeightedAvg
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.D — aggregations.
+  *
+  * Reference evidence: per-layer stats and serving SQL over the loaded
+  * PostGIS tables (`/root/reference/README.md:70,93`). Everything here is
+  * a single `HashAggregateExec` pair (partial map-side combine + final) —
+  * the shape that scales: pre-aggregation shrinks the shuffle to
+  * #groups×#partitions rows regardless of input size.
+  */
+object Aggs {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "agg_hash_group",
+      s"""SELECT l_suppkey,
+         |       ${Det.sqlDsum("l_quantity")} AS sum_qty,
+         |       ${Det.sqlDavg("l_extendedprice")} AS avg_price,
+         |       min(l_extendedprice) AS min_price,
+         |       max(l_extendedprice) AS max_price,
+         |       count(*) AS n_items
+         |FROM lineitem
+         |GROUP BY l_suppkey
+         |ORDER BY l_suppkey""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d).groupBy(col("l_suppkey"))
+        .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+             Det.davg(col("l_extendedprice")).as("avg_price"),
+             min(col("l_extendedprice")).as("min_price"),
+             max(col("l_extendedprice")).as("max_price"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("l_suppkey"))
+    },
+
+    Q(
+      "agg_global",
+      s"""SELECT count(*) AS n_orders,
+         |       ${Det.sqlDsum("o_totalprice")} AS total_value,
+         |       min(o_orderdate) AS first_order,
+         |       max(o_orderdate) AS last_order
+         |FROM orders""".stripMargin
+    ) { (s, d) =>
+      T.orders(s, d).agg(
+        count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("total_value"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"))
+    },
+
+    Q(
+      "agg_count_distinct",
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS n_customers,
+        |       count(DISTINCT CAST(year(o_orderdate) AS INT)) AS n_years
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      T.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+             countDistinct(year(col("o_orderdate"))).as("n_years"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Approximate distinct (HLL): the 100 TB answer to count_distinct —
+    // sketches merge map-side, no expand. No exact oracle (approximate);
+    // the scalatest spec bounds the error against the exact count.
+    Q.smoke("agg_approx_distinct_hll") { (s, d) =>
+      T.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+             approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    Q(
+      "agg_grouping_sets",
+      """SELECT r_name, n_name, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.nation(s, d).createOrReplaceTempView("nation")
+      T.region(s, d).createOrReplaceTempView("region")
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_customers
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    },
+
+    Q(
+      "agg_rollup",
+      s"""SELECT r_name, n_name, count(*) AS n_customers, ${Det.sqlDsum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      // region→subregion hierarchy rollup (osm_etl.py:20-28 two-level fan-out).
+      T.customer(s, d)
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), Det.dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    Q(
+      "agg_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      T.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    Q(
+      "agg_collect_list",
+      """SELECT l_orderkey,
+        |       string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS part_seq
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin
+    ) { (s, d) =>
+      // ORDERED list assembly — the way-geometry regroup (README.md:80-81).
+      // collect_list alone has NO order guarantee after a shuffle; the
+      // struct-sort idiom pins it (SURVEY.md §7.3).
+      T.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(array_join(
+          transform(
+            sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+            x => x.getField("l_partkey").cast("string")),
+          ",").as("part_seq"))
+        .orderBy(col("l_orderkey"))
+    },
+
+    Q(
+      "agg_collect_set",
+      """SELECT o_orderpriority, string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      T.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    Q(
+      "agg_percentile",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      T.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+             round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    Q(
+      "agg_udaf_typed",
+      """SELECT p_brand,
+        |       round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) * p_size) AS DOUBLE) / sum(p_size), 4) AS wavg_price
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
+    ) { (s, d) =>
+      T.part(s, d).groupBy(col("p_brand"))
+        .agg(WeightedAvg(col("p_retailprice"), col("p_size")).as("wavg_price"))
+        .orderBy(col("p_brand"))
+    }
+  )
+}

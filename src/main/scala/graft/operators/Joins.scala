@@ -1,0 +1,253 @@
+package graft.operators
+
+import graft.{Det, Q, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C — joins.
+  *
+  * Geometry assembly is the reference's core join workload: ways/relations
+  * resolve member refs against the node store
+  * (`/root/reference/README.md:80-81`). Scale stance per join:
+  *   - dim side bounded (region/nation/customer/bands) → `broadcast()`,
+  *     no shuffle of the fact side;
+  *   - fact⋈fact on a key → shuffle hash / sort-merge on that key, AQE
+  *     picks skew-splits at runtime;
+  *   - theta/range joins keep one side broadcast-small by construction.
+  */
+object Joins {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "join_broadcast",
+      """SELECT n_name, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
+    ) { (s, d) =>
+      T.orders(s, d)
+        .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    },
+
+    Q(
+      "join_shuffle_hash",
+      s"""SELECT o_orderpriority, count(*) AS n_items, ${Det.sqlDsum("l_extendedprice")} AS total_price
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      // Fact⋈fact: both sides shuffle-partition on the join key; hash join
+      // avoids the sort (cheaper when neither side is pre-sorted).
+      T.lineitem(s, d).hint("shuffle_hash")
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), Det.dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    Q(
+      "join_sort_merge",
+      s"""SELECT p_brand, count(*) AS n_items, ${Det.sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin
+    ) { (s, d) =>
+      // Sort-merge: robust at 100 TB when both sides are huge (spills
+      // gracefully, no hash table to blow up).
+      T.lineitem(s, d).hint("merge")
+        .join(T.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    },
+
+    Q(
+      "join_left_outer",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+
+    Q(
+      "join_right_outer",
+      """SELECT c_custkey, c_mktsegment, o_orderkey
+        |FROM orders
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      T.orders(s, d)
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    Q(
+      "join_full_outer",
+      """SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+        |       coalesce(n_customers, 0) AS n_customers,
+        |       coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1) cn
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1) sn
+        |ON cn.nk = sn.nk
+        |ORDER BY nationkey""".stripMargin
+    ) { (s, d) =>
+      val cn = T.customer(s, d).groupBy(col("c_nationkey").as("cnk")).agg(count(lit(1)).as("n_customers"))
+      val sn = T.supplier(s, d).groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("n_suppliers"))
+      cn.join(sn, col("cnk") === col("snk"), "full_outer")
+        .select(coalesce(col("cnk"), col("snk")).as("nationkey"),
+                coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+                coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+        .orderBy(col("nationkey"))
+    },
+
+    Q(
+      "join_left_semi",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d).where(col("o_totalprice") > 300000),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    Q(
+      "join_left_anti",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      // The reference's dangling-ref reality: ways referencing nodes missing
+      // from the extract (README.md:80-81 assembly) == anti join.
+      T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    Q(
+      "join_cross",
+      """SELECT r_name, st.o_orderstatus AS status
+        |FROM region
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+        |ORDER BY r_name, status""".stripMargin
+    ) { (s, d) =>
+      T.region(s, d)
+        .crossJoin(T.orders(s, d).select(col("o_orderstatus")).distinct())
+        .select(col("r_name"), col("o_orderstatus").as("status"))
+        .orderBy(col("r_name"), col("status"))
+    },
+
+    Q(
+      "join_theta",
+      """SELECT a.s_suppkey AS suppkey, count(*) AS n_richer
+        |FROM supplier a
+        |JOIN supplier b ON a.s_acctbal < b.s_acctbal
+        |GROUP BY a.s_suppkey
+        |ORDER BY suppkey""".stripMargin
+    ) { (s, d) =>
+      // Non-equi condition → nested-loop with the smaller side broadcast;
+      // supplier is dim-sized so this stays a broadcast at scale.
+      val a = T.supplier(s, d).select(col("s_suppkey").as("suppkey"), col("s_acctbal").as("bal_a"))
+      val b = broadcast(T.supplier(s, d).select(col("s_acctbal").as("bal_b")))
+      a.join(b, col("bal_a") < col("bal_b"))
+        .groupBy(col("suppkey")).agg(count(lit(1)).as("n_richer"))
+        .orderBy(col("suppkey"))
+    },
+
+    Q(
+      "join_range",
+      s"""SELECT b.band, count(*) AS n_items, ${Det.sqlDsum("l_extendedprice")} AS total_price
+         |FROM lineitem
+         |JOIN (VALUES ('small', 0.0, 15.0), ('medium', 15.0, 35.0), ('large', 35.0, 51.0)) b(band, lo, hi)
+         |  ON l_quantity >= b.lo AND l_quantity < b.hi
+         |GROUP BY b.band
+         |ORDER BY b.band""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      // Band dim is tiny by construction → broadcast nested loop; the fact
+      // side streams through without shuffling.
+      val bands = broadcast(Seq(("small", 0.0, 15.0), ("medium", 15.0, 35.0), ("large", 35.0, 51.0))
+        .toDF("band", "lo", "hi"))
+      T.lineitem(s, d)
+        .join(bands, col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_items"), Det.dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("band"))
+    },
+
+    Q(
+      "join_asof",
+      """SELECT t.event_id AS trade_id, t.user_id,
+        |       CAST(t.ts AS TIMESTAMP) AS trade_ts, q.value AS quote_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |ASOF JOIN (SELECT * FROM events WHERE event_type IN ('view', 'click')) q
+        |  ON t.user_id = q.user_id AND t.ts >= q.ts
+        |ORDER BY trade_id""".stripMargin
+    ) { (s, d) =>
+      // As-of join (latest quote ≤ trade time) via the union+window trick
+      // (SURVEY.md §2.C join_asof): one shuffle on (user_id), one sort —
+      // the same cost profile a native asof merge would have.
+      val ev = T.events(s, d)
+      val quotes = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts"),
+                col("value").as("qvalue"),
+                lit(null).cast("long").as("trade_id"))
+      val trades = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+                lit(null).cast("double").as("qvalue"),
+                col("event_id").as("trade_id"))
+      // At equal ts the quote sorts before the trade (nulls first) so the
+      // trade sees it — matches DuckDB ASOF's inclusive `>=`.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("trade_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      quotes.unionByName(trades)
+        .withColumn("quote_value", last(col("qvalue"), ignoreNulls = true).over(w))
+        .where(col("trade_id").isNotNull && col("quote_value").isNotNull)
+        .select(col("trade_id"), col("user_id"),
+                col("ts").as("trade_ts"), col("quote_value"))
+        .orderBy(col("trade_id"))
+    },
+
+    Q(
+      "join_self",
+      """SELECT a.l_orderkey AS orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+        |       a.l_quantity AS qty_a, b.l_quantity AS qty_b
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+        |ORDER BY orderkey, ln_a, ln_b, qty_a, qty_b""".stripMargin
+    ) { (s, d) =>
+      // Consecutive-member adjacency: the reference's way-segment pairing
+      // (consecutive nodes of a way → segments, README.md:80-81).
+      val li = T.lineitem(s, d)
+      val a = li.select(col("l_orderkey").as("orderkey"), col("l_linenumber").as("ln_a"),
+                        col("l_quantity").as("qty_a"))
+      val b = li.select(col("l_orderkey").as("bk"), col("l_linenumber").as("ln_b"),
+                        col("l_quantity").as("qty_b"))
+      a.join(b, col("orderkey") === col("bk") && col("ln_b") === col("ln_a") + 1)
+        .select(col("orderkey"), col("ln_a"), col("ln_b"), col("qty_a"), col("qty_b"))
+        // (orderkey, linenumber) is not unique → total order over all cols.
+        .orderBy(col("orderkey"), col("ln_a"), col("ln_b"), col("qty_a"), col("qty_b"))
+    }
+  )
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{Det, Q, T}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.A — scans, sources, sinks.
+  *
+  * Reference evidence: per-region PBF scan + `{region,subregion}` routing
+  * (`/root/reference/osm_etl.py:20-28,54-55,71`), dump artifact hand-off
+  * (`/root/reference/osm_etl.py:88-91`). At rest we are columnar parquet;
+  * filters/projections below are written so Catalyst pushes them into the
+  * scan (`PushedFilters`/`ReadSchema`) — at 100 TB that is the difference
+  * between reading a column slice and reading the lake.
+  */
+object Scans {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "scan_parquet",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, d) =>
+      // Projection prunes to 4 of 11 columns at the parquet reader.
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    Q(
+      "scan_pruned",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      // Predicate pushdown to the scan; on a partitioned lake the same
+      // predicate lands in PartitionFilters (see osm_region_partition_write
+      // for the partitioned layout + pruned re-read).
+      T.orders(s, d)
+        .where(col("o_orderstatus") === "F" &&
+               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    Q(
+      "sink_parquet",
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         |       count(*) AS n_orders,
+         |       ${Det.sqlDsum("o_totalprice")} AS total_value
+         |FROM orders
+         |WHERE o_orderstatus = 'F'
+         |GROUP BY order_year
+         |ORDER BY order_year""".stripMargin
+    ) { (s, d) =>
+      // Partitioned columnar sink (the reference's dump artifact,
+      // osm_etl.py:88-91) + partition-pruned re-read. partitionBy columns
+      // become the lake layout; the re-read filter on o_orderstatus is a
+      // PartitionFilter (no data files of other statuses are opened).
+      val out = s"${sys.props("java.io.tmpdir")}/graft_sink_parquet"
+      T.orders(s, d)
+        .withColumn("order_year", year(col("o_orderdate")))
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus", "order_year")
+        .parquet(out)
+      s.read.parquet(out)
+        .where(col("o_orderstatus") === "F")
+        .groupBy(col("order_year").cast("int").as("order_year"))
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("total_value"))
+        .orderBy(col("order_year"))
+    }
+  )
+}
+
+/** JDBC source/sink surface (§2.A `source_jdbc`/`sink_jdbc`).
+  *
+  * The reference's terminal store is PostGIS loaded via pg_dump/psql
+  * (`/root/reference/osm_etl.py:88-91`, `README.md:70`). No RDBMS exists in
+  * this container, so these are the production entry points (environment-
+  * gated, smoke-only per SURVEY.md §2.A) rather than registered queries.
+  */
+object JdbcIO {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def readTable(spark: SparkSession, url: String, table: String,
+                partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    // Parallel JDBC ingest: without partitioning, one executor drags the
+    // whole table through a single connection.
+    partitionColumn.fold(r) { case (c, lo, hi, n) =>
+      r.option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+    }.load()
+  }
+
+  def writeTable(df: DataFrame, url: String, table: String, batchSize: Int = 10000): Unit =
+    df.write.mode("append").format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize)
+      .save()
+}
