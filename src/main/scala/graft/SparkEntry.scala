@@ -13,7 +13,9 @@ object SparkEntry {
       operators.Joins.all ++
       operators.Aggs.all ++
       operators.Sorts.all ++
-      operators.SetOps.all
+      operators.SetOps.all ++
+      operators.Windows.all ++
+      operators.Scalars.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.{Det, Q, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.E — window functions.
+  *
+  * Reference evidence: ordered node assembly within a way
+  * (`/root/reference/README.md:80-81`) and latest-per-snapshot dedupe
+  * (`/root/reference/osm_etl.py:13`) are ranking/frame computations.
+  *
+  * Scale note: a window is one shuffle on its partition keys + one
+  * per-partition sort. All specs below partition on a high-cardinality key
+  * (custkey/user_id) so state per key stays tiny at 100 TB; none uses a
+  * global (unpartitioned) window, which would funnel the data to one task.
+  * Window ORDER BY keys are total within each partition (unique tiebreaker
+  * column included) so row_number/ntile/frames are deterministic.
+  */
+object Windows {
+
+  // orders per customer in date order; o_orderkey breaks date ties.
+  private val byCust = Window.partitionBy(col("o_custkey"))
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+  private val byCustSql = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+
+  // events per user in event-time order; (user_id, ts) is unique (FIXTURES.md).
+  private val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+  private val byUserSql = "PARTITION BY user_id ORDER BY ts"
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "win_row_number",
+      s"""SELECT o_orderkey, o_custkey,
+         |       row_number() OVER ($byCustSql) AS order_seq
+         |FROM orders
+         |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+                row_number().over(byCust).as("order_seq"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    Q(
+      "win_rank_dense",
+      """SELECT c_custkey, c_mktsegment,
+        |       rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS bal_rank,
+        |       dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS bal_dense_rank
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      // rank/dense_rank are tie-stable: equal c_acctbal peers get equal
+      // ranks, so no tiebreaker is needed for determinism.
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
+      T.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+                rank().over(w).as("bal_rank"),
+                dense_rank().over(w).as("bal_dense_rank"))
+        .orderBy(col("c_custkey"))
+    },
+
+    Q(
+      "win_ntile",
+      """SELECT o_orderkey, o_orderpriority,
+        |       ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS price_quartile
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      // ntile depends on row order → o_orderkey tiebreaker makes it total.
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+                ntile(4).over(w).as("price_quartile"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    Q(
+      "win_lag_lead",
+      s"""SELECT event_id, user_id,
+         |       lag(value)  OVER ($byUserSql) AS prev_value,
+         |       lead(value) OVER ($byUserSql) AS next_value
+         |FROM events
+         |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      // Adjacent-row access = the reference's consecutive-node→segment
+      // pairing (README.md:80-81), on the event stream.
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"),
+                lag(col("value"), 1).over(byUser).as("prev_value"),
+                lead(col("value"), 1).over(byUser).as("next_value"))
+        .orderBy(col("event_id"))
+    },
+
+    Q(
+      "win_running_sum",
+      s"""SELECT o_orderkey, o_custkey,
+         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+         |         ($byCustSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spend
+         |FROM orders
+         |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val w = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+                round(sum(Det.dec2(col("o_totalprice"))).over(w).cast("double"), 2)
+                  .as("running_spend"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    Q(
+      "win_moving_avg",
+      s"""SELECT event_id, user_id,
+         |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         |             / count(*) OVER w, 4) AS moving_avg
+         |FROM events
+         |WINDOW w AS ($byUserSql ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      // Decimal sum / count instead of avg(double): frame-internal fp
+      // summation order then cannot flip a rounding boundary vs the oracle.
+      val w = byUser.rowsBetween(-3, 0)
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"),
+                round(sum(Det.dec2(col("value"))).over(w).cast("double")
+                        / count(lit(1)).over(w), 4).as("moving_avg"))
+        .orderBy(col("event_id"))
+    },
+
+    Q(
+      "win_range_frame",
+      """SELECT event_id, user_id,
+        |       count(*) OVER w AS n_last_hour,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS sum_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      // Event-time band aggregate: RANGE frame over epoch seconds.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"),
+                count(lit(1)).over(w).as("n_last_hour"),
+                round(sum(Det.dec2(col("value"))).over(w).cast("double"), 2)
+                  .as("sum_last_hour"))
+        .orderBy(col("event_id"))
+    },
+
+    Q(
+      "win_first_last",
+      s"""SELECT o_orderkey, o_custkey,
+         |       first_value(o_totalprice) OVER w AS first_price,
+         |       last_value(o_totalprice)  OVER w AS latest_price
+         |FROM orders
+         |WINDOW w AS ($byCustSql ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      // Explicit full frame: default frame ends at CURRENT ROW, which makes
+      // last_value a silent no-op — a classic window footgun.
+      val w = byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+                first(col("o_totalprice")).over(w).as("first_price"),
+                last(col("o_totalprice")).over(w).as("latest_price"))
+        .orderBy(col("o_orderkey"))
+    }
+  )
+}
