@@ -15,7 +15,8 @@ object SparkEntry {
       operators.Sorts.all ++
       operators.SetOps.all ++
       operators.Windows.all ++
-      operators.Scalars.all
+      operators.Scalars.all ++
+      operators.OsmKernels.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.{Q, T}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.J — the reference's actual ETL, re-expressed as Spark
+  * dataflow.
+  *
+  * What PgOSM Flex / osm2pgsql compute (`/root/reference/README.md:80-81`):
+  * "ways get their geometry from member nodes and relations get their
+  * geometry from member nodes and ways" — an ordered N-way id-equi-join —
+  * plus tag-driven layer shredding (`README.md:93`) and dated weekly
+  * snapshots (`/root/reference/osm_etl.py:13,45`).
+  *
+  * Oracle isomorphism (FIXTURES.md): `lineitem` is the exploded way-
+  * membership table (way_id = l_orderkey, member position = l_linenumber,
+  * node ref = l_partkey); `part` is the node store with
+  * (p_size, p_retailprice) as (lon, lat); `orders per customer` stands in
+  * for relation membership.
+  *
+  * Coordinates are held as integer centi-units (×100 longs) through every
+  * fold: the path/bbox math is then exact integer arithmetic — associative
+  * and order-independent, so results are stable under any repartitioning
+  * (the same trick the Det decimal helpers pull for money).
+  */
+object OsmKernels {
+
+  // Node store: dim-sized (grows with distinct parts, not with fact rows)
+  // → broadcast; the fact-sized ref table never shuffles for the resolve.
+  private def nodes(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.part(s, d).select(
+      col("p_partkey").as("node_id"),
+      (col("p_size").cast("long") * 100).as("lon_c"),
+      round(col("p_retailprice") * 100).cast("long").as("lat_c"))
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "osm_way_geometry",
+      """WITH pts AS (
+        |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref,
+        |         p_size * 100 AS lon_c, CAST(round(p_retailprice * 100) AS BIGINT) AS lat_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ways AS (
+        |  SELECT way_id,
+        |         list(lon_c ORDER BY pos, node_ref) AS lons,
+        |         list(lat_c ORDER BY pos, node_ref) AS lats
+        |  FROM pts GROUP BY way_id)
+        |SELECT way_id,
+        |       len(lons) AS n_points,
+        |       lons[1] / 100.0 AS first_lon, lats[1] / 100.0 AS first_lat,
+        |       lons[-1] / 100.0 AS last_lon, lats[-1] / 100.0 AS last_lat,
+        |       CAST(coalesce(list_sum(list_transform(range(2, len(lons) + 1),
+        |              i -> abs(lons[i] - lons[i-1]) + abs(lats[i] - lats[i-1]))), 0) AS DOUBLE) / 100.0 AS path_len
+        |FROM ways
+        |ORDER BY way_id""".stripMargin
+    ) { (s, d) =>
+      // resolve ordered refs → points → regroup → fold to a linestring
+      // summary. collect_list has NO post-shuffle order guarantee: the
+      // array_sort(struct(pos, …)) idiom pins member order (§7.3).
+      T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+                col("l_partkey").as("node_ref"))
+        .join(broadcast(nodes(s, d)), col("node_ref") === col("node_id"))
+        .groupBy(col("way_id"))
+        .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+        .select(
+          col("way_id"),
+          size(col("pts")).cast("long").as("n_points"),
+          (element_at(col("pts"), 1).getField("lon_c") / 100.0).as("first_lon"),
+          (element_at(col("pts"), 1).getField("lat_c") / 100.0).as("first_lat"),
+          (element_at(col("pts"), -1).getField("lon_c") / 100.0).as("last_lon"),
+          (element_at(col("pts"), -1).getField("lat_c") / 100.0).as("last_lat"),
+          (expr("""aggregate(
+                     zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
+                              (a, b) -> abs(b.lon_c - a.lon_c) + abs(b.lat_c - a.lat_c)),
+                     0L, (acc, x) -> acc + x)""") / 100.0).as("path_len"))
+        .orderBy(col("way_id"))
+    },
+
+    Q(
+      "osm_relation_geometry",
+      """SELECT o_custkey AS relation_id,
+        |       count(DISTINCT l_orderkey) AS n_member_ways,
+        |       count(*) AS n_points,
+        |       min(p_size * 100) / 100.0 AS bbox_min_lon,
+        |       CAST(min(round(p_retailprice * 100)) AS DOUBLE) / 100.0 AS bbox_min_lat,
+        |       max(p_size * 100) / 100.0 AS bbox_max_lon,
+        |       CAST(max(round(p_retailprice * 100)) AS DOUBLE) / 100.0 AS bbox_max_lat
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY o_custkey
+        |ORDER BY relation_id""".stripMargin
+    ) { (s, d) =>
+      // Two-level resolution (relation → member ways → member nodes,
+      // README.md:80-81): fact⋈fact shuffle join on the way key, node store
+      // broadcast, then one partial+final agg for the relation bbox.
+      T.orders(s, d).select(col("o_custkey").as("relation_id"), col("o_orderkey"))
+        .join(T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+              col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nodes(s, d)), col("l_partkey") === col("node_id"))
+        .groupBy(col("relation_id"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_member_ways"),
+          count(lit(1)).as("n_points"),
+          (min(col("lon_c")) / 100.0).as("bbox_min_lon"),
+          (min(col("lat_c")) / 100.0).as("bbox_min_lat"),
+          (max(col("lon_c")) / 100.0).as("bbox_max_lon"),
+          (max(col("lat_c")) / 100.0).as("bbox_max_lat"))
+        .orderBy(col("relation_id"))
+    },
+
+    Q(
+      "osm_layer_extract",
+      """SELECT layer, p_partkey AS element_id, brand, size_val
+        |FROM (
+        |  SELECT 'heavy' AS layer, p_partkey, p_brand AS brand, p_size AS size_val
+        |  FROM part WHERE p_size >= 25
+        |  UNION ALL
+        |  SELECT 'premium', p_partkey, p_brand, p_size
+        |  FROM part WHERE p_retailprice > 1500)
+        |ORDER BY layer, element_id""".stripMargin
+    ) { (s, d) =>
+      // Flex-style shredding (README.md:93): element tags → map column; a
+      // layer spec = (tag predicate, promoted typed columns). One element
+      // can route to several layers, exactly like OSM layer sets. Routing
+      // is a generator (posexplode-of-matching-layers) so the input is
+      // scanned once regardless of layer count.
+      val tagged = T.part(s, d).select(
+        col("p_partkey"),
+        map(lit("brand"), col("p_brand"),
+            lit("size"), col("p_size").cast("string"),
+            lit("price"), col("p_retailprice").cast("string")).as("tags"))
+      tagged
+        .select(col("p_partkey"), col("tags"),
+          filter(array(
+            when(element_at(col("tags"), "size").cast("int") >= 25, "heavy"),
+            when(element_at(col("tags"), "price").cast("double") > 1500, "premium")
+          ), _.isNotNull).as("layers"))
+        .select(col("p_partkey"), col("tags"), explode(col("layers")).as("layer"))
+        .select(col("layer"), col("p_partkey").as("element_id"),
+                element_at(col("tags"), "brand").as("brand"),
+                element_at(col("tags"), "size").cast("int").as("size_val"))
+        .orderBy(col("layer"), col("element_id"))
+    },
+
+    Q(
+      "osm_snapshot_delta",
+      """WITH snap_a AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-07-01'),
+        |snap_b AS (
+        |  SELECT o_orderkey AS id,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS status
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01')
+        |SELECT coalesce(a.id, b.id) AS id,
+        |       CASE WHEN b.id IS NULL THEN 'removed'
+        |            WHEN a.id IS NULL THEN 'added'
+        |            WHEN a.status <> b.status THEN 'changed'
+        |            ELSE 'unchanged' END AS change
+        |FROM snap_a a FULL OUTER JOIN snap_b b ON a.id = b.id
+        |ORDER BY id""".stripMargin
+    ) { (s, d) =>
+      // Week-over-week diff (osm_etl.py:13,45): two dated snapshots,
+      // classify added/removed/changed/unchanged via one full-outer join on
+      // the element id. Snapshots here are overlapping date windows of
+      // orders; snap_b mutates status on every 10th key to stand in for
+      // OSM edits between weekly runs. At scale both sides shuffle once on
+      // id; AQE handles the skew if an id range is hot.
+      val o = T.orders(s, d)
+      val a = o.where(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey").as("a_id"), col("o_orderstatus").as("a_status"))
+      val b = o.where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp"))
+        .select(col("o_orderkey").as("b_id"),
+                when(col("o_orderkey") % 10 === 0, "X").otherwise(col("o_orderstatus")).as("b_status"))
+      a.join(b, col("a_id") === col("b_id"), "full_outer")
+        .select(
+          coalesce(col("a_id"), col("b_id")).as("id"),
+          when(col("b_id").isNull, "removed")
+            .when(col("a_id").isNull, "added")
+            .when(col("a_status") =!= col("b_status"), "changed")
+            .otherwise("unchanged").as("change"))
+        .orderBy(col("id"))
+    },
+
+    Q(
+      "osm_region_partition_write",
+      """SELECT r_name, n_name, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('AMERICA', 'EUROPE')
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin
+    ) { (s, d) =>
+      // The reference's per-{region,subregion} fan-out (osm_etl.py:69-85)
+      // becomes ONE job + a region-partitioned lake layout; "process only
+      // colorado" becomes partition pruning on re-read (PartitionFilters —
+      // unselected regions' files are never opened).
+      val out = s"${sys.props("java.io.tmpdir")}/graft_region_partitioned"
+      T.orders(s, d)
+        .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("r_name"), col("n_name"))
+        .write.mode("overwrite")
+        .partitionBy("r_name", "n_name")
+        .parquet(out)
+      s.read.parquet(out)
+        .where(col("r_name").isin("AMERICA", "EUROPE"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }
+  )
+}
