@@ -16,7 +16,8 @@ object SparkEntry {
       operators.SetOps.all ++
       operators.Windows.all ++
       operators.Scalars.all ++
-      operators.OsmKernels.all
+      operators.OsmKernels.all ++
+      operators.LlmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,474 @@
+package graft.operators
+
+import graft.{Q, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.K — LLM-training-data pipeline operators over
+  * `documents` / `embeddings` (BASELINE.json north_star extension surface).
+  *
+  * Scale stance:
+  *  - Exact dedup: hash + window keep-first — one shuffle on the hash.
+  *  - Fuzzy dedup: MinHash-LSH — candidates come from band-bucket equality
+  *    (a groupBy-join on O(#docs × #bands) tiny rows), NEVER an all-pairs
+  *    product; only candidates pay the exact-verify cost. At 100 TB the
+  *    all-pairs product is impossible (10^22 pairs); LSH is the whole point.
+  *  - Similarity: brute-force cosine top-k as the correctness baseline; the
+  *    LSH-bucketed variant (`sim_cosine_lsh`) is the scale path.
+  *  - Everything is built from codegen'd builtins + higher-order exprs —
+  *    no Scala UDF in any hot loop.
+  */
+object LlmOps {
+
+  /** Cosine similarity of two float-vector columns, as a codegen'd
+    * higher-order expression (no UDF). Accumulates in double.
+    */
+  def cosine(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |    * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
+
+  /** Distinct character 5-gram shingles of a text column. */
+  private val shingles5 =
+    "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
+
+  /** doc_id → distinct word 3-grams (space-tokenized). */
+  private def wordNgrams(s: SparkSession, d: String, n: Int): DataFrame =
+    T.documents(s, d).select(
+      col("doc_id"),
+      expr(s"""array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
+              |  i -> array_join(slice(split(text, ' '), i, $n), ' ')))""".stripMargin).as("grams"))
+
+  /** Exact pairwise Jaccard over candidate pairs via explode-join: integer
+    * common/total counts, so the ratio is bit-identical across engines.
+    */
+  private def jaccardOfPairs(pairs: DataFrame, grams: DataFrame): DataFrame = {
+    val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
+    val exA = grams.select(col("doc_id").as("doc_a"), explode(col("grams")).as("g"))
+    val exB = grams.select(col("doc_id").as("doc_b2"), explode(col("grams")).as("g2"))
+    pairs
+      .join(exA, "doc_a")
+      .join(exB, col("doc_b") === col("doc_b2") && col("g") === col("g2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+  }
+
+  // DuckDB exact all-pairs Jaccard (the oracle for both fuzzy-dedup ops —
+  // feasible at oracle scale; the Spark side must reach the same answer via
+  // LSH candidates + exact verify).
+  private def duckJaccardSql(gramSql: String, tau: Double): String =
+    s"""WITH g AS (SELECT DISTINCT doc_id, gram FROM ($gramSql)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS com
+       |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, com * 1.0 / (sa.n + sb.n - com) AS jaccard
+       |FROM c JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE com * 1.0 / (sa.n + sb.n - com) >= $tau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // Exploded (vec_id, label, i, v) view + norms, shared by the DuckDB
+  // cosine oracles.
+  private val duckVecs =
+    """x AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM x GROUP BY 1)""".stripMargin
+
+  /** Cosine threshold chosen inside a measured empty band of the corpus'
+    * pairwise-cosine distribution (nearest values 0.3569 / 0.3605), so
+    * float summation-order noise (~1e-15) cannot flip membership vs the
+    * oracle.
+    */
+  private val cosTau = 0.358
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "dedup_exact",
+      """SELECT doc_id, n_copies FROM (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies
+        |  FROM documents) t
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Keep-first exact dedup by normalized content hash. At 100 TB:
+      // prefer xxhash64 + dropDuplicates (map-side partial dedup shrinks
+      // the shuffle); md5 + window here because the keep-MIN-doc_id choice
+      // must be deterministic for the oracle and md5 is cross-engine.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      T.documents(s, d)
+        .withColumn("h", md5(lower(trim(col("text")))))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "dedup_minhash",
+      duckJaccardSql(
+        """SELECT doc_id, substring(text, i, 5) AS gram
+          |FROM documents, unnest(range(1, greatest(length(text) - 3, 2))) AS t(i)""".stripMargin,
+        0.8)
+    ) { (s, d) =>
+      // MinHash-LSH fuzzy dedup: char-5-gram shingles → 128 xxhash64
+      // minima → 32 bands × 4 rows → band-bucket self-join → exact-Jaccard
+      // verify of candidates only. P(miss | J ≥ 0.8) = (1-0.8^4)^32 ≈ 5e-8,
+      // so the LSH+verify result equals the oracle's exact all-pairs scan.
+      // Everything below is native codegen'd expressions — no UDF.
+      val sh = T.documents(s, d).select(col("doc_id"), expr(shingles5).as("grams"))
+      val bands = sh.select(
+        col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, 31), b ->
+            |  xxhash64(concat_ws('_', transform(sequence(0, 3), r ->
+            |    CAST(array_min(transform(grams, s -> xxhash64(s, b * 4 + r))) AS STRING)))))""".stripMargin))
+          .as(Seq("band_i", "band_h")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+              col("a.band_i") === col("b.band_i") && col("a.band_h") === col("b.band_h") &&
+                col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      jaccardOfPairs(cand, sh.withColumnRenamed("grams", "grams").select(col("doc_id"), col("grams")))
+        .where(col("jaccard") >= 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    Q(
+      "dedup_ngram_jaccard",
+      duckJaccardSql(
+        """SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+          |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |     unnest(range(1, greatest(len(w) - 1, 2))) AS t(i)""".stripMargin,
+        0.8)
+    ) { (s, d) =>
+      // Exact word-3-gram Jaccard dedup. The self-join on gram is the
+      // textbook formulation; at scale, gram frequency explodes on common
+      // n-grams — production path caps posting-list length (drop grams in
+      // > K docs, they carry no discriminative signal) or goes via
+      // dedup_minhash. Kept exact here as the verifiable baseline.
+      val grams = wordNgrams(s, d, 3)
+      val ex = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+      val pairs = ex.as("a")
+        .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+      val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+                (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+        .where(col("jaccard") >= 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash near-dup: 64-bit signature from token hashes, candidate pairs
+    // via 16-bit chunk equality (pigeonhole: hamming ≤ 3 ⇒ some chunk
+    // equal), verified by bit_count(xor) ≤ 3. xxhash64-based → no DuckDB
+    // oracle (engine-specific hash); LlmOpsSpec asserts the planted
+    // near-dup pairs surface and that it agrees with dedup_minhash.
+    Q.smoke("dedup_simhash") { (s, d) =>
+      val sig = T.documents(s, d).select(
+        col("doc_id"),
+        expr(
+          """aggregate(
+            |  zip_with(
+            |    transform(sequence(0, 63), b ->
+            |      CASE WHEN aggregate(array_distinct(split(text, ' ')), 0L,
+            |             (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+            |           THEN 1L ELSE 0L END),
+            |    sequence(0, 63), (bit, i) -> shiftleft(bit, i)),
+            |  0L, (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+      val chunks = sig.select(col("doc_id"), col("simhash"),
+        posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
+          .as(Seq("chunk_i", "chunk_v")))
+      chunks.as("a")
+        .join(chunks.as("b"),
+              col("a.chunk_i") === col("b.chunk_i") && col("a.chunk_v") === col("b.chunk_v") &&
+                col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    Q(
+      "dedup_embedding",
+      s"""WITH $duckVecs,
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS dot
+         |      FROM x a JOIN x b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+         |      GROUP BY 1, 2)
+         |SELECT e.vec_id FROM embeddings e
+         |WHERE e.vec_id NOT IN (
+         |  SELECT vb FROM p JOIN nrm na ON va = na.vec_id JOIN nrm nb ON vb = nb.vec_id
+         |  WHERE dot / (na.n * nb.n) >= $cosTau)
+         |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      // Embedding-cosine near-dup dedup: blocked (label) pairwise cosine,
+      // drop the higher vec_id of every pair ≥ τ. label is the blocking
+      // key standing in for an LSH/IVF bucket at scale.
+      val e = T.embeddings(s, d)
+      val pairs = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
+        .join(e.select(col("vec_id").as("vb"), col("label"), col("embedding").as("eb")), Seq("label"))
+        .where(col("va") < col("vb"))
+        .where(cosine("ea", "eb") >= cosTau)
+        .select(col("vb"))
+        .distinct()
+      e.join(pairs, e("vec_id") === pairs("vb"), "left_anti")
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+
+    Q(
+      "sim_cosine_topk",
+      s"""WITH $duckVecs,
+         |q AS (SELECT i, v AS qv FROM x WHERE vec_id = 0),
+         |s AS (SELECT x.vec_id, sum(x.v * q.qv) AS dot, min(nrm.n) AS nx
+         |      FROM x JOIN q ON x.i = q.i JOIN nrm ON x.vec_id = nrm.vec_id
+         |      WHERE x.vec_id <> 0 GROUP BY 1),
+         |nq AS (SELECT sqrt(sum(qv * qv)) AS n FROM q)
+         |SELECT vec_id, round(dot / (nx * (SELECT n FROM nq)), 6) AS cosine
+         |FROM s
+         |ORDER BY cosine DESC, vec_id
+         |LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      // Brute-force cosine top-k: broadcast the query vector, one pass over
+      // the corpus, TakeOrderedAndProject keeps k per partition — the
+      // correctness baseline every ANN variant is judged against.
+      val e = T.embeddings(s, d)
+      val q = broadcast(e.where(col("vec_id") === 0).select(col("embedding").as("qe")))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .select(col("vec_id"), round(cosine("embedding", "qe"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    Q(
+      "sim_pairwise_threshold",
+      s"""WITH $duckVecs,
+         |p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+         |      FROM x a JOIN x b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+         |      GROUP BY 1, 2, 3)
+         |SELECT label, vec_a, vec_b,
+         |       round(dot / (na.n * nb.n), 6) AS cosine
+         |FROM p JOIN nrm na ON vec_a = na.vec_id JOIN nrm nb ON vec_b = nb.vec_id
+         |WHERE dot / (na.n * nb.n) >= $cosTau
+         |ORDER BY vec_a, vec_b""".stripMargin
+    ) { (s, d) =>
+      // All-pairs ≥ τ, blocked: the self-join runs inside label blocks
+      // only — O(Σ block²·d), never corpus². At scale the blocking key is
+      // an LSH bucket; label plays that role in the fixture.
+      val e = T.embeddings(s, d)
+      e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .join(e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("label"))
+        .where(col("vec_a") < col("vec_b"))
+        .withColumn("cosine", round(cosine("ea", "eb"), 6))
+        .where(cosine("ea", "eb") >= cosTau)
+        .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // IVF/LSH-bucketed approximate nearest neighbour — the 100 TB path:
+    // random-hyperplane sign bits (8 fixed dims) coarse-quantize vectors
+    // into 256 buckets; the query probes its own bucket plus all hamming-1
+    // neighbours (9 of 256 ⇒ ~3.5% of the corpus scanned). Approximate →
+    // no SQL oracle; LlmOpsSpec measures recall@10 vs sim_cosine_topk.
+    Q.smoke("sim_cosine_lsh") { (s, d) =>
+      val bucketOf: Column = expr(
+        """aggregate(zip_with(slice(embedding, 1, 8), sequence(0, 7),
+          |  (x, i) -> CASE WHEN x >= 0 THEN shiftleft(1L, i) ELSE 0L END),
+          |  0L, (acc, v) -> acc + v)""".stripMargin)
+      val e = T.embeddings(s, d).withColumn("bucket", bucketOf)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
+      // query bucket + its 8 hamming-1 neighbours
+      val probes = broadcast(
+        q.select(col("qe"), explode(expr(
+          "concat(array(qbucket), transform(sequence(0, 7), i -> CAST(qbucket AS BIGINT) ^ shiftleft(1L, i)))"))
+          .as("probe")))
+      e.where(col("vec_id") =!= 0)
+        .join(probes, col("bucket") === col("probe"))
+        .select(col("vec_id"), round(cosine("embedding", "qe"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    Q(
+      "text_stats",
+      """SELECT lang,
+        |       count(*) AS n_docs,
+        |       sum(length(text)) AS total_chars,
+        |       sum(len(string_split(text, ' '))) AS total_tokens,
+        |       round(sum(length(text)) * 1.0 / sum(len(string_split(text, ' '))), 4) AS chars_per_token,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      T.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(length(col("text"))).as("total_chars"),
+             sum(col("n_tokens")).as("total_tokens"),
+             round(sum(length(col("text"))) * lit(1.0) / sum(col("n_tokens")), 4).as("chars_per_token"),
+             min(col("n_chars")).as("min_chars"),
+             max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))
+    },
+
+    Q(
+      "text_lang_id",
+      """SELECT doc_id,
+        |       CASE WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+        |            WHEN en >= es AND en >= fr THEN 'en'
+        |            WHEN es >= fr THEN 'es'
+        |            ELSE 'fr' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(lower(text), ' '), t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS de,
+        |         len(list_filter(string_split(lower(text), ' '), t -> list_contains(['the','a','of','and','to','is'], t))) AS en,
+        |         len(list_filter(string_split(lower(text), ' '), t -> list_contains(['el','la','de','los','y','es'], t))) AS es,
+        |         len(list_filter(string_split(lower(text), ' '), t -> list_contains(['le','la','et','les','des','est'], t))) AS fr
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Stopword-hit language ID — the classic cheap n-gram heuristic
+      // (count function-word hits per language, argmax with alphabetical
+      // tie-break). One projection, no shuffle until the sink.
+      def hits(words: Seq[String]): Column = {
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        expr(s"size(filter(split(lower(text), ' '), t -> t IN ($lst)))")
+      }
+      T.documents(s, d)
+        .withColumn("de", hits(Seq("der", "die", "das", "und", "ist", "nicht")))
+        .withColumn("en", hits(Seq("the", "a", "of", "and", "to", "is")))
+        .withColumn("es", hits(Seq("el", "la", "de", "los", "y", "es")))
+        .withColumn("fr", hits(Seq("le", "la", "et", "les", "des", "est")))
+        .select(col("doc_id"),
+          when(col("de") >= col("en") && col("de") >= col("es") && col("de") >= col("fr"), "de")
+            .when(col("en") >= col("es") && col("en") >= col("fr"), "en")
+            .when(col("es") >= col("fr"), "es")
+            .otherwise("fr").as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "text_quality",
+      """SELECT doc_id,
+        |       n_tokens,
+        |       round(stop_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
+        |       round(alpha_chars * 1.0 / n_chars_m, 6) AS alpha_ratio,
+        |       round(avg_token_len, 6) AS avg_token_len,
+        |       (n_tokens BETWEEN 20 AND 1000
+        |        AND stop_hits * 1.0 / n_tokens >= 0.01
+        |        AND alpha_chars * 1.0 / n_chars_m >= 0.7) AS passes_quality
+        |FROM (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         len(list_filter(string_split(lower(text), ' '), t -> list_contains(['the','a','of','and','to','is','in'], t))) AS stop_hits,
+        |         len(regexp_extract_all(text, '[a-zA-Z]')) AS alpha_chars,
+        |         greatest(length(text), 1) AS n_chars_m,
+        |         length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) AS avg_token_len
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Gopher/C4-style quality gates: token count band, stopword ratio,
+      // alphabetic ratio, mean token length — pure projections, the filter
+      // column is a boolean the pipeline can partition on.
+      T.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("stop_hits",
+          expr("size(filter(split(lower(text), ' '), t -> t IN ('the','a','of','and','to','is','in')))").cast("long"))
+        .withColumn("alpha_chars", expr("regexp_count(text, '[a-zA-Z]')").cast("long"))
+        .withColumn("n_chars_m", greatest(length(col("text")), lit(1)).cast("long"))
+        .withColumn("avg_token_len",
+          length(regexp_replace(col("text"), " ", "")) * lit(1.0) / col("n_tokens"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          round(col("stop_hits") * 1.0 / col("n_tokens"), 6).as("stopword_ratio"),
+          round(col("alpha_chars") * 1.0 / col("n_chars_m"), 6).as("alpha_ratio"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          (col("n_tokens").between(20, 1000) &&
+            col("stop_hits") * 1.0 / col("n_tokens") >= 0.01 &&
+            col("alpha_chars") * 1.0 / col("n_chars_m") >= 0.7).as("passes_quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "text_token_count",
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS regex_tokens,
+        |       list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS subword_est
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Token counting three ways: whitespace, BPE-ish regex pieces, and a
+      // ceil(len/4) subword estimate (the "~4 chars per token" rule used to
+      // budget LLM training corpora).
+      T.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("long").as("regex_tokens"),
+        expr("aggregate(split(text, ' '), 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS BIGINT))")
+          .as("subword_est"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "text_fingerprint",
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+        |         (acc, c) -> (acc * 131 + c) % 1000000007) AS fp_full,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(range(1, least(length(text), 64) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+        |         (acc, c) -> (acc * 131 + c) % 1000000007) AS fp_prefix64
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Polynomial rolling-hash fingerprint, mod 1e9+7 so the fold never
+      // leaves 63-bit range (Spark would wrap silently on overflow, DuckDB
+      // would error — staying small keeps both engines exact and equal).
+      def fp(lenExpr: String): Column = expr(
+        s"""aggregate(transform(sequence(1, $lenExpr), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+           |  0L, (acc, c) -> (acc * 131 + c) % 1000000007)""".stripMargin)
+      T.documents(s, d).select(
+        col("doc_id"),
+        fp("length(text)").as("fp_full"),
+        fp("least(length(text), 64)").as("fp_prefix64"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "multimodal_struct",
+      """SELECT doc_id,
+        |       octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       n_chars % 640 AS meta_width,
+        |       (n_chars * 7) % 480 AS meta_height,
+        |       CAST(ceil(octet_length(CAST(text AS BLOB)) / 4.0) AS BIGINT) AS thumb_bytes,
+        |       md5(text) AS feature_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Multimodal column plumbing (§2.K `multimodal_struct`): opaque
+      // binary payload + typed metadata struct travel together; the
+      // decode/feature-extract runs per-partition over the typed Dataset
+      // (graft.functions.Multimodal) with a DETERMINISTIC-FAKE decoder —
+      // no image libs in this container; the Spark-side schema,
+      // partitioning and batch shape are the real thing.
+      graft.functions.Multimodal.pipeline(T.documents(s, d))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
