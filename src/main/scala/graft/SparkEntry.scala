@@ -17,7 +17,9 @@ object SparkEntry {
       operators.Windows.all ++
       operators.Scalars.all ++
       operators.OsmKernels.all ++
-      operators.LlmOps.all
+      operators.LlmOps.all ++
+      operators.StreamOps.all ++
+      operators.Extensibility.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY.md §2.I — Structured Streaming surface.
+  *
+  * The reference's "streaming" is a weekly batch cadence over dated
+  * snapshots (`/root/reference/osm_etl.py:13,45`); these operators
+  * generalize it to event-time processing over the `events` fixture.
+  *
+  * Design: each transform takes a DataFrame and returns a DataFrame —
+  * IDENTICAL code serves `spark.readStream` (incremental, stateful) and
+  * batch (the oracle-checked twin in `SparkEntry.queries`). That is the
+  * Structured Streaming contract: a streaming query is the incremental
+  * execution of the same logical plan.
+  *
+  * Scale: all stateful ops key on user_id (high cardinality → state spreads
+  * across executors); watermarks bound state size — without one, a 100 TB
+  * stream accumulates state forever.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour count/sum per event type; 10-min watermark bounds
+    * late-data state. `stream_tumbling`.
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour window every 15 minutes. `stream_sliding`. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Gap-based session windows (30 min) per user. `stream_session`. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Exactly-once per event_id within the watermark horizon.
+    * `stream_dedup`.
+    */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id", "ts")
+
+  /** Enrich the stream with a static dimension (stream-static join —
+    * no state, dim broadcast each micro-batch). `stream_static_join`.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(key) === col(dimKey))
+
+  // ---------------------------------------------------------------------
+  // Behavioral (not batch-expressible): run real micro-batches in-process
+  // via MemoryStream → memory sink. Used by the smoke queries and specs.
+  // ---------------------------------------------------------------------
+
+  final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  /** Watermark semantics demo (`stream_watermark_late`): three batches; the
+    * last contains an event older than the advanced watermark, which append
+    * mode must drop from the emitted windows.
+    */
+  def runWatermarkLateDemo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("wm_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two users in the 10:00 window
+      mem.addData(Ev(ts(0), 1L, 1.0), Ev(ts(5), 2L, 1.0))
+      q.processAllAvailable()
+      // batch 2: event at 10:40 → watermark advances to 10:30, closing the
+      // 10:00–10:15 window (append emits it)
+      mem.addData(Ev(ts(40), 1L, 1.0))
+      q.processAllAvailable()
+      // batch 3: LATE event at 10:05 — behind the watermark, dropped
+      mem.addData(Ev(ts(5), 1L, 99.0), Ev(ts(55), 2L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("wm_late")
+  }
+
+  final case class UserCount(user_id: Long, n_events: Long, total: Double)
+
+  /** Arbitrary stateful processing (`stream_stateful_custom`): running
+    * per-user counters via flatMapGroupsWithState (the
+    * mapGroupsWithState/flatMapGroupsWithState surface of §2.I).
+    */
+  def runStatefulCounterDemo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+
+    def update(user: Long, evs: Iterator[Ev], state: GroupState[UserCount]): Iterator[UserCount] = {
+      val prev = state.getOption.getOrElse(UserCount(user, 0L, 0.0))
+      val batch = evs.toSeq
+      val next = UserCount(user, prev.n_events + batch.size,
+                           prev.total + batch.map(_.value).sum)
+      state.update(next)
+      Iterator(next)
+    }
+
+    val counts = mem.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+    val q = counts.writeStream.format("memory").queryName("stateful_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Ev(ts(0), 1L, 2.0), Ev(ts(1), 2L, 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(2), 1L, 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest state per user
+    spark.table("stateful_counts")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("total")).as("total"))
+  }
+
+  /** Incremental file source → exactly-once batch hand-off
+    * (`source_stream_file` + `sink_stream_foreachbatch`): the reference's
+    * dump-then-load pattern (`osm_etl.py:88-91`) as a checkpointed
+    * foreachBatch pipeline. Runs one real micro-batch over a staged dir.
+    */
+  def runFileStreamDemo(spark: SparkSession, srcDir: String, outDir: String,
+                        checkpoint: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent hand-off: overwrite the per-batch artifact dir
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+}
