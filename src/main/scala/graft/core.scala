@@ -60,8 +60,10 @@ object T {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else raw // already micros (e.g. test fixtures written by Spark itself)
   }
   def documents(s: SparkSession, d: String)  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = apply(s, d, "embeddings")

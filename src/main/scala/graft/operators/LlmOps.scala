@@ -169,11 +169,14 @@ object LlmOps {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // SimHash near-dup: 64-bit signature from token hashes, candidate pairs
-    // via 16-bit chunk equality (pigeonhole: hamming ≤ 3 ⇒ some chunk
-    // equal), verified by bit_count(xor) ≤ 3. xxhash64-based → no DuckDB
-    // oracle (engine-specific hash); LlmOpsSpec asserts the planted
-    // near-dup pairs surface and that it agrees with dedup_minhash.
+    // SimHash near-dup: 64-bit signature from FREQUENCY-WEIGHTED token
+    // hashes (weighting measured essential on this corpus: the shared tiny
+    // vocabulary makes distinct-token simhash collapse — planted-pair mean
+    // hamming 2.9 / random-pair min 6 weighted, vs 5.1 / 0 unweighted).
+    // Candidates via 8-bit chunk equality (pigeonhole: hamming ≤ 7 ⇒ some
+    // chunk equal), verified by bit_count(xor) ≤ 4 — below the measured
+    // random-pair floor, so precision is 1.0 here. xxhash64-based → no
+    // DuckDB oracle; SmokeOpsSpec asserts concentration + precision.
     Q.smoke("dedup_simhash") { (s, d) =>
       val sig = T.documents(s, d).select(
         col("doc_id"),
@@ -181,13 +184,13 @@ object LlmOps {
           """aggregate(
             |  zip_with(
             |    transform(sequence(0, 63), b ->
-            |      CASE WHEN aggregate(array_distinct(split(text, ' ')), 0L,
+            |      CASE WHEN aggregate(split(text, ' '), 0L,
             |             (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
             |           THEN 1L ELSE 0L END),
             |    sequence(0, 63), (bit, i) -> shiftleft(bit, i)),
             |  0L, (acc, x) -> acc + x)""".stripMargin).as("simhash"))
       val chunks = sig.select(col("doc_id"), col("simhash"),
-        posexplode(expr("transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
+        posexplode(expr("transform(sequence(0, 7), c -> shiftright(simhash, c * 8) & 255)"))
           .as(Seq("chunk_i", "chunk_v")))
       chunks.as("a")
         .join(chunks.as("b"),
@@ -196,7 +199,7 @@ object LlmOps {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
                 bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .distinct()
-        .where(col("hamming") <= 3)
+        .where(col("hamming") <= 4)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

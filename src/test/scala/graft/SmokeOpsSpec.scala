@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for §2 keys with no DuckDB oracle (SURVEY.md §5.2): approximate,
+  * layout-dependent, or engine-hash-dependent operators.
+  */
+class SmokeOpsSpec extends GraftSuite {
+
+  private def q(key: String) = SparkEntry.queries(key)(spark, sf)
+
+  test("agg_approx_distinct_hll stays within the configured rsd of exact") {
+    val approx = q("agg_approx_distinct_hll").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = T.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((flag, (ap, ao)) <- approx) {
+      val (ep, eo) = exact(flag)
+      // rsd=0.02 → allow 5 sigma
+      assert(math.abs(ap - ep).toDouble / ep < 0.10, s"parts estimate off for $flag: $ap vs $ep")
+      assert(math.abs(ao - eo).toDouble / eo < 0.10, s"orders estimate off for $flag: $ao vs $eo")
+    }
+  }
+
+  test("sort_partitioned produces files internally ordered by the sort key") {
+    q("sort_partitioned").count() // runs the write
+    val out = s"${sys.props("java.io.tmpdir")}/graft_sort_partitioned"
+    import org.apache.spark.sql.Row
+    val perFile = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("o_orderstatus"),
+              col("o_orderdate").cast("string").as("d"), col("o_orderkey"))
+    val rows = perFile.collect()
+    val byFile = rows.groupBy(_.getString(0))
+    assert(byFile.nonEmpty)
+    for ((_, rs) <- byFile) {
+      val keys = rs.map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(keys == keys.sorted, "rows within a file must be sorted (clustered layout)")
+    }
+  }
+
+  test("dedup_simhash: planted near-dups concentrate at low hamming; output is precise") {
+    val exactPairs = q("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "fixture should contain planted near-dups")
+    val simhashPairs = q("dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simhashPairs.nonEmpty, "simhash found none of the planted pairs")
+    val sig = T.documents(spark, sf).select(col("doc_id"),
+      expr(
+        """aggregate(zip_with(transform(sequence(0, 63), b ->
+          |  CASE WHEN aggregate(split(text, ' '), 0L,
+          |    (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+          |  THEN 1L ELSE 0L END), sequence(0, 63), (bit, i) -> shiftleft(bit, i)), 0L, (a, x) -> a + x)""".stripMargin)
+        .as("h")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(p: (Long, Long)) = java.lang.Long.bitCount(sig(p._1) ^ sig(p._2)).toDouble
+    // Operator correctness: the chunk-blocked + verified output must equal
+    // brute-force all-pairs at the same hamming threshold (the 8×8-bit
+    // pigeonhole guarantees no candidate with hamming ≤ 7 is missed).
+    val ids = sig.keys.toSeq.sorted
+    val brute = (for (a <- ids; b <- ids if a < b && ham((a, b)) <= 4) yield (a, b)).toSet
+    assert(simhashPairs == brute,
+           s"blocked result differs from brute force: missing ${brute.diff(simhashPairs)}, extra ${simhashPairs.diff(brute)}")
+    // Concentration: near-dup pairs sit far below the ~32-bit random mean.
+    val dupMean = exactPairs.toSeq.map(ham).sum / exactPairs.size
+    val randPairs = for (a <- ids.take(40); b <- ids.take(40) if a < b && !exactPairs((a, b))) yield (a, b)
+    val randMean = randPairs.map(ham).sum / randPairs.size
+    assert(dupMean < randMean / 2,
+           s"no concentration: near-dup mean hamming $dupMean vs random $randMean")
+  }
+
+  test("dedup_minhash equals exact 5-gram all-pairs at tau=0.8 (LSH misses nothing here)") {
+    val lsh = q("dedup_minhash").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs baseline computed directly
+    val sh = T.documents(spark, sf).select(col("doc_id"),
+      expr("array_distinct(transform(sequence(1, greatest(length(text)-4, 1)), i -> substring(text, i, 5)))").as("g"))
+    val ex = sh.select(col("doc_id"), explode(col("g")).as("gram"))
+    val sizes = sh.select(col("doc_id"), size(col("g")).as("n"))
+    val exact = ex.as("a").join(ex.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db")).agg(count(lit(1)).as("com"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .where(col("com").cast("double") / (col("na") + col("nb") - col("com")) >= 0.8)
+      .select(col("da"), col("db")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH ${lsh.size} pairs vs exact ${exact.size}")
+  }
+
+  test("sim_cosine_lsh returns true cosines and achieves useful recall vs brute force") {
+    val ann = q("sim_cosine_lsh").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = q("sim_cosine_topk").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ann.nonEmpty)
+    // every ANN cosine must equal the brute-force cosine for that id
+    val brute = T.embeddings(spark, sf)
+    val q0 = brute.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val all = brute.where(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+      .select(col("vec_id"), round(operators.LlmOps.cosine("embedding", "qe"), 6).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, c) <- ann) assert(math.abs(all(id) - c) < 1e-9)
+    val recall = exact.keySet.intersect(ann.keySet).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall@10 too low: $recall") // 9/256 buckets probed
+  }
+
+  test("source_stream_file hands off exactly the staged batch") {
+    val out = q("source_stream_file")
+    assert(out.count() == T.region(spark, sf).count())
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+
+/** Behavioral streaming semantics (SURVEY.md §5.4): what the DuckDB oracle
+  * cannot express — watermark drops and custom state — asserted over real
+  * MemoryStream micro-batches.
+  */
+class StreamingSpec extends GraftSuite {
+
+  test("append-mode windowed agg drops events behind the watermark") {
+    val rows = StreamingOps.runWatermarkLateDemo(spark)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    // user 1 sent one on-time event at 10:00 and one LATE event (batch 3,
+    // behind the advanced watermark) into the same 10:00 window: the late
+    // one must NOT be counted.
+    val user1w10 = rows.filter(t => t._1.startsWith("2024-01-01 10:00") && t._2 == 1L)
+    assert(user1w10.map(_._3) == Set(1L), s"late event leaked into closed window: $rows")
+  }
+
+  test("flatMapGroupsWithState accumulates per-user counters across micro-batches") {
+    val rows = StreamingOps.runStatefulCounterDemo(spark)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1L) == ((2L, 7.0)), s"user 1 state wrong: ${rows(1L)}")
+    assert(rows(2L) == ((1L, 3.0)), s"user 2 state wrong: ${rows(2L)}")
+  }
+
+  test("batch twins run unchanged as streaming queries (tumbling over a file stream)") {
+    // The very same StreamingOps.tumbling plan, driven incrementally from a
+    // file source, must reach the batch answer once all data is consumed.
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_twin")
+    val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "events.parquet"), src.resolve("events.parquet"))
+    // events.ts is TIMESTAMP(NANOS) parquet → same nanosAsLong + downcast
+    // as the batch loader (T.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(rawSchema).parquet(src.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val q = StreamingOps.tumbling(stream)
+      .writeStream.format("memory").queryName("twin_tumbling")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("twin_tumbling")
+      .orderBy(col("window_start"), col("event_type")).collect().toSeq
+    val batch = StreamingOps.tumbling(T.events(spark, sf))
+      .orderBy(col("window_start"), col("event_type")).collect().toSeq
+    assert(streamed == batch)
+  }
+}
