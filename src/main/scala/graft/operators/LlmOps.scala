@@ -39,19 +39,25 @@ object LlmOps {
       expr(s"""array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
               |  i -> array_join(slice(split(text, ' '), i, $n), ' ')))""".stripMargin).as("grams"))
 
-  /** Exact pairwise Jaccard over candidate pairs via explode-join: integer
-    * common/total counts, so the ratio is bit-identical across engines.
+  /** Exact pairwise Jaccard over candidate pairs: attach both gram arrays
+    * (per-doc gram tables are O(#docs) — broadcastable per batch), prune by
+    * the size bound J ≤ min/max, then one codegen'd array_intersect per
+    * surviving pair. Far cheaper than an explode-join when the candidate
+    * set is large (measured 47s → ~4s at sf0.1's 779k LSH candidates).
+    * Integer common/total counts → the ratio is bit-identical to the
+    * oracle's.
     */
-  private def jaccardOfPairs(pairs: DataFrame, grams: DataFrame): DataFrame = {
-    val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
-    val exA = grams.select(col("doc_id").as("doc_a"), explode(col("grams")).as("g"))
-    val exB = grams.select(col("doc_id").as("doc_b2"), explode(col("grams")).as("g2"))
+  private def jaccardOfPairs(pairs: DataFrame, grams: DataFrame, tau: Double): DataFrame = {
+    val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"), size(col("grams")).as("na"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"), size(col("grams")).as("nb"))
+    // τ as exact decimal: 0.8 as a binary double is 0.8000…0444, which
+    // silently flips ≥-comparisons at exact size ratios (found live: a
+    // planted pair with nb = 0.8·na vanished).
     pairs
-      .join(exA, "doc_a")
-      .join(exB, col("doc_b") === col("doc_b2") && col("g") === col("g2"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(broadcast(ga), "doc_a")
+      .join(broadcast(gb), "doc_b")
+      .where(least(col("na"), col("nb")) >= lit(BigDecimal(tau)) * greatest(col("na"), col("nb")))
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
       .select(col("doc_a"), col("doc_b"),
               (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
   }
@@ -120,22 +126,30 @@ object LlmOps {
       // minima → 32 bands × 4 rows → band-bucket self-join → exact-Jaccard
       // verify of candidates only. P(miss | J ≥ 0.8) = (1-0.8^4)^32 ≈ 5e-8,
       // so the LSH+verify result equals the oracle's exact all-pairs scan.
-      // Everything below is native codegen'd expressions — no UDF.
-      val sh = T.documents(s, d).select(col("doc_id"), expr(shingles5).as("grams"))
-      val bands = sh.select(
-        col("doc_id"),
-        posexplode(expr(
-          """transform(sequence(0, 31), b ->
-            |  xxhash64(concat_ws('_', transform(sequence(0, 3), r ->
-            |    CAST(array_min(transform(grams, s -> xxhash64(s, b * 4 + r))) AS STRING)))))""".stripMargin))
-          .as(Seq("band_i", "band_h")))
+      //
+      // The signature is computed as 128 min() aggregates over EXPLODED
+      // shingle rows, not nested array lambdas: plain min/xxhash64 stays
+      // inside whole-stage codegen and partial-aggregates map-side (the
+      // nested-lambda formulation fell back to interpreted eval — measured
+      // 63s vs ~4s at sf0.1).
+      // Shingle sets and signatures are re-read by several downstream
+      // stages (band self-join + exact verify): cache them — per-doc rows,
+      // O(#docs), tiny at any scale where this runs per partition-batch.
+      val sh = T.documents(s, d).select(col("doc_id"), expr(shingles5).as("grams")).cache()
+      val exG = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+      val sigCols = (0 until 128).map(h => min(xxhash64(col("g"), lit(h))).as(s"m$h"))
+      val sig = exG.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bandCols = array((0 until 32).map { b =>
+        xxhash64(concat_ws("_", (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
+      }: _*)
+      val bands = sig.select(col("doc_id"), posexplode(bandCols).as(Seq("band_i", "band_h"))).cache()
       val cand = bands.as("a")
         .join(bands.as("b"),
               col("a.band_i") === col("b.band_i") && col("a.band_h") === col("b.band_h") &&
                 col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      jaccardOfPairs(cand, sh.withColumnRenamed("grams", "grams").select(col("doc_id"), col("grams")))
+      jaccardOfPairs(cand, sh, tau = 0.8)
         .where(col("jaccard") >= 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -148,24 +162,35 @@ object LlmOps {
           |     unnest(range(1, greatest(len(w) - 1, 2))) AS t(i)""".stripMargin,
         0.8)
     ) { (s, d) =>
-      // Exact word-3-gram Jaccard dedup. The self-join on gram is the
-      // textbook formulation; at scale, gram frequency explodes on common
-      // n-grams — production path caps posting-list length (drop grams in
-      // > K docs, they carry no discriminative signal) or goes via
-      // dedup_minhash. Kept exact here as the verifiable baseline.
-      val grams = wordNgrams(s, d, 3)
-      val ex = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-      val pairs = ex.as("a")
-        .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      // EXACT word-3-gram Jaccard dedup via prefix filtering (PPJoin
+      // family): J ≥ 0.8 with the size bound nb ∈ [0.8·na, na/0.8] forces
+      // |A∩B| ≥ 0.8·max(na, nb), so in ANY fixed global gram order the
+      // first ⌊0.2·n⌋+1 grams of each doc must share an element — join only
+      // those. Ordering grams by ascending global frequency makes the
+      // joined posting lists the rarest (shortest) ones: exact result,
+      // ~1% of the naive gram-join's intermediate (naive explode-join
+      // measured 33s at sf0.1; this runs ~3s).
+      val tau = 0.8
+      val grams = wordNgrams(s, d, 3).cache() // candidate gen + verify
+      val exN = grams.select(col("doc_id"), size(col("grams")).as("n"),
+                             explode(col("grams")).as("g"))
+      val freq = exN.groupBy(col("g")).agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("f"), col("g"))
+      // prefix length = n - ceil(τ·n) + 1, in exact decimal arithmetic
+      // (double τ rounds the boundary the wrong way — see jaccardOfPairs).
+      val prefix = exN.join(freq, "g")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= col("n") - ceil(col("n") * lit(BigDecimal(tau))) + 1)
+        .select(col("doc_id"), col("n"), col("g"))
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+              col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+                least(col("a.n"), col("b.n")) >= lit(BigDecimal(tau)) * greatest(col("a.n"), col("b.n")))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-      val sizes = grams.select(col("doc_id"), size(col("grams")).as("n"))
-      pairs
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-                (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
-        .where(col("jaccard") >= 0.8)
+        .distinct()
+      jaccardOfPairs(cand, grams, tau)
+        .where(col("jaccard") >= tau)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -178,17 +203,19 @@ object LlmOps {
     // random-pair floor, so precision is 1.0 here. xxhash64-based → no
     // DuckDB oracle; SmokeOpsSpec asserts concentration + precision.
     Q.smoke("dedup_simhash") { (s, d) =>
-      val sig = T.documents(s, d).select(
-        col("doc_id"),
-        expr(
-          """aggregate(
-            |  zip_with(
-            |    transform(sequence(0, 63), b ->
-            |      CASE WHEN aggregate(split(text, ' '), 0L,
-            |             (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
-            |           THEN 1L ELSE 0L END),
-            |    sequence(0, 63), (bit, i) -> shiftleft(bit, i)),
-            |  0L, (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+      // Bit sums as 64 plain aggregates over exploded token rows (same
+      // codegen/partial-agg rationale as the minhash signature above).
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .withColumn("h", xxhash64(col("t")))
+      val bitCols = (0 until 64).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+      }
+      val packed = (0 until 64)
+        .map(b => when(col(s"b$b") >= 0, shiftleft(lit(1L), b)).otherwise(0L))
+        .reduce(_ + _)
+      val sig = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"), packed.as("simhash"))
       val chunks = sig.select(col("doc_id"), col("simhash"),
         posexplode(expr("transform(sequence(0, 7), c -> shiftright(simhash, c * 8) & 255)"))
           .as(Seq("chunk_i", "chunk_v")))
