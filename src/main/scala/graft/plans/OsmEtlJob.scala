@@ -1,0 +1,122 @@
+package graft.plans
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Airflow-invokable pipeline unit (SURVEY.md §3.2, §7.2 slice 6) —
+  * one `spark-submit` of this main replaces one per-region container run of
+  * the reference (`docker exec … pgosm_flex.py --region=<r> --subregion=<s>
+  * --pgosm-date=<d>`, `/root/reference/osm_etl.py:17-18,71-72`).
+  *
+  * Stages (each a stage of the reference's delegated ETL, §3.2):
+  *   scan → way assembly → relation assembly → layer extraction →
+  *   snapshot-partitioned lake write.
+  *
+  * Orchestration stance (SURVEY.md §1.2): Airflow keeps the job-level DAG
+  * (`run >> etl_us >> etl_eu >> dump`, osm_etl.py:93) and passes
+  * (region, date) as CLI args; INSIDE the job, Spark's scheduler owns the
+  * stage graph. The reference's per-region TaskGroup fan-out becomes
+  * partition parallelism over one region-partitioned dataset.
+  *
+  * Usage: OsmEtlJob <sfDir> <outDir> [pgosmDate]
+  */
+object OsmEtlJob {
+
+  /** Ordered member resolve + regroup (the osm_way_geometry kernel,
+    * producing the assembled-way table rather than the oracle summary).
+    */
+  def assembleWays(refs: DataFrame, nodes: DataFrame): DataFrame =
+    refs
+      .join(broadcast(nodes), refs("node_ref") === nodes("node_id"))
+      .groupBy(col("way_id"))
+      .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+      .select(col("way_id"), col("pts"),
+              size(col("pts")).as("n_points"),
+              struct(
+                expr("array_min(transform(pts, p -> p.lon_c))").as("minx"),
+                expr("array_min(transform(pts, p -> p.lat_c))").as("miny"),
+                expr("array_max(transform(pts, p -> p.lon_c))").as("maxx"),
+                expr("array_max(transform(pts, p -> p.lat_c))").as("maxy")).as("bbox"))
+
+  /** Two-level relation resolve over assembled ways. */
+  def assembleRelations(members: DataFrame, ways: DataFrame): DataFrame =
+    members
+      .join(ways, members("member_way") === ways("way_id"))
+      .groupBy(col("relation_id"))
+      .agg(count(lit(1)).as("n_member_ways"),
+           sum(col("n_points")).as("n_points"),
+           min(col("bbox.minx")).as("minx"), min(col("bbox.miny")).as("miny"),
+           max(col("bbox.maxx")).as("maxx"), max(col("bbox.maxy")).as("maxy"))
+
+  /** Tag-rule layer routing (flex-style, README.md:93): one scan, N layers. */
+  def extractLayers(tagged: DataFrame, layerRules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val layerCol = filter(
+      array(layerRules.map { case (name, rule) => when(rule, name) }: _*),
+      _.isNotNull)
+    tagged
+      .withColumn("layers", layerCol)
+      .where(size(col("layers")) > 0)
+      .select(col("*"), explode(col("layers")).as("layer"))
+      .drop("layers")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val pgosmDate = if (args.length > 2) args(2) else "2024-07-25" // osm_etl.py:13
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .appName(s"osm-etl-$pgosmDate")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // --- scan: star-schema stand-ins for the OSM element stores (FIXTURES.md)
+    val refs = T.lineitem(spark, sfDir).select(
+      col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+      col("l_partkey").as("node_ref"))
+    val nodes = T.part(spark, sfDir).select(
+      col("p_partkey").as("node_id"),
+      (col("p_size").cast("long") * 100).as("lon_c"),
+      round(col("p_retailprice") * 100).cast("long").as("lat_c"),
+      col("p_brand"), col("p_type"))
+    val orders = T.orders(spark, sfDir)
+
+    // --- way + relation assembly
+    val ways = assembleWays(refs, nodes)
+    val members = orders.select(col("o_custkey").as("relation_id"),
+                                col("o_orderkey").as("member_way"))
+    val relations = assembleRelations(members, ways)
+
+    // --- layer extraction over the tagged node store
+    val layers = extractLayers(
+      nodes,
+      Seq("heavy" -> (col("lon_c") >= 2500), // p_size >= 25
+          "premium" -> (col("lat_c") > 150000))) // retailprice > 1500
+
+    // --- region/date-partitioned lake write (the dump artifact, osm_etl.py:88-91)
+    val regionOfWay = orders
+      .join(broadcast(T.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey").as("way_id"), col("r_name").as("region"), col("n_name").as("subregion"))
+    ways.join(regionOfWay, "way_id")
+      .withColumn("pgosm_date", lit(pgosmDate))
+      .write.mode("overwrite")
+      .partitionBy("region", "subregion", "pgosm_date")
+      .parquet(s"$outDir/ways")
+    relations.withColumn("pgosm_date", lit(pgosmDate))
+      .write.mode("overwrite").partitionBy("pgosm_date").parquet(s"$outDir/relations")
+    layers.withColumn("pgosm_date", lit(pgosmDate))
+      .write.mode("overwrite").partitionBy("layer", "pgosm_date").parquet(s"$outDir/layers")
+
+    println(s"""{"job":"osm_etl","date":"$pgosmDate","ways":${spark.read.parquet(s"$outDir/ways").count()},""" +
+            s""""relations":${spark.read.parquet(s"$outDir/relations").count()},""" +
+            s""""layer_rows":${spark.read.parquet(s"$outDir/layers").count()}}""")
+    spark.stop()
+  }
+}

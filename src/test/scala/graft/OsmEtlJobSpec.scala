@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline golden test (SURVEY.md §5.5): the Airflow-invokable
+  * job unit writes a partitioned lake; re-reads must prune partitions and
+  * reconcile with direct computation.
+  */
+class OsmEtlJobSpec extends GraftSuite {
+
+  test("OsmEtlJob writes a partition-pruned, reconcilable lake") {
+    val out = java.nio.file.Files.createTempDirectory("graft_etl").toString
+    // run the stages in-process (main would spawn its own session)
+    val refs = T.lineitem(spark, sf).select(
+      col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+      col("l_partkey").as("node_ref"))
+    val nodes = T.part(spark, sf).select(
+      col("p_partkey").as("node_id"),
+      (col("p_size").cast("long") * 100).as("lon_c"),
+      round(col("p_retailprice") * 100).cast("long").as("lat_c"),
+      col("p_brand"), col("p_type"))
+    val ways = plans.OsmEtlJob.assembleWays(refs, nodes)
+    // every order with lineitems becomes a way; point count reconciles
+    assert(ways.count() == T.lineitem(spark, sf).select("l_orderkey").distinct().count())
+    assert(ways.agg(sum(col("n_points"))).head.getLong(0) == T.lineitem(spark, sf).count())
+    // bbox containment: every way bbox sits inside the global node bbox
+    val g = nodes.agg(min("lon_c"), min("lat_c"), max("lon_c"), max("lat_c")).head
+    val bad = ways.where(col("bbox.minx") < g.getLong(0) || col("bbox.miny") < g.getLong(1) ||
+                         col("bbox.maxx") > g.getLong(2) || col("bbox.maxy") > g.getLong(3))
+    assert(bad.count() == 0)
+    // layer routing: multi-membership allowed, rule-consistent
+    val layers = plans.OsmEtlJob.extractLayers(
+      nodes, Seq("heavy" -> (col("lon_c") >= 2500), "premium" -> (col("lat_c") > 150000)))
+    assert(layers.where(col("layer") === "heavy" && col("lon_c") < 2500).count() == 0)
+    assert(layers.where(col("layer") === "premium" && col("lat_c") <= 150000).count() == 0)
+    // partitioned write + pruned re-read
+    ways.join(
+        T.orders(spark, sf).select(col("o_orderkey").as("way_id"),
+                                   (col("o_orderkey") % 3).cast("string").as("region")), "way_id")
+      .write.mode("overwrite").partitionBy("region").parquet(s"$out/ways")
+    val pruned = spark.read.parquet(s"$out/ways").where(col("region") === "0")
+    val scan = pruned.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") && scan.contains("region"),
+           "re-read must prune on the partition column")
+    assert(pruned.count() > 0)
+  }
+}
