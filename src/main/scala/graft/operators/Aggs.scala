@@ -76,6 +76,16 @@ object Aggs {
         .orderBy(col("l_returnflag"))
     },
 
+    // Custom Catalyst TypedImperativeAggregate (§2.L udaf_imperative):
+    // binary HLL register file, merged map-side. Approximate → no oracle;
+    // SmokeOpsSpec bounds the error against exact counts.
+    Q.smoke("udaf_imperative") { (s, d) =>
+      T.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(graft.functions.HllSketchAgg(col("l_partkey")).as("hll_parts"),
+             graft.functions.HllSketchAgg(col("l_suppkey")).as("hll_supps"))
+        .orderBy(col("l_returnflag"))
+    },
+
     Q(
       "agg_grouping_sets",
       """SELECT r_name, n_name, count(*) AS n_customers

@@ -120,6 +120,29 @@ object StreamOps {
       StreamingOps.runStatefulCounterDemo(s).orderBy(col("user_id"))
     },
 
+    // foreachBatch hand-off sink (§2.A sink_stream_foreachbatch): the
+    // dump-then-load pattern as a checkpointed exactly-once batch write —
+    // each micro-batch lands idempotently under its batch id, then is
+    // atomically visible to the consumer. Exercised over a MemoryStream
+    // fed in two batches; returns the union of handed-off artifacts.
+    Q.smoke("sink_stream_foreachbatch") { (s, _) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val base = java.nio.file.Files.createTempDirectory("graft_feb")
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      val q = mem.toDF().toDF("id", "v").writeStream
+        .option("checkpointLocation", s"$base/chk")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$base/out/batch_$batchId"); ()
+        }.start()
+      try {
+        mem.addData((1L, 1.5), (2L, 2.5)); q.processAllAvailable()
+        mem.addData((3L, 3.5)); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$base/out/batch_0", s"$base/out/batch_1")
+        .orderBy(col("id"))
+    },
+
     // Incremental file source + checkpointed foreachBatch hand-off — the
     // reference's dump-then-load (`osm_etl.py:88-91`) with exactly-once
     // batch ids instead of a SQL-dump file.

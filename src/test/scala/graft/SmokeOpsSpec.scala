@@ -101,6 +101,32 @@ class SmokeOpsSpec extends GraftSuite {
     assert(recall >= 0.2, s"recall@10 too low: $recall") // 9/256 buckets probed
   }
 
+  test("udaf_imperative: custom TypedImperativeAggregate HLL tracks exact distincts") {
+    val hll = q("udaf_imperative").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = T.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hll.keySet == exact.keySet)
+    for ((flag, (hp, hs)) <- hll) {
+      val (ep, es) = exact(flag)
+      // p=12 → rse ≈ 1.6%; allow 6%
+      assert(math.abs(hp - ep).toDouble / ep < 0.06, s"$flag parts: $hp vs $ep")
+      assert(math.abs(hs - es).toDouble / es < 0.06, s"$flag supps: $hs vs $es")
+    }
+    // the sketch must also merge correctly across many partitions
+    val parts = T.lineitem(spark, sf).repartition(13)
+      .agg(graft.functions.HllSketchAgg(col("l_orderkey")).as("h")).head.getLong(0)
+    val one = T.lineitem(spark, sf).coalesce(1)
+      .agg(graft.functions.HllSketchAgg(col("l_orderkey")).as("h")).head.getLong(0)
+    assert(parts == one, "register-file merge must be partitioning-invariant")
+  }
+
+  test("sink_stream_foreachbatch hands off each micro-batch under its id") {
+    val rows = q("sink_stream_foreachbatch").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+  }
+
   test("source_stream_file hands off exactly the staged batch") {
     val out = q("source_stream_file")
     assert(out.count() == T.region(spark, sf).count())
