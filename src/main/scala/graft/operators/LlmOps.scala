@@ -20,13 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
-  /** Cosine similarity of two float-vector columns, as a codegen'd
-    * higher-order expression (no UDF). Accumulates in double.
+  /** Cosine similarity of two float-vector columns: custom Catalyst
+    * expression with a fused codegen loop (graft.functions
+    * .CosineSimilarity). Accumulates in double, index order — the same
+    * operations the zip_with/aggregate formulation performed, so results
+    * are bit-identical to it and the measured oracle threshold margins
+    * hold.
     */
-  def cosine(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-       |    * sqrt(aggregate($b, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
+  def cosine(a: String, b: String): Column =
+    graft.functions.CosineSimilarity(col(a), col(b))
 
   /** Distinct character 5-gram shingles of a text column. */
   private val shingles5 =
