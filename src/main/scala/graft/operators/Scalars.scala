@@ -61,7 +61,7 @@ object Scalars {
         |       date_trunc('month', o_orderdate)        AS order_month_start,
         |       datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
         |       CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,
-        |       CAST(epoch(o_orderdate) AS BIGINT)      AS order_epoch,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin
