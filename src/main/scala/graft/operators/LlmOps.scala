@@ -317,11 +317,14 @@ object LlmOps {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
-    // IVF/LSH-bucketed approximate nearest neighbour — the 100 TB path:
+    // LSH-bucketed approximate nearest neighbour — the 100 TB path:
     // random-hyperplane sign bits (8 fixed dims) coarse-quantize vectors
-    // into 256 buckets; the query probes its own bucket plus all hamming-1
-    // neighbours (9 of 256 ⇒ ~3.5% of the corpus scanned). Approximate →
-    // no SQL oracle; LlmOpsSpec measures recall@10 vs sim_cosine_topk.
+    // into 256 buckets; the query multi-probes its bucket plus all
+    // hamming ≤ 2 neighbours (37 of 256 ⇒ ~14.5% of the corpus scanned —
+    // the probe radius is the recall/scan-budget knob; measured on this
+    // corpus label blocks are NOT clusters, so sign-bit LSH is the right
+    // structure-free bucketing). Approximate → no SQL oracle; SmokeOpsSpec
+    // measures recall@10 vs sim_cosine_topk.
     Q.smoke("sim_cosine_lsh") { (s, d) =>
       val bucketOf: Column = expr(
         """aggregate(zip_with(slice(embedding, 1, 8), sequence(0, 7),
@@ -330,11 +333,13 @@ object LlmOps {
       val e = T.embeddings(s, d).withColumn("bucket", bucketOf)
       val q = e.where(col("vec_id") === 0)
         .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
-      // query bucket + its 8 hamming-1 neighbours
+      // all XOR masks with ≤ 2 of 8 bits set: 1 + 8 + 28 = 37 probes
+      val masks = (0L +: (0 until 8).map(i => 1L << i)) ++
+        (for (i <- 0 until 8; j <- (i + 1) until 8) yield (1L << i) | (1L << j))
+      val maskArr = array(masks.map(lit): _*)
       val probes = broadcast(
-        q.select(col("qe"), explode(expr(
-          "concat(array(qbucket), transform(sequence(0, 7), i -> CAST(qbucket AS BIGINT) ^ shiftleft(1L, i)))"))
-          .as("probe")))
+        q.select(col("qe"), col("qbucket"), explode(maskArr).as("m"))
+          .select(col("qe"), col("qbucket").bitwiseXOR(col("m")).as("probe")))
       e.where(col("vec_id") =!= 0)
         .join(probes, col("bucket") === col("probe"))
         .select(col("vec_id"), round(cosine("embedding", "qe"), 6).as("cosine"))
