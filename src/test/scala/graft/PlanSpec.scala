@@ -1,0 +1,51 @@
+package graft
+
+/** Physical-plan shape guards (SURVEY.md §4): the optimizations we rely on
+  * at 100 TB must be visible in the executed plan, not assumed. A failure
+  * here means a code change silently broke pushdown / broadcast / top-k
+  * fusion even though results stayed correct.
+  */
+class PlanSpec extends GraftSuite {
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString()
+
+  test("flagship: filter pushed to the lineitem scan, dims broadcast") {
+    val p = plan("flagship")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+           "shipdate predicate must reach the parquet scan")
+    assert(p.contains("BroadcastHashJoin"), "dim joins must broadcast")
+  }
+
+  test("scan_parquet: projection prunes the read schema") {
+    val p = plan("scan_parquet")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_returnflag"), "unprojected columns must not be read")
+  }
+
+  test("topk fuses to TakeOrderedAndProject (no global sort)") {
+    assert(plan("topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_broadcast broadcasts; join_sort_merge sort-merges") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("join_sort_merge").contains("SortMergeJoin"))
+  }
+
+  test("agg_hash_group partial-aggregates map-side") {
+    val p = plan("agg_hash_group")
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial+final pair")
+  }
+
+  test("no query plan contains a CartesianProduct except the declared cross join") {
+    for (q <- SparkEntry.registry if q.key != "join_cross"
+         if !q.key.startsWith("stream_") && q.key != "source_stream_file" &&
+            q.key != "sink_stream_foreachbatch" && q.key != "sink_parquet" &&
+            q.key != "sort_partitioned" && q.key != "osm_region_partition_write") {
+      val p = q.run(spark, sf).queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"),
+             s"${q.key} has an accidental cartesian product")
+    }
+  }
+}
