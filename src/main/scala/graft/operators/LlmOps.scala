@@ -496,6 +496,41 @@ object LlmOps {
     },
 
     Q(
+      "text_pack_sequences",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
+        |       cum - n_tokens - 2048 * CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_offset
+        |FROM c
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Sequence packing for training shards: assign each doc a pack id by
+      // cumulative token budget (2048/pack). The running sum is a window in
+      // doc order — at 100 TB the order key becomes (shard, doc) so each
+      // shard packs independently in parallel; a single global ordering
+      // would funnel through one task (documented trade: this fixture
+      // corpus is one shard).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.documents(s, d)
+        .withColumn("n_tokens",
+          expr("aggregate(split(text, ' '), 0L, (acc, x) -> acc + CAST(ceil(length(x) / 4.0) AS BIGINT))"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("n_tokens"),
+                floor((col("cum") - col("n_tokens")) / 2048).as("pack_id"),
+                (col("cum") - col("n_tokens") - lit(2048) * floor((col("cum") - col("n_tokens")) / 2048))
+                  .as("pack_offset"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "multimodal_struct",
       """SELECT doc_id,
         |       octet_length(CAST(text AS BLOB)) AS n_bytes,
