@@ -351,8 +351,8 @@ object LlmOps {
       "text_stats",
       """SELECT lang,
         |       count(*) AS n_docs,
-        |       sum(length(text)) AS total_chars,
-        |       sum(len(string_split(text, ' '))) AS total_tokens,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |       round(sum(length(text)) * 1.0 / sum(len(string_split(text, ' '))), 4) AS chars_per_token,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents
@@ -454,7 +454,7 @@ object LlmOps {
       """SELECT doc_id,
         |       len(string_split(text, ' ')) AS ws_tokens,
         |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS regex_tokens,
-        |       list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS subword_est
+        |       CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS subword_est
         |FROM documents
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
@@ -499,15 +499,15 @@ object LlmOps {
       "text_pack_sequences",
       """WITH t AS (
         |  SELECT doc_id,
-        |         list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS n_tokens
+        |         CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,
-        |         sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         |  FROM t)
         |SELECT doc_id, n_tokens,
         |       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
-        |       cum - n_tokens - 2048 * CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_offset
+        |       CAST(cum - n_tokens - 2048 * CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS BIGINT) AS pack_offset
         |FROM c
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>

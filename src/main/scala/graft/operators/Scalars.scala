@@ -86,14 +86,14 @@ object Scalars {
       """SELECT p_partkey,
         |       round(p_retailprice, 1)                  AS price_r1,
         |       abs(p_retailprice - 1000.0)              AS dist_1000,
-        |       ceil(p_retailprice)                      AS price_ceil,
-        |       floor(p_retailprice)                     AS price_floor,
+        |       CAST(ceil(p_retailprice) AS BIGINT)      AS price_ceil,
+        |       CAST(floor(p_retailprice) AS BIGINT)     AS price_floor,
         |       round(sqrt(p_retailprice), 6)            AS price_sqrt,
         |       round(ln(p_retailprice), 6)              AS price_ln,
         |       round(pow(CAST(p_size AS DOUBLE), 2), 1) AS size_sq,
         |       round(exp(CAST(p_size AS DOUBLE) / 50.0), 6) AS size_exp,
         |       p_partkey % 7                            AS key_mod7,
-        |       sign(p_retailprice - 1000.0)             AS price_side
+        |       CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS price_side
         |FROM part
         |ORDER BY p_partkey""".stripMargin
     ) { (s, d) =>
