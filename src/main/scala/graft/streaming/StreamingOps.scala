@@ -73,6 +73,21 @@ object StreamingOps {
 
   final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
 
+  /** Run `body` with a small shuffle-partition count. The in-process demos
+    * feed a handful of rows through real micro-batches; at the session
+    * default (32) every batch instantiates 32 HDFS-backed state stores,
+    * which is pure fixed cost here (measured 12.8s → ~1s for the watermark
+    * demo). A real cluster job sizes this to its state volume instead.
+    * Streaming queries capture the conf at start, so scoping the override
+    * around query start + processAllAvailable is sound.
+    */
+  private def withFewPartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def ts(minute: Int): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
 
@@ -80,7 +95,7 @@ object StreamingOps {
     * last contains an event older than the advanced watermark, which append
     * mode must drop from the emitted windows.
     */
-  def runWatermarkLateDemo(spark: SparkSession): DataFrame = {
+  def runWatermarkLateDemo(spark: SparkSession): DataFrame = withFewPartitions(spark) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
@@ -112,7 +127,7 @@ object StreamingOps {
     * per-user counters via flatMapGroupsWithState (the
     * mapGroupsWithState/flatMapGroupsWithState surface of §2.I).
     */
-  def runStatefulCounterDemo(spark: SparkSession): DataFrame = {
+  def runStatefulCounterDemo(spark: SparkSession): DataFrame = withFewPartitions(spark) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
@@ -149,7 +164,7 @@ object StreamingOps {
     * foreachBatch pipeline. Runs one real micro-batch over a staged dir.
     */
   def runFileStreamDemo(spark: SparkSession, srcDir: String, outDir: String,
-                        checkpoint: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+                        checkpoint: String, schema: org.apache.spark.sql.types.StructType): Unit = withFewPartitions(spark) {
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
