@@ -18,6 +18,8 @@ object SparkEntry {
       operators.Scalars.all ++
       operators.OsmKernels.all ++
       operators.LlmOps.all ++
+      operators.TrainingOps.all ++
+      operators.EmbeddingOps.all ++
       operators.StreamOps.all ++
       operators.Extensibility.all
 

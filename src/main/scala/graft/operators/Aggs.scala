@@ -196,6 +196,28 @@ object Aggs {
       T.part(s, d).groupBy(col("p_brand"))
         .agg(WeightedAvg(col("p_retailprice"), col("p_size")).as("wavg_price"))
         .orderBy(col("p_brand"))
+    },
+
+    Q(
+      "agg_arg_minmax",
+      """SELECT c_nationkey,
+        |       arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS richest_cust,
+        |       arg_min(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS poorest_cust
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin
+    ) { (s, d) =>
+      // arg-min/arg-max ("which entity holds the extreme?") — a single
+      // hash aggregate, no window/self-join detour. The ordering value is
+      // composed (exact balance cents, custkey tie-break) so the picked
+      // row is unique and engine-independent; bare max_by on a column with
+      // duplicate extremes is nondeterministic — same rule at any scale.
+      val ord = expr("CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey")
+      T.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(max_by(col("c_custkey"), ord).as("richest_cust"),
+             min_by(col("c_custkey"), ord).as("poorest_cust"))
+        .orderBy(col("c_nationkey"))
     }
   )
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{Q, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column operators beyond the §2.K dedup/similarity rows —
+  * the vector plumbing a training-data pipeline needs at 100 TB scale:
+  * normalization, per-cluster centroids (the IVF/k-means building block),
+  * and an IVF-style coarse-quantized ANN search.
+  *
+  * Determinism stance (all oracled rows): every cross-row reduction runs
+  * in exact integer micro-units (component → round(x·1e6) as BIGINT), so
+  * results are independent of partitioning/summation order — the same
+  * property that keeps them hash-identical to DuckDB keeps them stable on
+  * a 1000-executor cluster. Per-row folds (norms) run left-to-right in
+  * both engines (Spark `aggregate` ≡ DuckDB `list_reduce` with a
+  * prepended init), so even double math is bit-identical.
+  */
+object EmbeddingOps {
+
+  /** Exact cosine between two vector columns (double, index-ordered). */
+  private def cosine(a: String, b: String): Column =
+    graft.functions.CosineSimilarity(col(a), col(b))
+
+  /** Per-label mean embedding in integer micro-units: one narrow shuffle
+    * of (label, pos) pairs, partial aggregation map-side; sums are exact
+    * longs (≤ #rows·1e6 ≪ 2^53) so the final double division is
+    * bit-identical regardless of row order. At scale `label` is any
+    * coarse cluster id; this is one Lloyd step of k-means.
+    */
+  private def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("micro",
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("micro")).as("sum_micro"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("pos"),
+              (col("sum_micro").cast("double") / col("n_vecs")).as("mean_micro"))
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "emb_normalize",
+      """SELECT vec_id,
+        |       list_transform(embedding, x ->
+        |         CAST(round(CAST(x AS DOUBLE) / sqrt(n2) * 1000000) AS BIGINT)) AS unit_micro
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+        |           (a, b) -> a + b) AS n2
+        |  FROM embeddings) t
+        |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      // L2 normalization, emitted in integer micro-units: the norm fold is
+      // left-to-right in both engines (bit-identical), and round-to-long
+      // removes any decimal-string-vs-binary rounding ambiguity. A narrow
+      // per-row projection — no shuffle, fully codegen'd.
+      T.embeddings(s, d)
+        .withColumn("n2",
+          expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sqrt(n2) * 1000000) AS BIGINT))")
+            .as("unit_micro"))
+        .orderBy(col("vec_id"))
+    },
+
+    Q(
+      "emb_centroid",
+      """SELECT label, i - 1 AS pos,
+        |       CAST(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |         / count(*) AS mean_micro
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings) x
+        |GROUP BY label, i
+        |ORDER BY label, pos""".stripMargin
+    ) { (s, d) =>
+      centroids(T.embeddings(s, d)).orderBy(col("label"), col("pos"))
+    },
+
+    // IVF-style ANN (the 100 TB similarity-search path): per-label
+    // centroids act as the coarse quantizer; the query probes only the
+    // nprobe=3 nearest cells and brute-forces inside them — scan cost
+    // drops from |corpus| to the probed cells' mass, the recall/scan knob
+    // being nprobe. Approximate (cell boundaries) → no SQL oracle;
+    // SmokeOpsSpec measures recall@10 against sim_cosine_topk.
+    Q.smoke("sim_cosine_ivf") { (s, d) =>
+      val e = T.embeddings(s, d)
+      // centroid vectors as arrays (driver-side tiny: #labels × dim)
+      val cent = centroids(e)
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mean_micro))), p -> p.mean_micro / 1e6)")
+          .as("centroid"))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val probed = cent.crossJoin(broadcast(q))
+        .select(col("label"),
+                graft.functions.CosineSimilarity(
+                  expr("transform(centroid, x -> CAST(x AS FLOAT))"), col("qe")).as("qc"))
+        .orderBy(col("qc").desc)
+        .limit(3)
+        .select(col("label"))
+      e.where(col("vec_id") =!= 0)
+        .join(broadcast(probed), Seq("label"), "left_semi")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(cosine("embedding", "qe"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }
+  )
+}

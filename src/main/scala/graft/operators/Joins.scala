@@ -248,6 +248,42 @@ object Joins {
         .select(col("orderkey"), col("ln_a"), col("ln_b"), col("qty_a"), col("qty_b"))
         // (orderkey, linenumber) is not unique → total order over all cols.
         .orderBy(col("orderkey"), col("ln_a"), col("ln_b"), col("qty_a"), col("qty_b"))
+    },
+
+    Q(
+      "join_bucketed",
+      s"""SELECT o_orderstatus, count(*) AS n_items, ${Det.sqlDsum("l_extendedprice")} AS total_price
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      // Bucketed co-located join — THE shuffle-elimination layout at
+      // 100 TB: both fact tables are written bucketed (and sorted) on the
+      // join key, so the sort-merge join reads bucket i against bucket i
+      // with ZERO Exchange on either side (PlanSpec asserts it). The write
+      // is paid once; every subsequent join/aggregation on the key is
+      // shuffle-free. Here both sides are (re)written per run — the read
+      // path is what the pattern demonstrates.
+      val base = s.conf.get("spark.sql.graft.bucketdir",
+        java.nio.file.Files.createTempDirectory("graft_bkt").toString)
+      s.conf.set("spark.sql.graft.bucketdir", base)
+      def bucketed(df: org.apache.spark.sql.DataFrame, table: String, key: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        df.write.mode("overwrite")
+          .option("path", s"$base/$table")
+          .bucketBy(8, key).sortBy(key)
+          .format("parquet").saveAsTable(table)
+      }
+      bucketed(T.lineitem(s, d), "graft_bkt_lineitem", "l_orderkey")
+      bucketed(T.orders(s, d), "graft_bkt_orders", "o_orderkey")
+      // merge hint keeps the SMJ even when one side is broadcast-small —
+      // the point is the bucket-aligned, exchange-free read.
+      s.table("graft_bkt_lineitem").hint("merge")
+        .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"), Det.dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 }

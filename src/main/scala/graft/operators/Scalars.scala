@@ -240,6 +240,31 @@ object Scalars {
         md5(col("c_name")).as("name_md5"),
         sha2(col("c_name"), 256).as("name_sha256")
       ).orderBy(col("c_custkey"))
+    },
+
+    Q(
+      "fn_bitwise",
+      """SELECT o_orderkey,
+        |       o_orderkey & 255                     AS low_byte,
+        |       o_orderkey | 4096                    AS with_flag,
+        |       xor(o_orderkey, 21845)               AS toggled,
+        |       o_orderkey << 3                      AS shl3,
+        |       o_orderkey >> 2                      AS shr2,
+        |       CAST(bit_count(o_orderkey) AS INT)   AS popcount
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      // Bit-level ops: flag packing, hash mixing, the simhash/bucket
+      // primitives — all codegen'd single-instruction expressions.
+      T.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(255).as("low_byte"),
+        col("o_orderkey").bitwiseOR(4096).as("with_flag"),
+        col("o_orderkey").bitwiseXOR(21845).as("toggled"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        shiftright(col("o_orderkey"), 2).as("shr2"),
+        bit_count(col("o_orderkey")).as("popcount")
+      ).orderBy(col("o_orderkey"))
     }
   )
 }

@@ -167,6 +167,28 @@ object Windows {
                 first(col("o_totalprice")).over(w).as("first_price"),
                 last(col("o_totalprice")).over(w).as("latest_price"))
         .orderBy(col("o_orderkey"))
+    },
+
+    Q(
+      "win_percent_cume",
+      """SELECT c_custkey,
+        |       percent_rank() OVER w AS bal_pct_rank,
+        |       cume_dist()    OVER w AS bal_cume_dist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      // Relative-standing windows (percentile position within a segment).
+      // The order key includes the unique custkey so ranks are total —
+      // both outputs are then exact small-integer ratios, bit-identical
+      // across engines and partitionings.
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      T.customer(s, d)
+        .select(col("c_custkey"),
+                percent_rank().over(w).as("bal_pct_rank"),
+                cume_dist().over(w).as("bal_cume_dist"))
+        .orderBy(col("c_custkey"))
     }
   )
 }

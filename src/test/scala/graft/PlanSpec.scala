@@ -38,6 +38,19 @@ class PlanSpec extends GraftSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial+final pair")
   }
 
+  test("join_bucketed: bucket-aligned sort-merge join with zero Exchange") {
+    // force materialization so the bucketed tables exist, then re-plan
+    SparkEntry.queries("join_bucketed")(spark, sf).count()
+    val li = spark.table("graft_bkt_lineitem").hint("merge")
+    val p = li.join(spark.table("graft_bkt_orders"),
+                    org.apache.spark.sql.functions.col("l_orderkey") ===
+                      org.apache.spark.sql.functions.col("o_orderkey"))
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("SortMergeJoin"), "bucketed join must sort-merge")
+    assert(!p.contains("Exchange"),
+           "bucketed co-located join must not shuffle either side")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     for (q <- SparkEntry.registry if q.key != "join_cross"
          if !q.key.startsWith("stream_") && q.key != "source_stream_file" &&

@@ -101,6 +101,23 @@ class SmokeOpsSpec extends GraftSuite {
     assert(recall >= 0.2, s"recall@10 too low: $recall") // 9/256 buckets probed
   }
 
+  test("sim_cosine_ivf returns true cosines with useful recall at nprobe=3") {
+    val ivf = q("sim_cosine_ivf").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = q("sim_cosine_topk").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivf.nonEmpty)
+    // no fabricated scores: every returned cosine equals the brute-force one
+    for ((id, c) <- ivf) assert(math.abs(exact.getOrElse(id, {
+      val brute = T.embeddings(spark, sf)
+      val q0 = brute.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      brute.where(col("vec_id") === id).crossJoin(broadcast(q0))
+        .select(round(operators.LlmOps.cosine("embedding", "qe"), 6)).head.getDouble(0)
+    }) - c) < 1e-9)
+    val recall = exact.keySet.intersect(ivf.keySet).size.toDouble / exact.size
+    // 3 of 10 cells probed; label cells are NOT tight clusters on this
+    // corpus, so demand better-than-random, not near-perfect
+    assert(recall >= 0.2, s"recall@10 too low: $recall")
+  }
+
   test("udaf_imperative: custom TypedImperativeAggregate HLL tracks exact distincts") {
     val hll = q("udaf_imperative").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -66,16 +66,17 @@ def main():
         for c in s.columns:
             sv, dv = s[c].tolist(), d[c].tolist()
             for i, (x, y) in enumerate(zip(sv, dv)):
-                eq = (x == y) or (x is None and y is None)
-                try:
-                    if pd.isna(x) and pd.isna(y):
-                        eq = True
-                except (TypeError, ValueError):
-                    pass
-                if isinstance(x, float) and isinstance(y, float):
-                    eq = struct.pack("<d", x) == struct.pack("<d", y)
                 if hasattr(x, "__len__") and not isinstance(x, str):
                     eq = list(x) == list(y)
+                elif isinstance(x, float) and isinstance(y, float):
+                    eq = struct.pack("<d", x) == struct.pack("<d", y)
+                else:
+                    eq = (x == y) or (x is None and y is None)
+                    try:
+                        if pd.isna(x) and pd.isna(y):
+                            eq = True
+                    except (TypeError, ValueError):
+                        pass
                 if not eq:
                     nbad += 1
                     if nbad <= 5:
