@@ -199,6 +199,62 @@ object Aggs {
     },
 
     Q(
+      "agg_bool",
+      """SELECT o_orderpriority,
+        |       bool_and(o_totalprice > 1000) AS all_over_1k,
+        |       bool_or(o_orderstatus = 'F')  AS any_finished,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      // Boolean/conditional aggregates — data-quality assertions ("every
+      // row in this partition passes") as a single partial+final pass.
+      T.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+             bool_or(col("o_orderstatus") === "F").as("any_finished"),
+             count_if(col("o_orderstatus") === "F").as("n_finished"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    Q(
+      "agg_pivot",
+      """SELECT o_orderpriority,
+        |       CAST(coalesce(count(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS n_f,
+        |       CAST(coalesce(count(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS n_o,
+        |       CAST(coalesce(count(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      // Pivot: long → wide on a BOUNDED, explicitly-listed pivot domain.
+      // Passing the value list skips Spark's distinct-scan planning pass
+      // AND is the only safe form at 100 TB (an unbounded pivot column is
+      // an unbounded schema).
+      T.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+                coalesce(col("F"), lit(0L)).as("n_f"),
+                coalesce(col("O"), lit(0L)).as("n_o"),
+                coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Approximate percentile sketch (GK/KLL-family): the mergeable-sketch
+    // answer to "median over 100 TB" — exact percentile needs a global
+    // sort or full collect per group; the sketch is O(1/ε) state, merged
+    // map-side like any partial aggregate. Approximate → no SQL oracle;
+    // SmokeOpsSpec bounds the rank error against the exact percentile.
+    Q.smoke("agg_approx_percentile") { (s, d) =>
+      T.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+             percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("approx_p90"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    Q(
       "agg_arg_minmax",
       """SELECT c_nationkey,
         |       arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS richest_cust,

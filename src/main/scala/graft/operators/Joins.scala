@@ -252,17 +252,17 @@ object Joins {
 
     Q(
       "join_bucketed",
-      s"""SELECT o_orderstatus, count(*) AS n_items, ${Det.sqlDsum("l_extendedprice")} AS total_price
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |GROUP BY o_orderstatus
-         |ORDER BY o_orderstatus""".stripMargin
+      s"""SELECT c_mktsegment, count(*) AS n_orders, ${Det.sqlDsum("o_totalprice")} AS total_price
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin
     ) { (s, d) =>
       // Bucketed co-located join — THE shuffle-elimination layout at
-      // 100 TB: both fact tables are written bucketed (and sorted) on the
-      // join key, so the sort-merge join reads bucket i against bucket i
-      // with ZERO Exchange on either side (PlanSpec asserts it). The write
-      // is paid once; every subsequent join/aggregation on the key is
+      // 100 TB: both tables are written bucketed (and sorted) on the join
+      // key, so the sort-merge join reads bucket i against bucket i with
+      // ZERO Exchange on either side (PlanSpec asserts it). The write is
+      // paid once; every subsequent join/aggregation on the key is
       // shuffle-free. Here both sides are (re)written per run — the read
       // path is what the pattern demonstrates.
       val base = s.conf.get("spark.sql.graft.bucketdir",
@@ -275,15 +275,90 @@ object Joins {
           .bucketBy(8, key).sortBy(key)
           .format("parquet").saveAsTable(table)
       }
-      bucketed(T.lineitem(s, d), "graft_bkt_lineitem", "l_orderkey")
-      bucketed(T.orders(s, d), "graft_bkt_orders", "o_orderkey")
+      bucketed(T.orders(s, d), "graft_bkt_orders", "o_custkey")
+      bucketed(T.customer(s, d), "graft_bkt_customer", "c_custkey")
       // merge hint keeps the SMJ even when one side is broadcast-small —
       // the point is the bucket-aligned, exchange-free read.
-      s.table("graft_bkt_lineitem").hint("merge")
-        .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+      s.table("graft_bkt_orders").hint("merge")
+        .join(s.table("graft_bkt_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    Q(
+      "join_skew_salted",
+      s"""SELECT o_orderstatus, count(*) AS n_items, ${Det.sqlDsum("l_discount")} AS sum_disc
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      // Explicit skew salting: the probe side appends a deterministic
+      // salt in [0,8) to its key; the build side replicates each row once
+      // per salt value. A hot key's rows then spread over 8 reducer
+      // partitions instead of one straggler. AQE's skew-join split covers
+      // most cases at runtime; explicit salting is the plan-level tool
+      // when a known hot key (the reference's mega-relation analog) must
+      // never straggle. Result is provably identical to the unsalted join.
+      val salted = T.lineitem(s, d)
+        .withColumn("salt", pmod(xxhash64(col("l_partkey"), col("l_suppkey")), lit(8)).cast("int"))
+      val replicated = T.orders(s, d)
+        .withColumn("salt", explode(array((0 until 8).map(lit): _*)))
+      salted
+        .join(replicated,
+              col("l_orderkey") === col("o_orderkey") && salted("salt") === replicated("salt"))
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_items"), Det.dsum(col("l_extendedprice")).as("total_price"))
+        .agg(count(lit(1)).as("n_items"), Det.dsum(col("l_discount")).as("sum_disc"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    Q(
+      "join_spatial_grid",
+      """WITH pts AS (SELECT c_custkey, c_custkey % 1000 AS x, (c_custkey * 7) % 1000 AS y
+        |             FROM customer),
+        |box AS (SELECT n_nationkey,
+        |               (n_nationkey * 37) % 900 AS minx, (n_nationkey * 37) % 900 + 60 AS maxx,
+        |               (n_nationkey * 61) % 900 AS miny, (n_nationkey * 61) % 900 + 90 AS maxy
+        |        FROM nation)
+        |SELECT n_nationkey, count(*) AS n_points
+        |FROM pts JOIN box
+        |  ON x BETWEEN minx AND maxx AND y BETWEEN miny AND maxy
+        |GROUP BY n_nationkey
+        |ORDER BY n_nationkey""".stripMargin
+    ) { (s, d) =>
+      // Grid-bucketed spatial join — the scalable replacement for the
+      // reference's PostGIS GiST bbox queries (README.md:80-82 geometry
+      // store): snap points to fixed cells, explode each bbox over the
+      // cells it covers, equi-join on the cell key, then exact-containment
+      // filter and pair-dedupe (a box spanning k cells can meet the same
+      // point k times). The inequality never drives the join — at 100 TB
+      // an inequality join is a cross product, while the cell equi-join
+      // shuffles each side once on a uniform key. Cell size trades
+      // replication (boxes × cells covered) against candidate precision.
+      val cs = 100
+      val pts = T.customer(s, d).select(
+        col("c_custkey"),
+        (col("c_custkey") % 1000).as("x"),
+        (col("c_custkey") * 7 % 1000).as("y"))
+      val boxes = T.nation(s, d).select(
+        col("n_nationkey"),
+        (col("n_nationkey") * 37 % 900).as("minx"),
+        (col("n_nationkey") * 37 % 900 + 60).as("maxx"),
+        (col("n_nationkey") * 61 % 900).as("miny"),
+        (col("n_nationkey") * 61 % 900 + 90).as("maxy"))
+      val boxCells = boxes
+        .withColumn("cx", explode(sequence(expr(s"minx DIV $cs"), expr(s"maxx DIV $cs"))))
+        .withColumn("cy", explode(sequence(expr(s"miny DIV $cs"), expr(s"maxy DIV $cs"))))
+      pts
+        .withColumn("cx", expr(s"x DIV $cs"))
+        .withColumn("cy", expr(s"y DIV $cs"))
+        .join(broadcast(boxCells), Seq("cx", "cy"))
+        .where(col("x").between(col("minx"), col("maxx")) &&
+               col("y").between(col("miny"), col("maxy")))
+        .select(col("c_custkey"), col("n_nationkey")).distinct()
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n_points"))
+        .orderBy(col("n_nationkey"))
     }
   )
 }

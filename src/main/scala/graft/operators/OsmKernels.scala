@@ -184,6 +184,52 @@ object OsmKernels {
     },
 
     Q(
+      "merge_upsert",
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 4 <> 0),
+        |delta AS (
+        |  SELECT o_orderkey AS id,
+        |         CASE WHEN o_orderkey % 8 = 1 THEN 'D'
+        |              WHEN o_orderkey % 4 = 0 THEN 'I' ELSE 'U' END AS op,
+        |         o_orderstatus AS status,
+        |         o_totalprice + 100 AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 8 = 1)
+        |SELECT coalesce(d.id, b.id) AS id,
+        |       coalesce(d.status, b.status) AS status,
+        |       coalesce(d.price, b.price) AS price
+        |FROM base b FULL OUTER JOIN delta d ON b.id = d.id
+        |WHERE d.op IS NULL OR d.op <> 'D'
+        |ORDER BY id""".stripMargin
+    ) { (s, d) =>
+      // MERGE INTO semantics (the lakehouse upsert the weekly snapshot
+      // reload becomes once deltas replace full dumps): one full-outer
+      // join on the key applies inserts, updates and deletes in a single
+      // shuffle. Rows only in base survive unchanged; delta rows override
+      // (update) or add (insert); 'D' markers drop the row. At scale the
+      // join inherits the bucketed layout (`join_bucketed`), making the
+      // weekly merge exchange-free too. Delta here is synthesized from
+      // orders: every even key upserts (+100 price), every 8k+1 key
+      // deletes, keys ≡ 0 (mod 4) are absent from base → pure inserts.
+      val o = T.orders(s, d)
+      val base = o.where(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey").as("b_id"), col("o_orderstatus").as("b_status"),
+                col("o_totalprice").as("b_price"))
+      val delta = o.where(col("o_orderkey") % 2 === 0 || col("o_orderkey") % 8 === 1)
+        .select(col("o_orderkey").as("d_id"),
+                when(col("o_orderkey") % 8 === 1, "D")
+                  .when(col("o_orderkey") % 4 === 0, "I").otherwise("U").as("op"),
+                col("o_orderstatus").as("d_status"),
+                (col("o_totalprice") + 100).as("d_price"))
+      base.join(delta, col("b_id") === col("d_id"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(coalesce(col("d_id"), col("b_id")).as("id"),
+                coalesce(col("d_status"), col("b_status")).as("status"),
+                coalesce(col("d_price"), col("b_price")).as("price"))
+        .orderBy(col("id"))
+    },
+
+    Q(
       "osm_region_partition_write",
       """SELECT r_name, n_name, count(*) AS n_orders
         |FROM orders

@@ -41,10 +41,10 @@ class PlanSpec extends GraftSuite {
   test("join_bucketed: bucket-aligned sort-merge join with zero Exchange") {
     // force materialization so the bucketed tables exist, then re-plan
     SparkEntry.queries("join_bucketed")(spark, sf).count()
-    val li = spark.table("graft_bkt_lineitem").hint("merge")
-    val p = li.join(spark.table("graft_bkt_orders"),
-                    org.apache.spark.sql.functions.col("l_orderkey") ===
-                      org.apache.spark.sql.functions.col("o_orderkey"))
+    val o = spark.table("graft_bkt_orders").hint("merge")
+    val p = o.join(spark.table("graft_bkt_customer"),
+                   org.apache.spark.sql.functions.col("o_custkey") ===
+                     org.apache.spark.sql.functions.col("c_custkey"))
       .queryExecution.executedPlan.toString()
     assert(p.contains("SortMergeJoin"), "bucketed join must sort-merge")
     assert(!p.contains("Exchange"),

@@ -101,6 +101,23 @@ class SmokeOpsSpec extends GraftSuite {
     assert(recall >= 0.2, s"recall@10 too low: $recall") // 9/256 buckets probed
   }
 
+  test("agg_approx_percentile stays within rank tolerance of exact percentiles") {
+    val approx = q("agg_approx_percentile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = T.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"),
+           expr("percentile(l_extendedprice, 0.9)").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((flag, (am, ap)) <- approx) {
+      val (em, ep) = exact(flag)
+      // accuracy=1000 → rank error ≤ 1/1000; prices spread ~[900, 105k]:
+      // a 2% relative bound is generous but catches a broken sketch
+      assert(math.abs(am - em) / em < 0.02, s"$flag median: $am vs $em")
+      assert(math.abs(ap - ep) / ep < 0.02, s"$flag p90: $ap vs $ep")
+    }
+  }
+
   test("sim_cosine_ivf returns true cosines with useful recall at nprobe=3") {
     val ivf = q("sim_cosine_ivf").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val exact = q("sim_cosine_topk").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
