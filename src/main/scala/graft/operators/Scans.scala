@@ -69,6 +69,39 @@ object Scans {
         .groupBy(col("order_year").cast("int").as("order_year"))
         .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("total_value"))
         .orderBy(col("order_year"))
+    },
+
+    Q(
+      "source_csv",
+      """SELECT n_nationkey, n_regionkey, n_name
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+    ) { (s, d) =>
+      // Text-format ingest with a DECLARED schema (inference is a dev-only
+      // convenience: at 100 TB schema inference is an extra full scan and
+      // a type-drift hazard). Round-trips the dim through CSV; equality
+      // with the parquet-backed oracle proves the reader path.
+      val out = s"${sys.props("java.io.tmpdir")}/graft_source_csv"
+      val src = T.nation(s, d).select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      src.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(src.schema).option("header", "true").csv(out)
+        .orderBy(col("n_nationkey"))
+    },
+
+    Q(
+      "source_json",
+      """SELECT r_regionkey, r_name
+        |FROM region
+        |ORDER BY r_regionkey""".stripMargin
+    ) { (s, d) =>
+      // JSON-lines ingest, declared schema (same stance as source_csv);
+      // the format of config/metadata side-channels in the reference stack
+      // (flex style configs are structured documents, README.md:93).
+      val out = s"${sys.props("java.io.tmpdir")}/graft_source_json"
+      val src = T.region(s, d).select(col("r_regionkey"), col("r_name"))
+      src.write.mode("overwrite").json(out)
+      s.read.schema(src.schema).json(out)
+        .orderBy(col("r_regionkey"))
     }
   )
 }

@@ -1,0 +1,147 @@
+package graft.plans
+
+import graft.T
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-corpus counterpart of [[OsmEtlJob]]: one Airflow-invokable
+  * `spark-submit` that turns a raw document drop into a training-ready,
+  * deduplicated, token-budget-packed shard lake — the §2.K operators
+  * chained as one pipeline (BASELINE.json north_star surface).
+  *
+  * Stages:
+  *   1. normalize   — casefold, strip non-alnum, collapse whitespace
+  *                    (`text_normalize`): the canonical form all dedup
+  *                    keys on.
+  *   2. quality     — Gopher/C4-style gates (`text_quality`): token band
+  *                    + stopword floor; rejected docs are quarantined, not
+  *                    dropped silently.
+  *   3. exact dedup — md5(norm) keep-min-doc_id (`dedup_exact`).
+  *   4. near dedup  — word-3-gram Jaccard ≥ τ via frequency-ordered prefix
+  *                    filtering (`dedup_ngram_jaccard`), higher doc_id of
+  *                    each pair dropped (min-id canonical, `dedup_clusters`
+  *                    semantics for the shallow pair graph).
+  *   5. pack        — ceil(len/4) token estimate, 2048-token packs by
+  *                    running budget per shard (`text_pack_sequences`).
+  *   6. write       — lake partitioned by (lang, pgosm-style snapshot
+  *                    date); pack assignment stays within a partition so
+  *                    shards rebuild independently at 100 TB.
+  *
+  * Every keep/drop decision keys on content (hashes), never rand() — the
+  * same corpus rebuilds identically under any partitioning.
+  *
+  * Usage: CorpusCurationJob <sfDir> <outDir> [snapshotDate]
+  */
+object CorpusCurationJob {
+
+  val Tau = 0.8
+
+  def normalize(docs: DataFrame): DataFrame =
+    docs.withColumn("norm_text",
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** Quality gate column (true = keep). */
+  def qualityGate: Column = {
+    val nTokens = size(split(col("norm_text"), " "))
+    val stopHits = expr("size(filter(split(norm_text, ' '), t -> t IN ('the','a','of','and','to','is','in')))")
+    nTokens.between(5, 100000) && (stopHits * 100 >= nTokens) // ≥1% stopwords
+  }
+
+  def dedupExact(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    docs.withColumn("h", md5(col("norm_text")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn", "h")
+  }
+
+  /** doc_ids to drop: higher id of every word-3-gram Jaccard ≥ τ pair,
+    * candidates from PPJoin-style frequency-ordered prefix filtering
+    * (never all-pairs; see LlmOps.dedup_ngram_jaccard for the measured
+    * rationale).
+    */
+  def nearDupVictims(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"),
+      expr("""array_distinct(transform(
+             |  sequence(1, greatest(size(split(norm_text, ' ')) - 2, 1)),
+             |  i -> xxhash64(array_join(slice(split(norm_text, ' '), i, 3), ' '))))""".stripMargin)
+        .as("grams")).cache()
+    val exN = grams.select(col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("g"))
+    val freq = exN.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("g"))
+    val prefix = exN.join(freq, "g")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("n") - ceil(col("n") * lit(BigDecimal(Tau))) + 1)
+      .select(col("doc_id"), col("n"), col("g"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+              least(col("a.n"), col("b.n")) >= lit(BigDecimal(Tau)) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"), size(col("grams")).as("na"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"), size(col("grams")).as("nb"))
+    cand.join(broadcast(ga), "doc_a").join(broadcast(gb), "doc_b")
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
+      .where(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= Tau)
+      .select(col("doc_b").as("doc_id")).distinct()
+  }
+
+  /** 2048-token pack assignment by running budget in doc order, computed
+    * WITHIN each lang partition (a global window would funnel 100 TB
+    * through one task; per-shard packing is embarrassingly parallel).
+    */
+  def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens",
+        expr("aggregate(split(norm_text, ' '), 0L, (acc, x) -> acc + CAST(ceil(length(x) / 4.0) AS BIGINT))"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / budget))
+      .drop("cum")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val snapshotDate = if (args.length > 2) args(2) else "2024-07-25"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .appName(s"corpus-curation-$snapshotDate")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = normalize(T.documents(spark, sfDir))
+    val (kept, quarantined) = {
+      val gated = raw.withColumn("passes", qualityGate).cache()
+      (gated.where(col("passes")).drop("passes"),
+       gated.where(!col("passes")).drop("passes"))
+    }
+    val exact = dedupExact(kept).cache()
+    val victims = nearDupVictims(exact)
+    val unique = exact.join(victims, Seq("doc_id"), "left_anti")
+    val packed = packSequences(unique)
+      .withColumn("snapshot_date", lit(snapshotDate))
+
+    packed.write.mode("overwrite")
+      .partitionBy("lang", "snapshot_date")
+      .parquet(s"$outDir/corpus")
+    quarantined.withColumn("snapshot_date", lit(snapshotDate))
+      .write.mode("overwrite").partitionBy("snapshot_date")
+      .parquet(s"$outDir/quarantine")
+
+    val out = spark.read.parquet(s"$outDir/corpus")
+    println(s"""{"job":"corpus_curation","date":"$snapshotDate","in":${raw.count()},""" +
+            s""""kept":${out.count()},"quarantined":${spark.read.parquet(s"$outDir/quarantine").count()},""" +
+            s""""packs":${out.select(col("lang"), col("pack_id")).distinct().count()},""" +
+            s""""tokens":${out.agg(sum(col("n_tokens"))).head.getLong(0)}}""")
+    spark.stop()
+  }
+}
