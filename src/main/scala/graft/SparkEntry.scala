@@ -21,6 +21,7 @@ object SparkEntry {
       operators.TrainingOps.all ++
       operators.EmbeddingOps.all ++
       operators.StreamOps.all ++
+      operators.SqlSurface.all ++
       operators.Extensibility.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

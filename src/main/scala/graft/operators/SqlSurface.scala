@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{Q, T}
+import org.apache.spark.sql.SparkSession
+
+/** The SQL entry point (`spark.sql`) as a first-class surface: a user of
+  * the reference queries the terminal store in SQL
+  * (`/root/reference/README.md:70`), so the engine must accept the same
+  * queries textually — not just their DataFrame re-expressions.
+  *
+  * Each query here is ONE SQL string executed verbatim by BOTH engines
+  * (spark.sql over temp views ≡ DuckDB over the same tables), pinning the
+  * dialect-shared subset: ANSI joins, aggregates over exact decimals,
+  * correlated scalar subqueries, IN/EXISTS. The correlated rows double as
+  * plan-level coverage of Catalyst's decorrelation
+  * (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery → joins;
+  * SURVEY.md §4) — at 100 TB a per-row subquery is only viable because it
+  * decorrelates into one shuffle join.
+  */
+object SqlSurface {
+
+  private def views(s: SparkSession, d: String): Unit = {
+    T.lineitem(s, d).createOrReplaceTempView("lineitem")
+    T.orders(s, d).createOrReplaceTempView("orders")
+    T.customer(s, d).createOrReplaceTempView("customer")
+  }
+
+  /** key → SQL run verbatim on both engines. */
+  val shared: Seq[(String, String)] = Seq(
+    "sql_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_charge,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "subquery_correlated" ->
+      """SELECT c_custkey,
+        |       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       (SELECT CAST(coalesce(max(o_totalprice), 0) AS DOUBLE)
+        |        FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
+
+    "subquery_in" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+  )
+
+  val all: Seq[Q] = shared.map { case (key, sql) =>
+    Q(key, sql) { (s, d) => views(s, d); s.sql(sql) }
+  }
+}

@@ -51,6 +51,13 @@ class PlanSpec extends GraftSuite {
            "bucketed co-located join must not shuffle either side")
   }
 
+  test("correlated subqueries decorrelate into joins (no per-row subquery)") {
+    val p = plan("subquery_correlated")
+    assert(p.contains("Join"), "decorrelation must produce a join")
+    assert(!p.toLowerCase.contains("scalarsubquery"),
+           "correlated scalar subquery must not survive to the physical plan")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     for (q <- SparkEntry.registry if q.key != "join_cross"
          if !q.key.startsWith("stream_") && q.key != "source_stream_file" &&
