@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Extensibility {
 
+  // typed-surface records for `ds_typed` (top-level so spark.implicits
+  // can derive their Encoders; method-local case classes cannot)
+  final case class Nation(n_nationkey: Long, n_name: String, n_regionkey: Long)
+  final case class NationOut(nation_key: Long, nation_uc: String, name_len: Long)
+
   val all: Seq[Q] = Seq(
     Q(
       "udf_scalar",
@@ -73,6 +78,29 @@ object Extensibility {
                 (expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV n_inst") / 100.0)
                   .as("installment_amt"))
         .orderBy(col("o_orderkey"), col("installment_no"))
+    },
+
+    Q(
+      "ds_typed",
+      """SELECT n_nationkey AS nation_key, upper(n_name) AS nation_uc,
+        |       CAST(length(n_name) AS BIGINT) AS name_len
+        |FROM nation
+        |WHERE n_regionkey IN (0, 2)
+        |ORDER BY nation_key""".stripMargin
+    ) { (s, d) =>
+      // The typed Dataset[T] surface (SURVEY §1.2: case-class Encoders
+      // where compile-time typing pays). filter/map run as typed lambdas —
+      // note the cost model this demonstrates: typed lambdas are opaque to
+      // Catalyst (the filter CANNOT push to the scan, unlike every Column
+      // filter in this repo), which is exactly why the engine uses them
+      // only at typed boundaries, not in scan paths.
+      import s.implicits._
+      T.nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .as[Nation]
+        .filter((n: Nation) => n.n_regionkey == 0L || n.n_regionkey == 2L)
+        .map((n: Nation) => NationOut(n.n_nationkey, n.n_name.toUpperCase, n.n_name.length.toLong))
+        .toDF()
+        .orderBy(col("nation_key"))
     }
   )
 }

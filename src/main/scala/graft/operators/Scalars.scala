@@ -203,6 +203,33 @@ object Scalars {
     },
 
     Q(
+      "fn_map_higher",
+      """SELECT p_partkey, tag_key, tag_value
+        |FROM (
+        |  SELECT p_partkey, 'SIZE' AS tag_key, CAST(p_size * 2 AS BIGINT) AS tag_value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'KEY', CAST(p_partkey % 100 AS BIGINT) FROM part)
+        |ORDER BY p_partkey, tag_key""".stripMargin
+    ) { (s, d) =>
+      // Higher-order map rewrites (transform_keys / transform_values /
+      // map_zip_with): the flex-style "promote + retype tags" step done
+      // lazily on the map itself, no explode-regroup round trip. Rows out,
+      // because map literals aren't dialect-portable (same stance as
+      // fn_map's oracle).
+      T.part(s, d)
+        .select(col("p_partkey"),
+          map(lit("size"), col("p_size").cast("long"),
+              lit("key"), (col("p_partkey") % 100).cast("long")).as("m"))
+        .select(col("p_partkey"),
+          transform_keys(
+            transform_values(col("m"),
+              (k, v) => when(k === "size", v * 2).otherwise(v)),
+            (k, _) => upper(k)).as("m2"))
+        .select(col("p_partkey"), explode(col("m2")).as(Seq("tag_key", "tag_value")))
+        .orderBy(col("p_partkey"), col("tag_key"))
+    },
+
+    Q(
       "fn_json",
       """SELECT event_id,
         |       CAST(json_extract(props, '$.k') AS INT)  AS k_extracted,

@@ -75,6 +75,51 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("merge upsert laws: empty delta is identity, same delta is idempotent") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(1, 20), Gen.chooseNum(0, 99)))
+    def merge(base: org.apache.spark.sql.DataFrame, delta: org.apache.spark.sql.DataFrame) =
+      base.join(delta, base("id") === delta("d_id"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(coalesce(col("d_id"), col("id")).as("id"),
+                coalesce(col("d_v"), col("v")).as("v"))
+    for ((bRows, dRows) <- samples(gen, 3).zip(samples(gen, 3).reverse)) {
+      val base = bRows.toDF("id", "v").dropDuplicates("id")
+      val delta = dRows.toDF("d_id", "d_v").dropDuplicates("d_id")
+        .withColumn("op", when(col("d_id") % 5 === 0, "D").otherwise("U"))
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getAs[Any]("id").toString.toLong,
+                               r.getAs[Any]("v").toString.toLong)).toSet
+      val empty = Seq.empty[(Int, Int, String)].toDF("d_id", "d_v", "op")
+      // identity under empty delta
+      assert(rows(merge(base, empty)) == rows(base.select(col("id"), col("v"))))
+      // idempotence: applying the same delta twice = once (localCheckpoint
+      // severs shared lineage so the re-merge doesn't self-reference)
+      val once = merge(base, delta).localCheckpoint()
+      assert(rows(merge(once, delta)) == rows(once))
+    }
+  }
+
+  test("dedup_clusters output is a fixpoint: every label is the component minimum") {
+    val out = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute the pair graph independently
+    val e = T.embeddings(spark, sf)
+    val p = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("vb"), col("label"), col("embedding").as("eb")), Seq("label"))
+      .where(col("va") < col("vb") &&
+             graft.functions.CosineSimilarity(col("ea"), col("eb")) >= 0.358)
+      .select(col("va"), col("vb")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // fixpoint: endpoints of every edge share a label
+    for ((a, b) <- p) assert(out(a) == out(b), s"edge ($a,$b) crosses clusters")
+    // every label is a member of its own cluster and is the minimum seen
+    val byLabel = out.groupBy(_._2).view.mapValues(_.keys.min)
+    for ((lbl, minMember) <- byLabel) assert(lbl == minMember,
+      s"cluster $lbl's minimum member is $minMember")
+    // singletons label themselves
+    val inPairs = p.flatMap(x => Seq(x._1, x._2)).toSet
+    for ((v, lbl) <- out if !inPairs(v)) assert(v == lbl)
+  }
+
   test("asof-join emulation picks the latest quote at or before each trade") {
     // hand-computed fixture incl. an exact-tie (quote ts == trade ts → taken)
     val events = Seq(
