@@ -72,6 +72,36 @@ object TrainingOps {
     },
 
     Q(
+      "text_rarity",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |freq AS (
+        |  SELECT t, count(*) AS f FROM tok GROUP BY t)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tok,
+        |       CAST(CAST(sum(f) AS BIGINT) AS DOUBLE) / count(*) AS mean_tok_freq
+        |FROM tok JOIN freq USING (t)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Frequency-dictionary scoring — the cheap stand-in for LM-perplexity
+      // quality filters: docs whose tokens are uniformly corpus-frequent
+      // are boilerplate; rare-token-heavy docs are noise or treasure. The
+      // pattern is the point at scale: pass 1 builds the corpus dictionary
+      // (one narrow groupBy — O(vocab) result), pass 2 broadcast-joins it
+      // back to the token stream; the fact-sized side never shuffles.
+      // Scores stay in exact integer sums until one final double division.
+      val tok = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
+      tok.join(broadcast(freq), "t")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+             (sum(col("f")).cast("double") / count(lit(1))).as("mean_tok_freq"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "text_url_extract",
       """SELECT doc_id,
         |       regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,
