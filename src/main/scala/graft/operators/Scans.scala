@@ -102,6 +102,27 @@ object Scans {
       src.write.mode("overwrite").json(out)
       s.read.schema(src.schema).json(out)
         .orderBy(col("r_regionkey"))
+    },
+
+    Q(
+      "source_dsv2",
+      """SELECT i AS element_id,
+        |       CASE CAST(i % 3 AS INT) WHEN 0 THEN 'node' WHEN 1 THEN 'way' ELSE 'relation' END AS kind,
+        |       (i * 37) % 360000 - 180000 AS lon_c,
+        |       (i * 61) % 180000 - 90000 AS lat_c
+        |FROM range(0, 10000) t(i)
+        |WHERE CAST(i % 3 AS INT) <> 2
+        |ORDER BY element_id""".stripMargin
+    ) { (s, _) =>
+      // Custom DataSource V2 (graft.sources.OsmSyntheticSource): the
+      // extension point a real PBF reader plugs into — TableProvider,
+      // split planning, column-pruned PartitionReaders. The filter stays
+      // a post-scan predicate here (the source pushes projections, not
+      // filters) while the generator itself is split-parallel.
+      s.read.format("graft.sources.OsmSyntheticSource")
+        .option("rows", "10000").option("partitions", "8").load()
+        .where(col("kind") =!= "relation")
+        .orderBy(col("element_id"))
     }
   )
 }

@@ -51,6 +51,17 @@ class PlanSpec extends GraftSuite {
            "bucketed co-located join must not shuffle either side")
   }
 
+  test("custom DSv2 source: batch scan with pruned read schema") {
+    val df = spark.read.format("graft.sources.OsmSyntheticSource")
+      .option("rows", "100").option("partitions", "4").load()
+      .select(org.apache.spark.sql.functions.col("element_id"),
+              org.apache.spark.sql.functions.col("lon_c"))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BatchScan"), "DSv2 source must plan as BatchScan")
+    assert(!p.contains("kind"), "unprojected columns must be pruned from the scan")
+    assert(df.count() == 100)
+  }
+
   test("correlated subqueries decorrelate into joins (no per-row subquery)") {
     val p = plan("subquery_correlated")
     assert(p.contains("Join"), "decorrelation must produce a join")
