@@ -66,22 +66,55 @@ private class OsmSyntheticTable(rows: Long, partitions: Int)
 }
 
 private class OsmSyntheticScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = OsmSyntheticSource.schema
+  private var lo = 0L
+  private var hi = rows
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new OsmSyntheticScan(rows, partitions, required)
+
+  /** Range predicates on element_id narrow the planned row range — the
+    * analog of skipping whole PBF blocks by their id index. Everything
+    * else stays a residual filter evaluated above the scan.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("element_id", _: Long) | GreaterThanOrEqual("element_id", _: Long) |
+           LessThan("element_id", _: Long) | LessThanOrEqual("element_id", _: Long) |
+           EqualTo("element_id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("element_id", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("element_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("element_id", v: Long)           => hi = math.min(hi, v)
+      case LessThanOrEqual("element_id", v: Long)    => hi = math.min(hi, v + 1)
+      case EqualTo("element_id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _                                         => ()
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new OsmSyntheticScan(lo, math.max(lo, hi), partitions, required)
 }
 
 private case class OsmRangePartition(start: Long, end: Long) extends InputPartition
 
-private class OsmSyntheticScan(rows: Long, partitions: Int, required: StructType)
+private class OsmSyntheticScan(lo: Long, hi: Long, partitions: Int, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String = s"osm_synthetic range=[$lo,$hi)"
   override def planInputPartitions(): Array[InputPartition] = {
+    val rows = hi - lo
     val per = math.max(1L, (rows + partitions - 1) / partitions)
-    (0L until rows by per).map(s => OsmRangePartition(s, math.min(s + per, rows)))
+    (lo until hi by per).map(s => OsmRangePartition(s, math.min(s + per, hi)))
       .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =

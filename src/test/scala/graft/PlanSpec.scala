@@ -60,6 +60,14 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BatchScan"), "DSv2 source must plan as BatchScan")
     assert(!p.contains("kind"), "unprojected columns must be pruned from the scan")
     assert(df.count() == 100)
+    // filter pushdown narrows the planned row range (PBF block-skip analog)
+    val ranged = spark.read.format("graft.sources.OsmSyntheticSource")
+      .option("rows", "100").option("partitions", "4").load()
+      .where(org.apache.spark.sql.functions.col("element_id") < 30 &&
+             org.apache.spark.sql.functions.col("element_id") >= 10)
+    assert(ranged.count() == 20)
+    assert(ranged.queryExecution.executedPlan.toString().contains("range=[10,30)"),
+           "element_id range predicates must reach the scan's split planning")
   }
 
   test("correlated subqueries decorrelate into joins (no per-row subquery)") {
