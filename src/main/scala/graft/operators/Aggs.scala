@@ -199,6 +199,23 @@ object Aggs {
     },
 
     Q(
+      "agg_string_concat",
+      """SELECT n_regionkey,
+        |       string_agg(n_name, '|' ORDER BY n_name) AS nations
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin
+    ) { (s, d) =>
+      // Ordered string aggregation. collect_list order is undefined
+      // post-shuffle, so the sort lives INSIDE the aggregated value
+      // (sort_array) — the same rule as the way-geometry regroup.
+      T.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), "|").as("nations"))
+        .orderBy(col("n_regionkey"))
+    },
+
+    Q(
       "agg_bool",
       """SELECT o_orderpriority,
         |       bool_and(o_totalprice > 1000) AS all_over_1k,

@@ -245,15 +245,17 @@ object OsmKernels {
       // colorado" becomes partition pruning on re-read (PartitionFilters —
       // unselected regions' files are never opened).
       val out = s"${sys.props("java.io.tmpdir")}/graft_region_partitioned"
-      T.orders(s, d)
+      val staged = T.orders(s, d)
         .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .select(col("o_orderkey"), col("o_totalprice"), col("r_name"), col("n_name"))
-        .write.mode("overwrite")
+      staged.write.mode("overwrite")
         .partitionBy("r_name", "n_name")
         .parquet(out)
-      s.read.parquet(out)
+      // explicit re-read schema: an empty region/snapshot writes no files,
+      // and schema inference over zero files crashes the job (EmptyInputSpec)
+      s.read.schema(staged.schema).parquet(out)
         .where(col("r_name").isin("AMERICA", "EUROPE"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"))

@@ -270,6 +270,30 @@ object Scalars {
     },
 
     Q(
+      "fn_null_safe",
+      """SELECT c_custkey,
+        |       nullif(c_mktsegment, 'BUILDING') AS seg_n,
+        |       (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'MACHINERY') AS is_mach,
+        |       (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL) AS was_building,
+        |       (nullif(c_mktsegment, 'BUILDING') IS DISTINCT FROM c_mktsegment) AS changed
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      // Null-safe equality (<=> / IS NOT DISTINCT FROM): the three-valued-
+      // logic corner every dedup/delta join trips over — NULL = NULL is
+      // NULL under plain equality, TRUE under null-safe. merge_upsert and
+      // snapshot deltas rely on these semantics being exact.
+      val segN = nullif(col("c_mktsegment"), lit("BUILDING"))
+      T.customer(s, d).select(
+        col("c_custkey"),
+        segN.as("seg_n"),
+        (segN <=> lit("MACHINERY")).as("is_mach"),
+        (segN <=> lit(null).cast("string")).as("was_building"),
+        (!(segN <=> col("c_mktsegment"))).as("changed")
+      ).orderBy(col("c_custkey"))
+    },
+
+    Q(
       "fn_bitwise",
       """SELECT o_orderkey,
         |       o_orderkey & 255                     AS low_byte,

@@ -59,12 +59,15 @@ object Scans {
       // become the lake layout; the re-read filter on o_orderstatus is a
       // PartitionFilter (no data files of other statuses are opened).
       val out = s"${sys.props("java.io.tmpdir")}/graft_sink_parquet"
-      T.orders(s, d)
+      val staged = T.orders(s, d)
         .withColumn("order_year", year(col("o_orderdate")))
-        .write.mode("overwrite")
+      staged.write.mode("overwrite")
         .partitionBy("o_orderstatus", "order_year")
         .parquet(out)
-      s.read.parquet(out)
+      // explicit schema on re-read: an EMPTY partitioned write leaves no
+      // files to infer from, and a fresh/filtered region being empty is
+      // routine at scale — inference would crash the job
+      s.read.schema(staged.schema).parquet(out)
         .where(col("o_orderstatus") === "F")
         .groupBy(col("order_year").cast("int").as("order_year"))
         .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("total_value"))

@@ -120,6 +120,14 @@ object StreamOps {
       StreamingOps.runStatefulCounterDemo(s).orderBy(col("user_id"))
     },
 
+    // Stream-stream interval join: both sides watermarked, join condition
+    // time-bounded → state expires. StreamingSpec asserts the in/out-of-
+    // window pairs.
+    Q.smoke("stream_stream_join") { (s, _) =>
+      StreamingOps.runStreamStreamJoinDemo(s)
+        .orderBy(col("user_id"), col("view_id"), col("buy_id"))
+    },
+
     // foreachBatch hand-off sink (§2.A sink_stream_foreachbatch): the
     // dump-then-load pattern as a checkpointed exactly-once batch write —
     // each micro-batch lands idempotently under its batch id, then is

@@ -170,6 +170,27 @@ object Windows {
     },
 
     Q(
+      "win_nth_value",
+      """SELECT o_orderkey, o_custkey,
+        |       nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      // nth_value over an explicit full frame (same footgun as first/last:
+      // the default frame ends at CURRENT ROW, hiding later rows). Order
+      // key includes the unique orderkey so "2nd" is well-defined.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+                nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    Q(
       "win_percent_cume",
       """SELECT c_custkey,
         |       percent_rank() OVER w AS bal_pct_rank,

@@ -158,6 +158,39 @@ object StreamingOps {
       .agg(max(col("n_events")).as("n_events"), max(col("total")).as("total"))
   }
 
+  /** Stream-stream interval join (`stream_stream_join`): views joined to
+    * purchases by user within a 10-minute event-time window. BOTH sides
+    * carry watermarks and the join condition bounds the time skew — that
+    * pair of constraints is what lets Spark expire buffered state; an
+    * unbounded stream-stream join buffers both streams forever at 100 TB.
+    */
+  def runStreamStreamJoinDemo(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    withFewPartitions(spark) {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val views = MemoryStream[Ev]
+      val buys = MemoryStream[Ev]
+      val v = views.toDF().select(col("ts").as("v_ts"), col("user_id"), col("value").as("view_id"))
+        .withWatermark("v_ts", "10 minutes")
+      val b = buys.toDF().select(col("ts").as("b_ts"), col("user_id").as("b_user"), col("value").as("buy_id"))
+        .withWatermark("b_ts", "10 minutes")
+      val joined = v.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("v_ts") && col("b_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("user_id"), col("view_id"), col("buy_id"))
+      val q = joined.writeStream.format("memory").queryName("ss_join")
+        .outputMode(OutputMode.Append).start()
+      try {
+        views.addData(Ev(ts(0), 1L, 100.0), Ev(ts(0), 2L, 200.0))
+        buys.addData(Ev(ts(5), 1L, 900.0))   // within 10 min of view 100 → joins
+        q.processAllAvailable()
+        buys.addData(Ev(ts(30), 2L, 901.0))  // 30 min after view 200 → outside window
+        views.addData(Ev(ts(25), 2L, 201.0)) // view at 10:25; buy at 10:30 joins it
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table("ss_join")
+    }
+
   /** Incremental file source → exactly-once batch hand-off
     * (`source_stream_file` + `sink_stream_foreachbatch`): the reference's
     * dump-then-load pattern (`osm_etl.py:88-91`) as a checkpointed

@@ -28,6 +28,15 @@ class StreamingSpec extends GraftSuite {
     assert(rows(2L) == ((1L, 3.0)), s"user 2 state wrong: ${rows(2L)}")
   }
 
+  test("stream-stream interval join matches in-window pairs and excludes out-of-window") {
+    val rows = StreamingOps.runStreamStreamJoinDemo(spark)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    // view 100 (user 1, 10:00) + buy 900 (10:05) → in window, joins.
+    // view 200 (user 2, 10:00) + buy 901 (10:30) → outside 10 min, NO join.
+    // view 201 (user 2, 10:25) + buy 901 (10:30) → in window, joins.
+    assert(rows == Set((1L, 100.0, 900.0), (2L, 201.0, 901.0)), s"got $rows")
+  }
+
   test("batch twins run unchanged as streaming queries (tumbling over a file stream)") {
     // The very same StreamingOps.tumbling plan, driven incrementally from a
     // file source, must reach the batch answer once all data is consumed.
