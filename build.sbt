@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 122 distinct queries in one JVM generate a janino class per codegen
+  // stage; the default 240 MB JIT code cache fills late in the run and
+  // the JIT silently stops compiling — observed in round 2 as 10-50x
+  // slowdowns on trivial plans at the END of the bench. Headroom + class
+  // unloading (Bench calls System.gc periodically) keeps the JIT alive.
+  "-XX:ReservedCodeCacheSize=512m",
 )
+// forked `run` output goes straight through, without sbt's "[info] "
+// log prefix — Bench/Verify print machine-parsed JSON lines to stdout.
+run / outputStrategy := Some(StdoutOutput)

@@ -274,8 +274,8 @@ object Aggs {
     Q(
       "agg_arg_minmax",
       """SELECT c_nationkey,
-        |       arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS richest_cust,
-        |       arg_min(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS poorest_cust
+        |       arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000000000 + c_custkey) AS richest_cust,
+        |       arg_min(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000000000 + c_custkey) AS poorest_cust
         |FROM customer
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin
@@ -284,8 +284,13 @@ object Aggs {
       // hash aggregate, no window/self-join detour. The ordering value is
       // composed (exact balance cents, custkey tie-break) so the picked
       // row is unique and engine-independent; bare max_by on a column with
-      // duplicate extremes is nondeterministic — same rule at any scale.
-      val ord = expr("CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey")
+      // duplicate extremes is nondeterministic. Packing bound: DuckDB 1.0
+      // has no struct-valued arg_max, so the composite stays a BIGINT —
+      // cents ∈ [−1e6, 1e6] (|acctbal| ≤ 9999.99) times 1e12 stays under
+      // 2^63, and the tie-break digit space holds while c_custkey < 1e12,
+      // i.e. up to TPC-H sf ≈ 6.6 million (custkey = 150k·sf) — far past
+      // the 100 TB ≈ sf-100k design point.
+      val ord = expr("CAST(round(c_acctbal * 100) AS BIGINT) * 1000000000000L + c_custkey")
       T.customer(s, d)
         .groupBy(col("c_nationkey"))
         .agg(max_by(col("c_custkey"), ord).as("richest_cust"),

@@ -41,28 +41,33 @@ object EmbeddingOps {
   val all: Seq[Q] = Seq(
     Q(
       "emb_normalize",
-      """SELECT vec_id,
-        |       list_transform(embedding, x ->
-        |         CAST(round(CAST(x AS DOUBLE) / sqrt(n2) * 1000000) AS BIGINT)) AS unit_micro
+      """SELECT vec_id, i - 1 AS pos,
+        |       CAST(round(CAST(v AS DOUBLE) / sqrt(n2) * 1000000) AS BIGINT) AS unit_micro
         |FROM (
-        |  SELECT vec_id, embedding,
+        |  SELECT vec_id,
+        |         unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS i,
         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |           list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
         |           (a, b) -> a + b) AS n2
         |  FROM embeddings) t
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id, pos""".stripMargin
     ) { (s, d) =>
       // L2 normalization, emitted in integer micro-units: the norm fold is
       // left-to-right in both engines (bit-identical), and round-to-long
       // removes any decimal-string-vs-binary rounding ambiguity. A narrow
-      // per-row projection — no shuffle, fully codegen'd.
+      // per-row projection — no shuffle, fully codegen'd. The output is
+      // exploded to scalar (vec_id, pos, unit_micro) rows — same shape
+      // convention as emb_centroid — so the driver's pandas-based compare
+      // can sort/hash it (array columns are unhashable there).
       T.embeddings(s, d)
         .withColumn("n2",
           expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))"))
         .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sqrt(n2) * 1000000) AS BIGINT))")
-            .as("unit_micro"))
-        .orderBy(col("vec_id"))
+          posexplode(expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sqrt(n2) * 1000000) AS BIGINT))"))
+            .as(Seq("pos", "unit_micro")))
+        .orderBy(col("vec_id"), col("pos"))
     },
 
     Q(

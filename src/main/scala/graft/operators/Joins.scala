@@ -265,9 +265,13 @@ object Joins {
       // paid once; every subsequent join/aggregation on the key is
       // shuffle-free. Here both sides are (re)written per run — the read
       // path is what the pattern demonstrates.
-      val base = s.conf.get("spark.sql.graft.bucketdir",
-        java.nio.file.Files.createTempDirectory("graft_bkt").toString)
-      s.conf.set("spark.sql.graft.bucketdir", base)
+      // getOption, not get-with-default: the default would be evaluated
+      // eagerly and leak one temp dir per invocation even once set.
+      val base = s.conf.getOption("spark.sql.graft.bucketdir").getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+        s.conf.set("spark.sql.graft.bucketdir", dir)
+        dir
+      }
       def bucketed(df: org.apache.spark.sql.DataFrame, table: String, key: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $table")
         df.write.mode("overwrite")

@@ -53,12 +53,15 @@ object LlmOps {
       expr("array_distinct(transform(grams, g -> xxhash64(g)))").as("grams"))
 
   /** Exact pairwise Jaccard over candidate pairs: attach both (hashed)
-    * gram arrays (per-doc gram tables are O(#docs) — broadcastable per
-    * batch), prune by the size bound J ≤ min/max, then one codegen'd
+    * gram arrays, prune by the size bound J ≤ min/max, then one codegen'd
     * array_intersect per surviving pair. Far cheaper than an explode-join
     * when the candidate set is large (measured 47s → ~4s at sf0.1's 779k
     * LSH candidates; longs instead of strings cut the rest). Integer
     * common/total counts → the ratio is bit-identical to the oracle's.
+    * The per-doc gram table is O(#docs) — size-GATED broadcast
+    * (graft.Gate): broadcast while it fits the budget, shuffle join
+    * (same result, one more exchange) beyond it — at raw-web scale the
+    * gram table outgrows any broadcast budget.
     */
   private def jaccardOfPairs(pairs: DataFrame, grams: DataFrame, tau: Double): DataFrame = {
     val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"), size(col("grams")).as("na"))
@@ -67,8 +70,8 @@ object LlmOps {
     // silently flips ≥-comparisons at exact size ratios (found live: a
     // planted pair with nb = 0.8·na vanished).
     pairs
-      .join(broadcast(ga), "doc_a")
-      .join(broadcast(gb), "doc_b")
+      .join(graft.Gate.bcast(ga), "doc_a")
+      .join(graft.Gate.bcast(gb), "doc_b")
       .where(least(col("na"), col("nb")) >= lit(BigDecimal(tau)) * greatest(col("na"), col("nb")))
       .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
       .select(col("doc_a"), col("doc_b"),
@@ -583,36 +586,39 @@ object LlmOps {
     Q(
       "text_pack_sequences",
       """WITH t AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, lang,
         |         CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
-        |  SELECT doc_id, n_tokens,
-        |         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  SELECT doc_id, lang, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         |  FROM t)
-        |SELECT doc_id, n_tokens,
+        |SELECT doc_id, lang, n_tokens,
         |       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
         |       CAST(cum - n_tokens - 2048 * CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS BIGINT) AS pack_offset
         |FROM c
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY lang, doc_id""".stripMargin
     ) { (s, d) =>
       // Sequence packing for training shards: assign each doc a pack id by
-      // cumulative token budget (2048/pack). The running sum is a window in
-      // doc order — at 100 TB the order key becomes (shard, doc) so each
-      // shard packs independently in parallel; a single global ordering
-      // would funnel through one task (documented trade: this fixture
-      // corpus is one shard).
+      // cumulative token budget (2048/pack). The running sum is a window
+      // PARTITIONED BY lang (the shard key) — each language shard packs
+      // independently in parallel, so the plan never funnels the corpus
+      // through one task. At 100 TB the partition key generalizes to
+      // (lang, shard) with shards sized to executor memory; an
+      // unpartitioned ORDER BY would be the textbook single-task killer.
+      // Same shape as the production path, CorpusCurationJob.packSequences.
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T.documents(s, d)
         .withColumn("n_tokens",
           expr("aggregate(split(text, ' '), 0L, (acc, x) -> acc + CAST(ceil(length(x) / 4.0) AS BIGINT))"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("n_tokens"),
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
                 floor((col("cum") - col("n_tokens")) / 2048).as("pack_id"),
                 (col("cum") - col("n_tokens") - lit(2048) * floor((col("cum") - col("n_tokens")) / 2048))
                   .as("pack_offset"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
     },
 
     Q(

@@ -78,6 +78,40 @@ object OsmKernels {
     },
 
     Q(
+      "osm_way_wkb",
+      """WITH pts AS (
+        |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ways AS (SELECT way_id, count(*) AS n_points FROM pts GROUP BY way_id)
+        |SELECT way_id, n_points,
+        |       9 + 16 * n_points AS wkb_len,
+        |       '0102000000' AS wkb_header
+        |FROM ways
+        |ORDER BY way_id""".stripMargin
+    ) { (s, d) =>
+      // WKB LineString encode — the terminal step SURVEY §1.2 maps the
+      // PostGIS geometry column to (README.md:80-82): assembled point
+      // array → OGC little-endian WKB bytes via the codegen'd
+      // graft.functions.WkbLineString. The oracle pins the structure
+      // (9+16n length, NDR+type header read back out of the bytes);
+      // WkbSpec round-trips the coordinate payload bit-exactly.
+      T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+                col("l_partkey").as("node_ref"))
+        .join(broadcast(nodes(s, d)), col("node_ref") === col("node_id"))
+        .groupBy(col("way_id"))
+        .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+        .select(col("way_id"), size(col("pts")).cast("long").as("n_points"),
+          graft.functions.WkbLineString(
+            expr("transform(pts, p -> CAST(p.lon_c AS DOUBLE) / 100.0D)"),
+            expr("transform(pts, p -> CAST(p.lat_c AS DOUBLE) / 100.0D)")).as("wkb"))
+        .select(col("way_id"), col("n_points"),
+                octet_length(col("wkb")).cast("long").as("wkb_len"),
+                substring(hex(col("wkb")), 1, 10).as("wkb_header"))
+        .orderBy(col("way_id"))
+    },
+
+    Q(
       "osm_relation_geometry",
       """SELECT o_custkey AS relation_id,
         |       count(DISTINCT l_orderkey) AS n_member_ways,

@@ -126,6 +126,50 @@ object Scans {
         .option("rows", "10000").option("partitions", "8").load()
         .where(col("kind") =!= "relation")
         .orderBy(col("element_id"))
+    },
+
+    Q(
+      "sink_jdbc",
+      """SELECT n_nationkey, n_regionkey, n_name
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin
+    ) { (s, d) =>
+      // Batched JDBC write to an RDBMS + read-back verify — the
+      // reference's terminal act is loading PostGIS
+      // (/root/reference/osm_etl.py:88-91, README.md:70). Embedded Derby
+      // (ships with Spark) stands in for the server; the write path
+      // (batched inserts, explicit DDL types — VARCHAR, not the dialect's
+      // default CLOB) is the identical Spark surface PostGIS would use.
+      val url = JdbcIO.freshEmbeddedDerby("graft_derby_sink")
+      val src = T.nation(s, d).select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      // a dim-sized write needs no fan-out; 100 TB fact loads raise
+      // parallelism instead (each task opens its own connection)
+      JdbcIO.writeTable(src.coalesce(2), url, "nation_sink",
+        columnTypes = Some("n_name VARCHAR(64)"))
+      JdbcIO.readTable(s, url, "nation_sink").orderBy(col("n_nationkey"))
+    },
+
+    Q(
+      "source_jdbc",
+      """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      // Parallel partitioned JDBC ingest: numPartitions=8 stripes on
+      // c_custkey, so 8 tasks each pull a key range over their own
+      // connection — without this, one executor drags the whole table
+      // through a single connection (the 100 TB anti-pattern). Bounds
+      // need not be tight: Spark leaves the first/last stripes unbounded,
+      // so rows outside [0, 150000] still arrive, just unevenly — the
+      // fixed bound covers custkey up to sf1 and stays correct beyond.
+      val url = JdbcIO.freshEmbeddedDerby("graft_derby_src")
+      val src = T.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      JdbcIO.writeTable(src.coalesce(2), url, "customer_src",
+        columnTypes = Some("c_mktsegment VARCHAR(16)"))
+      JdbcIO.readTable(s, url, "customer_src",
+        partitionColumn = Some(("c_custkey", 0L, 150000L, 8)))
+        .orderBy(col("c_custkey"))
     }
   )
 }
@@ -133,12 +177,23 @@ object Scans {
 /** JDBC source/sink surface (§2.A `source_jdbc`/`sink_jdbc`).
   *
   * The reference's terminal store is PostGIS loaded via pg_dump/psql
-  * (`/root/reference/osm_etl.py:88-91`, `README.md:70`). No RDBMS exists in
-  * this container, so these are the production entry points (environment-
-  * gated, smoke-only per SURVEY.md §2.A) rather than registered queries.
+  * (`/root/reference/osm_etl.py:88-91`, `README.md:70`). The registered
+  * queries above exercise this whole surface against embedded Derby
+  * (shipped in /opt/spark/jars); against a real PostGIS the only change
+  * is the URL.
   */
 object JdbcIO {
   import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** URL of a fresh single-JVM embedded Derby database (test/demo stand-in
+    * for the reference's PostGIS server; a new temp dir per call so
+    * repeated runs never see stale rows). */
+  def freshEmbeddedDerby(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    // keep Derby's log chatter out of cwd (it defaults to ./derby.log)
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    s"jdbc:derby:$dir/db;create=true"
+  }
 
   def readTable(spark: SparkSession, url: String, table: String,
                 partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
@@ -151,9 +206,14 @@ object JdbcIO {
     }.load()
   }
 
-  def writeTable(df: DataFrame, url: String, table: String, batchSize: Int = 10000): Unit =
-    df.write.mode("append").format("jdbc")
+  /** Batched append; `columnTypes` overrides the dialect's default DDL
+    * types on create (e.g. VARCHAR(n) where Derby would pick CLOB —
+    * exactly how a PostGIS load pins geometry/text column types). */
+  def writeTable(df: DataFrame, url: String, table: String, batchSize: Int = 10000,
+                 columnTypes: Option[String] = None): Unit = {
+    val w = df.write.mode("append").format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("batchsize", batchSize)
-      .save()
+    columnTypes.fold(w)(t => w.option("createTableColumnTypes", t)).save()
+  }
 }

@@ -88,13 +88,16 @@ object TrainingOps {
       // quality filters: docs whose tokens are uniformly corpus-frequent
       // are boilerplate; rare-token-heavy docs are noise or treasure. The
       // pattern is the point at scale: pass 1 builds the corpus dictionary
-      // (one narrow groupBy — O(vocab) result), pass 2 broadcast-joins it
-      // back to the token stream; the fact-sized side never shuffles.
-      // Scores stay in exact integer sums until one final double division.
+      // (one narrow groupBy — O(vocab) result), pass 2 joins it back to
+      // the token stream. The dictionary join is size-GATED (graft.Gate):
+      // broadcast while the vocab fits the budget — the fact side never
+      // shuffles — degrading to a shuffle join when raw-web token-type
+      // counts blow past it. Scores stay in exact integer sums until one
+      // final double division.
       val tok = T.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
-      tok.join(broadcast(freq), "t")
+      tok.join(graft.Gate.bcast(freq), "t")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"),
              (sum(col("f")).cast("double") / count(lit(1))).as("mean_tok_freq"))

@@ -141,7 +141,7 @@ object CorpusCurationJob {
     println(s"""{"job":"corpus_curation","date":"$snapshotDate","in":${raw.count()},""" +
             s""""kept":${out.count()},"quarantined":${spark.read.parquet(s"$outDir/quarantine").count()},""" +
             s""""packs":${out.select(col("lang"), col("pack_id")).distinct().count()},""" +
-            s""""tokens":${out.agg(sum(col("n_tokens"))).head.getLong(0)}}""")
+            s""""tokens":${out.agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0)}}""")
     spark.stop()
   }
 }

@@ -33,6 +33,11 @@ object OsmEtlJob {
       .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
       .select(col("way_id"), col("pts"),
               size(col("pts")).as("n_points"),
+              // the PostGIS-equivalent geometry artifact (SURVEY §1.2:
+              // "WKB as BinaryType + bbox struct", README.md:80-82)
+              graft.functions.WkbLineString(
+                expr("transform(pts, p -> CAST(p.lon_c AS DOUBLE) / 100.0D)"),
+                expr("transform(pts, p -> CAST(p.lat_c AS DOUBLE) / 100.0D)")).as("wkb"),
               struct(
                 expr("array_min(transform(pts, p -> p.lon_c))").as("minx"),
                 expr("array_min(transform(pts, p -> p.lat_c))").as("miny"),

@@ -77,6 +77,51 @@ class PlanSpec extends GraftSuite {
            "correlated scalar subquery must not survive to the physical plan")
   }
 
+  test("dim-filtered join against the partitioned lake uses dynamic partition pruning") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB path: "process only colorado" (osm_etl.py:20-28) driven
+    // through a JOIN — the selected partitions are only known at runtime
+    // from the filtered dim, so static pruning can't help; DPP must inject
+    // the dim's keys into the fact scan's PartitionFilters.
+    val out = s"${sys.props("java.io.tmpdir")}/graft_dpp_lake"
+    T.orders(spark, sf)
+      .join(broadcast(T.customer(spark, sf)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(spark, sf)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(spark, sf)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("r_name"))
+      .write.mode("overwrite").partitionBy("r_name").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dim = T.region(spark, sf).where(col("r_regionkey") < 2)
+    val joined = fact.join(dim, fact("r_name") === dim("r_name"))
+    val p = joined.queryExecution.executedPlan.toString()
+    assert(p.toLowerCase.contains("dynamicpruning"),
+           "fact scan must carry a dynamicpruning PartitionFilter from the dim")
+    assert(joined.count() > 0)
+  }
+
+  test("size-gated broadcast degrades to a shuffle join above the budget") {
+    val run = SparkEntry.queries("text_rarity")
+    val withBcast = run(spark, sf)
+    assert(withBcast.queryExecution.executedPlan.toString().contains("BroadcastHashJoin"),
+           "under the budget the dictionary join must broadcast")
+    spark.conf.set("spark.sql.graft.broadcastGateBytes", "1")
+    // the planner may still choose to broadcast on its own estimates; the
+    // gate's job is only to stop FORCING it — so also floor Spark's
+    // auto-broadcast to prove the shuffle path exists and agrees.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sheared = run(spark, sf)
+      assert(!sheared.queryExecution.executedPlan.toString().contains("BroadcastHashJoin"),
+             "above the budget the dictionary join must not broadcast")
+      val a = withBcast.collect().map(_.toSeq)
+      val b = sheared.collect().map(_.toSeq)
+      assert(a.toSeq === b.toSeq, "gate must never change results")
+    } finally {
+      spark.conf.unset("spark.sql.graft.broadcastGateBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     for (q <- SparkEntry.registry if q.key != "join_cross"
          if !q.key.startsWith("stream_") && q.key != "source_stream_file" &&
