@@ -38,6 +38,54 @@ object EmbeddingOps {
       .select(col("label"), col("pos"),
               (col("sum_micro").cast("double") / col("n_vecs")).as("mean_micro"))
 
+  /** Spherical k-means (Lloyd) over an embedding column — the IVF/coarse-
+    * quantizer TRAINER (`emb_centroid` is its single step, `sim_cosine_ivf`
+    * its consumer). Assignment = argmax cosine against the broadcast
+    * centroid table (codegen'd kernel, K·dim driver-size); update = exact
+    * integer micro-unit means, so every iteration is partition-order
+    * deterministic — at 1000 executors the trained codebook is
+    * reproducible bit-for-bit.
+    *
+    * Each iteration: one broadcast join (no shuffle of the corpus) + one
+    * narrow (cid, pos) shuffle for the update. `localCheckpoint` truncates
+    * the K-row centroid lineage (dedup_clusters' Pregel discipline). The
+    * per-iteration inertia read is one scalar aggregate — the standard
+    * convergence probe of any iterative fitter, O(iters) actions, never a
+    * data collect.
+    *
+    * Returns (assignments, inertia history); inertia = Σ(1 − cos) is
+    * non-increasing under spherical Lloyd (KmeansSpec asserts it).
+    */
+  def kmeans(e: DataFrame, k: Int, iters: Int): (DataFrame, Seq[Double]) = {
+    val vecs = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS FLOAT))").as("v"))
+    // deterministic seeding: the k lowest vec_ids are the initial codebook
+    var cent = vecs.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+      .localCheckpoint(true)
+    var inertia = List.empty[Double]
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = vecs.crossJoin(broadcast(cent))
+        .withColumn("cos", graft.functions.CosineSimilarity(col("v"), col("c")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"),
+             max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+             max(col("cos")).as("cos"))
+      inertia ::= assigned.agg(sum(lit(1.0) - col("cos"))).head.getDouble(0)
+      cent = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("micro", expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("micro")).cast("double") / count(lit(1)) / 1e6).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> CAST(p.m AS FLOAT))").as("c"))
+        .localCheckpoint(true)
+    }
+    (assigned.select(col("vec_id"), col("cid"), round(col("cos"), 6).as("cos")),
+     inertia.reverse)
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "emb_normalize",
@@ -82,6 +130,14 @@ object EmbeddingOps {
         |ORDER BY label, pos""".stripMargin
     ) { (s, d) =>
       centroids(T.embeddings(s, d)).orderBy(col("label"), col("pos"))
+    },
+
+    // Spherical k-means training loop (see kmeans above). Iterative +
+    // fp-argmax assignment → no SQL oracle; KmeansSpec asserts monotone
+    // inertia, full coverage of inputs, and deterministic re-run equality.
+    Q.smoke("emb_kmeans") { (s, d) =>
+      kmeans(T.embeddings(s, d), k = 8, iters = 3)._1
+        .orderBy(col("vec_id"))
     },
 
     // IVF-style ANN (the 100 TB similarity-search path): per-label

@@ -112,6 +112,49 @@ object OsmKernels {
     },
 
     Q(
+      "osm_relation_wkb",
+      """WITH wp AS (SELECT l_orderkey AS way_id, count(*) AS n FROM lineitem GROUP BY 1),
+        |rel AS (SELECT o_custkey AS relation_id, way_id, n
+        |        FROM orders JOIN wp ON o_orderkey = way_id)
+        |SELECT relation_id,
+        |       count(*) AS n_ways,
+        |       CAST(sum(n) AS BIGINT) AS n_points,
+        |       CAST(9 + sum(9 + 16 * n) AS BIGINT) AS wkb_len,
+        |       '0105000000' AS wkb_header
+        |FROM rel GROUP BY relation_id ORDER BY relation_id""".stripMargin
+    ) { (s, d) =>
+      // Relation-level WKB: member ways (each an ordered point array)
+      // collected — ordered by way id — into one OGC MultiLineString
+      // (type 5) via the codegen'd WkbMultiLineString. Two aggregations
+      // (way regroup, relation regroup) and one fact⋈fact join on the way
+      // key — the nesting lives inside the row, so no extra shuffle
+      // beyond osm_relation_geometry's. Oracle pins the structure
+      // (Σ member sizes, 9+Σ(9+16nᵢ) length, NDR+type header);
+      // WkbSpec round-trips member coordinates bit-exactly.
+      val ways = T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+                col("l_partkey").as("node_ref"))
+        .join(broadcast(nodes(s, d)), col("node_ref") === col("node_id"))
+        .groupBy(col("way_id"))
+        .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+      T.orders(s, d)
+        .select(col("o_custkey").as("relation_id"), col("o_orderkey"))
+        .join(ways, col("o_orderkey") === col("way_id"))
+        .groupBy(col("relation_id"))
+        .agg(expr("array_sort(collect_list(struct(way_id, pts)))").as("ways"))
+        .select(col("relation_id"),
+          size(col("ways")).cast("long").as("n_ways"),
+          expr("aggregate(ways, 0L, (acc, w) -> acc + size(w.pts))").as("n_points"),
+          graft.functions.WkbMultiLineString(
+            expr("transform(ways, w -> transform(w.pts, p -> CAST(p.lon_c AS DOUBLE) / 100.0D))"),
+            expr("transform(ways, w -> transform(w.pts, p -> CAST(p.lat_c AS DOUBLE) / 100.0D))")).as("wkb"))
+        .select(col("relation_id"), col("n_ways"), col("n_points"),
+                octet_length(col("wkb")).cast("long").as("wkb_len"),
+                substring(hex(col("wkb")), 1, 10).as("wkb_header"))
+        .orderBy(col("relation_id"))
+    },
+
+    Q(
       "osm_relation_geometry",
       """SELECT o_custkey AS relation_id,
         |       count(DISTINCT l_orderkey) AS n_member_ways,

@@ -42,6 +42,33 @@ class WkbSpec extends GraftSuite {
     }
   }
 
+  test("multilinestring wkb round-trips every member way bit-exactly") {
+    import graft.functions.WkbMultiLineString
+    val rels = T.orders(spark, sf)
+      .select(col("o_custkey").as("relation_id"), col("o_orderkey"))
+      .join(ways.select(col("way_id"), col("pts")), col("o_orderkey") === col("way_id"))
+      .groupBy(col("relation_id"))
+      .agg(expr("array_sort(collect_list(struct(way_id, pts)))").as("ways"))
+      .select(col("relation_id"),
+        expr("transform(ways, w -> transform(w.pts, p -> CAST(p.lon_c AS DOUBLE) / 100.0D))").as("lonss"),
+        expr("transform(ways, w -> transform(w.pts, p -> CAST(p.lat_c AS DOUBLE) / 100.0D))").as("latss"),
+        WkbMultiLineString(
+          expr("transform(ways, w -> transform(w.pts, p -> CAST(p.lon_c AS DOUBLE) / 100.0D))"),
+          expr("transform(ways, w -> transform(w.pts, p -> CAST(p.lat_c AS DOUBLE) / 100.0D))")).as("wkb"))
+      .orderBy(col("relation_id")).limit(50).collect()
+    assert(rels.nonEmpty)
+    rels.foreach { r =>
+      val members = WkbMultiLineString.decode(r.getAs[Array[Byte]]("wkb"))
+      val lonss = r.getSeq[scala.collection.Seq[Double]](1)
+      val latss = r.getSeq[scala.collection.Seq[Double]](2)
+      assert(members.size === lonss.size)
+      members.zipWithIndex.foreach { case ((lons, lats), j) =>
+        assert(lons.toSeq === lonss(j).toSeq)
+        assert(lats.toSeq === latss(j).toSeq)
+      }
+    }
+  }
+
   test("wkb expression survives whole-stage codegen (no interpreted fallback)") {
     // force the codegen path by evaluating through a projection over a
     // non-trivial plan; identical bytes from eval and codegen paths
