@@ -72,7 +72,9 @@ object EmbeddingOps {
         .agg(first(col("v")).as("v"),
              max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
              max(col("cos")).as("cos"))
-      inertia ::= assigned.agg(sum(lit(1.0) - col("cos"))).head.getDouble(0)
+      // coalesce: sum over zero rows is NULL (empty snapshot is routine)
+      inertia ::= assigned.agg(coalesce(sum(lit(1.0) - col("cos")), lit(0.0)))
+        .head.getDouble(0)
       cent = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .withColumn("micro", expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))

@@ -191,8 +191,11 @@ object LlmOps {
                 col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-        .join(broadcast(sigTag.select(col("doc_id").as("doc_a"), col("tag").as("ta"))), "doc_a")
-        .join(broadcast(sigTag.select(col("doc_id").as("doc_b"), col("tag").as("tb"))), "doc_b")
+        // per-doc signature table is O(#docs): size-gated broadcast
+        // (shuffle-join fallback above budget), same stance as
+        // jaccardOfPairs' gram attach
+        .join(graft.Gate.bcast(sigTag.select(col("doc_id").as("doc_a"), col("tag").as("ta"))), "doc_a")
+        .join(graft.Gate.bcast(sigTag.select(col("doc_id").as("doc_b"), col("tag").as("tb"))), "doc_b")
         .where(size(array_intersect(col("ta"), col("tb"))) * 2 >= k)
         .select(col("doc_a"), col("doc_b"))
       jaccardOfPairs(cand, hg, tau = 0.8)

@@ -25,13 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object OsmKernels {
 
-  // Node store: dim-sized (grows with distinct parts, not with fact rows)
-  // → broadcast; the fact-sized ref table never shuffles for the resolve.
+  // Node store: dim-sized in the fixture (grows with distinct parts) so
+  // it broadcasts and the fact-sized ref table never shuffles for the
+  // resolve — but a REAL planet node store is itself fact-sized, so the
+  // broadcast is size-GATED (graft.Gate): above budget the resolve
+  // degrades to a shuffle join on node_id (same result; at planet scale
+  // it would ride the bucketed layout, join_bucketed).
   private def nodes(s: org.apache.spark.sql.SparkSession, d: String) =
-    T.part(s, d).select(
+    graft.Gate.bcast(T.part(s, d).select(
       col("p_partkey").as("node_id"),
       (col("p_size").cast("long") * 100).as("lon_c"),
-      round(col("p_retailprice") * 100).cast("long").as("lat_c"))
+      round(col("p_retailprice") * 100).cast("long").as("lat_c")))
 
   val all: Seq[Q] = Seq(
     Q(
@@ -60,7 +64,7 @@ object OsmKernels {
       T.lineitem(s, d)
         .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
                 col("l_partkey").as("node_ref"))
-        .join(broadcast(nodes(s, d)), col("node_ref") === col("node_id"))
+        .join(nodes(s, d), col("node_ref") === col("node_id"))
         .groupBy(col("way_id"))
         .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
         .select(
@@ -98,7 +102,7 @@ object OsmKernels {
       T.lineitem(s, d)
         .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
                 col("l_partkey").as("node_ref"))
-        .join(broadcast(nodes(s, d)), col("node_ref") === col("node_id"))
+        .join(nodes(s, d), col("node_ref") === col("node_id"))
         .groupBy(col("way_id"))
         .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
         .select(col("way_id"), size(col("pts")).cast("long").as("n_points"),
@@ -134,7 +138,7 @@ object OsmKernels {
       val ways = T.lineitem(s, d)
         .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
                 col("l_partkey").as("node_ref"))
-        .join(broadcast(nodes(s, d)), col("node_ref") === col("node_id"))
+        .join(nodes(s, d), col("node_ref") === col("node_id"))
         .groupBy(col("way_id"))
         .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
       T.orders(s, d)
@@ -175,7 +179,7 @@ object OsmKernels {
       T.orders(s, d).select(col("o_custkey").as("relation_id"), col("o_orderkey"))
         .join(T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
               col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(nodes(s, d)), col("l_partkey") === col("node_id"))
+        .join(nodes(s, d), col("l_partkey") === col("node_id"))
         .groupBy(col("relation_id"))
         .agg(
           countDistinct(col("l_orderkey")).as("n_member_ways"),
