@@ -105,6 +105,145 @@ object TrainingOps {
     },
 
     Q(
+      "text_pii_redact",
+      """SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(pii,
+        |         '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |         '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+        |         '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+        |       len(regexp_extract_all(pii, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+')) AS n_emails,
+        |       len(regexp_extract_all(pii, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS n_ips
+        |FROM (SELECT doc_id,
+        |             substring(text, 1, 40) || ' mail u' || CAST(doc_id AS VARCHAR)
+        |               || '@ex.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 tel 555-'
+        |               || CAST(1000 + doc_id % 9000 AS VARCHAR) AS pii
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // PII scrubbing — a mandatory pass of every web-scale training
+      // corpus: email/IP/phone patterns replaced with typed placeholder
+      // tokens, counts kept for auditing. Pure codegen'd projection
+      // (regexp_replace replaces all matches in Spark; the oracle needs
+      // DuckDB's explicit 'g' flag). PII is synthesized deterministically
+      // onto each doc so the fixture actually exercises every pattern.
+      val pii = concat(
+        substring(col("text"), 1, 40),
+        lit(" mail u"), col("doc_id").cast("string"),
+        lit("@ex.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".1 tel 555-"), (lit(1000) + col("doc_id") % 9000).cast("string"))
+      T.documents(s, d)
+        .withColumn("pii", pii)
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("pii"),
+            "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+            "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>"),
+            "[0-9]{3}-[0-9]{4}", "<PHONE>").as("redacted"),
+          regexp_count(col("pii"), lit("[a-zA-Z0-9._]+@[a-zA-Z0-9.]+")).cast("long").as("n_emails"),
+          regexp_count(col("pii"), lit("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")).cast("long").as("n_ips"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "dedup_url",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         lower(lang || '.example.com') || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+        |           AS canonical_url
+        |  FROM documents)
+        |SELECT canonical_url,
+        |       min(doc_id) AS keeper_doc,
+        |       count(*) - 1 AS n_dups
+        |FROM u
+        |GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin
+    ) { (s, d) =>
+      // Provenance dedup by canonical URL — the cheapest, highest-yield
+      // dedup pass of a web corpus (mirrors, tracking params, protocol
+      // variants): canonicalize (lowercase host, strip scheme/query/
+      // fragment), keep the lowest doc id per canonical URL. One hash
+      // shuffle on the canonical key; the synthesized URL collides on
+      // doc_id % 40 so real dup groups exist at fixture scale.
+      val raw = concat(lit("https://"), upper(col("lang")), lit(".Example.com/docs/"),
+        (col("doc_id") % 40).cast("string"),
+        lit("?utm_source=x&ref="), col("n_chars").cast("string"))
+      T.documents(s, d)
+        .withColumn("url", raw)
+        .withColumn("canonical_url",
+          lower(regexp_extract(col("url"), "^[a-z]+://([^?#]+)", 1)))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keeper_doc"),
+             (count(lit(1)) - 1).as("n_dups"))
+        .orderBy(col("canonical_url"))
+    },
+
+    Q(
+      "text_contamination",
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+        |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')))) AS g
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(*) AS n_hit_grams
+        |FROM grams JOIN bench USING (g)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Benchmark-contamination detection — before training, every corpus
+      // is screened for eval-set leakage: any doc sharing a word-5-gram
+      // with the benchmark set is flagged. The benchmark gram table is
+      // benchmark-sized (small) → size-gated broadcast; the corpus side
+      // explodes grams but never shuffles for the probe (semi-probe via
+      // inner join on the gram, then one partial+final count by doc).
+      // Docs with doc_id % 97 = 0 stand in for the benchmark.
+      val grams = T.documents(s, d).select(col("doc_id"),
+        explode(expr(
+          """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),
+            |  i -> array_join(slice(split(text, ' '), i, 5), ' ')))""".stripMargin)).as("g"))
+      val bench = grams.where(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      grams.where(col("doc_id") % 97 =!= 0)
+        .join(graft.Gate.bcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_grams"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "sample_temperature",
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT min(n) AS mn FROM c),
+         |th AS (SELECT lang, CAST(floor(10000 * sqrt(CAST(mn AS DOUBLE) / n)) AS BIGINT) AS threshold
+         |       FROM c, m)
+         |SELECT doc_id, lang, threshold
+         |FROM documents JOIN th USING (lang)
+         |WHERE ${fpSql("text")} % 10000 < threshold
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Temperature-based language rebalancing (the multilingual-corpus
+      // counterpart of sample_stratified): keep-rate per lang ∝
+      // share^(α−1) with α = 0.5, normalized so the rarest language keeps
+      // 100% — i.e. threshold = ⌊10⁴·√(n_min/n_lang)⌋. α = 0.5 keeps the
+      // whole chain inside IEEE-exact ops (divide, sqrt, multiply, floor),
+      // so Spark and DuckDB agree bit-for-bit — a general pow(x, α) would
+      // not be cross-engine exact. Keep-decisions key on the content
+      // rolling hash (never rand()) → reproducible under repartitioning;
+      // the per-lang threshold table is lang-count-sized → broadcast back,
+      // the corpus never shuffles.
+      val docs = T.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val th = counts
+        .crossJoin(broadcast(counts.agg(min(col("n")).as("mn"))))
+        .select(col("lang"),
+          floor(lit(10000) * sqrt(col("mn").cast("double") / col("n"))).as("threshold"))
+      docs.join(broadcast(th), "lang")
+        .where(fpSpark("text") % 10000 < col("threshold"))
+        .select(col("doc_id"), col("lang"), col("threshold"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "text_url_extract",
       """SELECT doc_id,
         |       regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,
