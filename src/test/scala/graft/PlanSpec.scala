@@ -123,10 +123,15 @@ class PlanSpec extends GraftSuite {
   }
 
   test("no query plan contains a CartesianProduct except the declared cross join") {
+    // excluded: streaming demos, sink side-effects, and the action-eager
+    // queries (kmeans training loop, embedded-Derby writes) whose plan
+    // construction runs whole jobs — none can form a cartesian product
+    // (kmeans' codebook cross-probe is an intentional broadcast NLJ).
     for (q <- SparkEntry.registry if q.key != "join_cross"
          if !q.key.startsWith("stream_") && q.key != "source_stream_file" &&
             q.key != "sink_stream_foreachbatch" && q.key != "sink_parquet" &&
-            q.key != "sort_partitioned" && q.key != "osm_region_partition_write") {
+            q.key != "sort_partitioned" && q.key != "osm_region_partition_write" &&
+            q.key != "emb_kmeans" && q.key != "sink_jdbc" && q.key != "source_jdbc") {
       val p = q.run(spark, sf).queryExecution.executedPlan.toString()
       assert(!p.contains("CartesianProduct"),
              s"${q.key} has an accidental cartesian product")
