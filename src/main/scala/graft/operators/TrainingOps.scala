@@ -244,6 +244,29 @@ object TrainingOps {
     },
 
     Q(
+      "text_heavy_hitters",
+      """SELECT t AS token, count(*) AS f
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY t
+        |ORDER BY f DESC, t
+        |LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      // Corpus heavy hitters — vocabulary/stopword mining, the input to
+      // quality gates and tokenizer audits. One partial+final count
+      // aggregate (the shuffle carries #distinct-tokens × #map-partitions
+      // rows, not token occurrences) and the top-k fuses to
+      // TakeOrderedAndProject — O(k) state per partition, never a global
+      // sort. Tie-break on the token keeps the cut deterministic
+      // cross-engine.
+      T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("token"))
+        .limit(50)
+    },
+
+    Q(
       "text_url_extract",
       """SELECT doc_id,
         |       regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,
