@@ -576,13 +576,13 @@ object LlmOps {
       // Polynomial rolling-hash fingerprint, mod 1e9+7 so the fold never
       // leaves 63-bit range (Spark would wrap silently on overflow, DuckDB
       // would error — staying small keeps both engines exact and equal).
-      def fp(lenExpr: String): Column = expr(
-        s"""aggregate(transform(sequence(1, $lenExpr), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
-           |  0L, (acc, c) -> (acc * 131 + c) % 1000000007)""".stripMargin)
+      // Codegen'd fused loop (graft.functions.RollingHash) instead of the
+      // interpreted aggregate/transform lambda fold; RollingHashSpec pins
+      // both formulations equal over the real corpus.
       T.documents(s, d).select(
         col("doc_id"),
-        fp("length(text)").as("fp_full"),
-        fp("least(length(text), 64)").as("fp_prefix64"))
+        graft.functions.RollingHash(col("text")).as("fp_full"),
+        graft.functions.RollingHash(col("text"), 64).as("fp_prefix64"))
         .orderBy(col("doc_id"))
     },
 

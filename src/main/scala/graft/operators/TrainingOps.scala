@@ -21,9 +21,11 @@ object TrainingOps {
        |  list_transform(range(1, length($col) + 1), i -> CAST(ascii(substring($col, i, 1)) AS BIGINT))),
        |  (acc, c) -> (acc * 131 + c) % 1000000007)""".stripMargin
 
-  private def fpSpark(c: String): org.apache.spark.sql.Column = expr(
-    s"""aggregate(transform(sequence(1, length($c)), i -> CAST(ascii(substring($c, i, 1)) AS BIGINT)),
-       |  0L, (acc, ch) -> (acc * 131 + ch) % 1000000007)""".stripMargin)
+  // codegen'd fused loop (graft.functions.RollingHash) — the equivalent
+  // aggregate/transform lambda fold runs interpreted (measured ~25×);
+  // RollingHashSpec pins both formulations equal over the real corpus
+  private def fpSpark(c: String): org.apache.spark.sql.Column =
+    graft.functions.RollingHash(col(c))
 
   val all: Seq[Q] = Seq(
     Q(
