@@ -142,6 +142,52 @@ object EmbeddingOps {
         .orderBy(col("vec_id"))
     },
 
+    // Persisted IVF index: the trained assignment becomes the STORAGE
+    // LAYOUT — embeddings written partitionBy(cid) — and the ANN probe
+    // becomes partition PRUNING: the nprobe=3 nearest cells are picked by
+    // scanning only the K-row codebook, and the fact scan opens only
+    // those 3 of k partition directories (PlanSpec asserts the
+    // PartitionFilters). This is the 100 TB shape: index build is one
+    // write, every query after reads nprobe/k of the corpus from disk —
+    // the pruning happens at the FILE level, not post-scan. Approximate →
+    // no SQL oracle; spec asserts recall vs brute force and true cosines.
+    Q.smoke("sim_ivf_partitioned") { (s, d) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_ivf_index"
+      val e = T.embeddings(s, d)
+      val (assigned, _) = kmeans(e, k = 8, iters = 2)
+      // --- index build (paid once): cluster-partitioned lake layout
+      val staged = e.join(assigned.select(col("vec_id"), col("cid")), "vec_id")
+      staged.write.mode("overwrite").partitionBy("cid").parquet(out)
+      // --- probe: codebook scan picks nprobe cells…
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val cent = assigned.join(e, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("micro", expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("micro")).cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> CAST(p.m / 1e6 AS FLOAT))").as("centroid"))
+      // the ONLY collect in any operator, and deliberately so: 3 rows of
+      // k-row codebook METADATA (bounded by k, never corpus-sized) whose
+      // values must become literals for the scan to prune statically at
+      // planning time — file-level pruning can't be driven by a joined
+      // column. The data path never funnels through the driver.
+      val probeCids = cent.crossJoin(broadcast(q))
+        .select(col("cid"), graft.functions.CosineSimilarity(col("centroid"), col("qe")).as("qc"))
+        .orderBy(col("qc").desc).limit(3)
+        .collect().map(_.getLong(0))
+      // …and the index read prunes to those partition dirs (static
+      // partition filter — only nprobe/k of the lake's files are opened)
+      s.read.schema(staged.schema).parquet(out)
+        .where(col("cid").isin(probeCids: _*))
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+                round(graft.functions.CosineSimilarity(col("embedding"), col("qe")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // IVF-style ANN (the 100 TB similarity-search path): per-label
     // centroids act as the coarse quantizer; the query probes only the
     // nprobe=3 nearest cells and brute-forces inside them — scan cost
