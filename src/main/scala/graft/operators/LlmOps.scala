@@ -149,15 +149,16 @@ object LlmOps {
       // corpus expected to carry mass at the threshold; LSH geometry is
       // always a measured-distribution decision, not a constant.
       //
-      // The signature is 60 min() aggregate COLUMNS over exploded
-      // gram-HASH rows: grams are xxhash64'd to longs once per doc, each
-      // permutation is a re-hash of that long — all inside a single
-      // codegen'd partial aggregate, so the shuffle is one row of 60
-      // longs per doc. Rejected formulations, all measured at sf0.1:
-      // nested array lambdas fall out of codegen (63s, interpreted);
-      // exploding grams × hash-index materializes 64× the gram rows
-      // through the aggregate (18.5s); 128 separate agg columns compile a
-      // ~50s janino class (60-64 is measured-safe).
+      // The signature is ONE fused codegen'd scalar expression
+      // (functions/MinHashSignature.scala): each doc's distinct gram
+      // hashes already sit in a single array cell, so all 60 minima fall
+      // out of one map-side O(#grams × 60) primitive loop — no explode,
+      // no aggregate, NO shuffle. Rejected formulations, all measured at
+      // sf0.1: nested array lambdas fall out of codegen (63s,
+      // interpreted); exploding grams × hash-index materializes 64× the
+      // gram rows through an aggregate (18.5s); 60 separate
+      // min(xxhash64(g, i)) agg columns sit at a janino class-size cliff
+      // and dominated the round-3 bench (22.9s).
       // The tiny shared vocabulary still makes band buckets collide for
       // J≈0.35 pairs, so candidates pass a signature-agreement prefilter
       // first: matching components of the two already-computed signatures
@@ -168,23 +169,17 @@ object LlmOps {
       val (bandsN, rowsN) = (12, 5)
       val k = bandsN * rowsN
       val hg = hashGrams(T.documents(s, d).select(col("doc_id"), expr(shingles5).as("grams"))).cache()
-      val minCols = (0 until k).map(h => min(xxhash64(col("g"), lit(h))).as(s"m$h"))
-      val sig = hg.select(col("doc_id"), explode(col("grams")).as("g"))
-        .groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
+      val sig = hg
+        .select(col("doc_id"), graft.functions.MinHashSignature(col("grams"), k).as("sig"))
         .cache()
       val bandCols = (0 until bandsN).map { b =>
-        xxhash64(concat_ws("_", (0 until rowsN).map(r => col(s"m${b * rowsN + r}").cast("string")): _*)).as(s"band$b")
+        xxhash64(concat_ws("_",
+          (0 until rowsN).map(r => col("sig").getItem(b * rowsN + r).cast("string")): _*)).as(s"band$b")
       }
       val bands = sig
         .select(col("doc_id") +: bandCols: _*)
         .select(col("doc_id"),
           posexplode(array((0 until bandsN).map(b => col(s"band$b")): _*)).as(Seq("band_i", "band_h")))
-      // (index, value)-tagged signature: component agreement becomes a
-      // built-in array_intersect (codegen'd) instead of a nested lambda
-      // (which would run interpreted).
-      val sigTag = sig.select(col("doc_id"),
-        array((0 until k).map(i => struct(lit(i).as("i"), col(s"m$i").as("m"))): _*).as("tag"))
       val cand = bands.as("a")
         .join(bands.as("b"),
               col("a.band_i") === col("b.band_i") && col("a.band_h") === col("b.band_h") &&
@@ -193,10 +188,12 @@ object LlmOps {
         .distinct()
         // per-doc signature table is O(#docs): size-gated broadcast
         // (shuffle-join fallback above budget), same stance as
-        // jaccardOfPairs' gram attach
-        .join(graft.Gate.bcast(sigTag.select(col("doc_id").as("doc_a"), col("tag").as("ta"))), "doc_a")
-        .join(graft.Gate.bcast(sigTag.select(col("doc_id").as("doc_b"), col("tag").as("tb"))), "doc_b")
-        .where(size(array_intersect(col("ta"), col("tb"))) * 2 >= k)
+        // jaccardOfPairs' gram attach. Agreement is a codegen'd primitive
+        // loop over the two long[] signatures (SignatureAgreement), run
+        // once per LSH candidate.
+        .join(graft.Gate.bcast(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))), "doc_a")
+        .join(graft.Gate.bcast(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))), "doc_b")
+        .where(graft.functions.SignatureAgreement(col("sa"), col("sb")) * 2 >= k)
         .select(col("doc_a"), col("doc_b"))
       jaccardOfPairs(cand, hg, tau = 0.8)
         .where(col("jaccard") >= 0.8)
