@@ -37,6 +37,60 @@ object OsmKernels {
       (col("p_size").cast("long") * 100).as("lon_c"),
       round(col("p_retailprice") * 100).cast("long").as("lat_c")))
 
+  /** Per-way CLOSED ring + exact shoelace sum — the shared assembly step
+    * of the area operators (`osm_way_polygon_wkb`,
+    * `osm_relation_multipolygon_wkb`). osm2pgsql's area rule: a way whose
+    * first and last refs coincide is ring-shaped; here every way is
+    * treated as an area candidate and the ring is closed by appending the
+    * first point when needed (same regroup as `osm_way_geometry` — no new
+    * shuffle). `shoe` is the signed shoelace sum in integer centi-units
+    * (= 2·area·10⁴, positive = CCW): exact long arithmetic, so winding
+    * and area are partition-order invariant AND bit-identical to the
+    * DuckDB oracle's fold.
+    */
+  private def wayRings(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.lineitem(s, d)
+      .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+              col("l_partkey").as("node_ref"))
+      .join(nodes(s, d), col("node_ref") === col("node_id"))
+      .groupBy(col("way_id"))
+      .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+      .withColumn("ring",
+        expr("""IF(element_at(pts, 1).lon_c = element_at(pts, -1).lon_c
+               |   AND element_at(pts, 1).lat_c = element_at(pts, -1).lat_c,
+               |   pts, concat(pts, slice(pts, 1, 1)))""".stripMargin))
+      .withColumn("shoe",
+        expr("""aggregate(
+               |  zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1),
+               |           (a, b) -> a.lon_c * b.lat_c - b.lon_c * a.lat_c),
+               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+
+  /** DuckDB mirror of [[wayRings]]: closed per-way coordinate lists +
+    * the same exact integer shoelace sum, shared by both area oracles.
+    */
+  private val duckRingsCte =
+    """pts AS (
+      |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref,
+      |         p_size * 100 AS lon_c, CAST(round(p_retailprice * 100) AS BIGINT) AS lat_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |ways AS (
+      |  SELECT way_id,
+      |         list(lon_c ORDER BY pos, node_ref) AS lons,
+      |         list(lat_c ORDER BY pos, node_ref) AS lats
+      |  FROM pts GROUP BY way_id),
+      |closed AS (
+      |  SELECT way_id,
+      |         CASE WHEN lons[1] = lons[-1] AND lats[1] = lats[-1]
+      |              THEN lons ELSE list_append(lons, lons[1]) END AS clons,
+      |         CASE WHEN lons[1] = lons[-1] AND lats[1] = lats[-1]
+      |              THEN lats ELSE list_append(lats, lats[1]) END AS clats
+      |  FROM ways),
+      |rings AS (
+      |  SELECT way_id, clons, clats,
+      |         CAST(coalesce(list_sum(list_transform(range(2, len(clons) + 1),
+      |                i -> clons[i-1] * clats[i] - clons[i] * clats[i-1])), 0) AS BIGINT) AS shoe
+      |  FROM closed)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "osm_way_geometry",
@@ -188,6 +242,106 @@ object OsmKernels {
           (min(col("lat_c")) / 100.0).as("bbox_min_lat"),
           (max(col("lon_c")) / 100.0).as("bbox_max_lon"),
           (max(col("lat_c")) / 100.0).as("bbox_max_lat"))
+        .orderBy(col("relation_id"))
+    },
+
+    Q(
+      "osm_way_polygon_wkb",
+      s"""WITH $duckRingsCte
+         |SELECT way_id,
+         |       len(clons) AS n_ring_points,
+         |       CAST(abs(shoe) AS DOUBLE) / 20000.0 AS area,
+         |       CASE WHEN shoe > 0 THEN 'CCW' WHEN shoe < 0 THEN 'CW'
+         |            ELSE 'DEGENERATE' END AS winding,
+         |       CAST(13 + 16 * len(clons) AS BIGINT) AS wkb_len,
+         |       '0103000000' AS wkb_header
+         |FROM rings
+         |ORDER BY way_id""".stripMargin
+    ) { (s, d) =>
+      // Closed way → OGC WKB Polygon (type 3) — the area assembly
+      // osm2pgsql performs for building/water/landuse layers
+      // (README.md:80-82); VERDICT r3's #1 semantic gap. Ring closure
+      // (append first point), exact integer shoelace (area + winding),
+      // and CCW shell normalization are declarative transforms over the
+      // same per-way regroup `osm_way_geometry` already pays — no new
+      // shuffle (PlanSpec). The oracle pins ring size, exact area,
+      // winding, and the 13+16n byte length + NDR/type header read back
+      // out of the bytes; WkbSpec round-trips coordinates and asserts
+      // closure + CCW on the decoded shell.
+      wayRings(s, d)
+        .withColumn("shell", expr("IF(shoe < 0, reverse(ring), ring)"))
+        .select(col("way_id"),
+          size(col("ring")).cast("long").as("n_ring_points"),
+          (abs(col("shoe")).cast("double") / 20000.0).as("area"),
+          when(col("shoe") > 0, "CCW").when(col("shoe") < 0, "CW")
+            .otherwise("DEGENERATE").as("winding"),
+          graft.functions.WkbPolygon(
+            expr("array(transform(shell, p -> CAST(p.lon_c AS DOUBLE) / 100.0D))"),
+            expr("array(transform(shell, p -> CAST(p.lat_c AS DOUBLE) / 100.0D))")).as("wkb"))
+        .select(col("way_id"), col("n_ring_points"), col("area"), col("winding"),
+                octet_length(col("wkb")).cast("long").as("wkb_len"),
+                substring(hex(col("wkb")), 1, 10).as("wkb_header"))
+        .orderBy(col("way_id"))
+    },
+
+    Q(
+      "osm_relation_multipolygon_wkb",
+      s"""WITH $duckRingsCte,
+         |rel AS (
+         |  SELECT o_custkey AS relation_id, way_id, len(clons) AS n, shoe,
+         |         row_number() OVER (PARTITION BY o_custkey
+         |                            ORDER BY abs(shoe) DESC, way_id) AS rk
+         |  FROM orders JOIN rings ON o_orderkey = way_id)
+         |SELECT relation_id,
+         |       count(*) AS n_rings,
+         |       count(*) - 1 AS n_holes,
+         |       CAST(sum(n) AS BIGINT) AS n_points,
+         |       max(CASE WHEN rk = 1 THEN way_id END) AS outer_way,
+         |       CAST(max(CASE WHEN rk = 1 THEN abs(shoe) END) AS DOUBLE) / 20000.0 AS outer_area,
+         |       CAST(18 + sum(4 + 16 * n) AS BIGINT) AS wkb_len,
+         |       '0106000000' AS wkb_header
+         |FROM rel GROUP BY relation_id ORDER BY relation_id""".stripMargin
+    ) { (s, d) =>
+      // Relation → OGC WKB MultiPolygon (type 6) with outer/inner role
+      // handling (README.md:80-82): the member ring with the LARGEST
+      // area is the outer shell (the deterministic stand-in for OSM's
+      // role tags — on real data the roles come from the member table),
+      // every other ring a hole. Shell normalized CCW, holes CW, ring 0
+      // first — the OGC layout PostGIS expects. Same two aggregations +
+      // one fact⋈fact join as osm_relation_wkb: the role split and
+      // winding fixes live INSIDE the row (ordered struct sort +
+      // positional transform), so no shuffle is added. Oracle pins ring/
+      // hole/point counts, the outer pick, its exact area, and the byte
+      // length; WkbSpec decodes shell-CCW / holes-CW / closure.
+      val rings = wayRings(s, d).select(col("way_id"), col("ring"), col("shoe"))
+      T.orders(s, d)
+        .select(col("o_custkey").as("relation_id"), col("o_orderkey"))
+        .join(rings, col("o_orderkey") === col("way_id"))
+        .groupBy(col("relation_id"))
+        .agg(expr(
+          """array_sort(collect_list(named_struct(
+            |  'neg_area', -abs(shoe), 'way_id', way_id, 'ring', ring, 'shoe', shoe)))""".stripMargin)
+          .as("rs"))
+        // shell (position 0) must wind CCW, holes CW: reverse on demand,
+        // decided by the exact integer shoelace sign
+        .withColumn("norm",
+          expr("""transform(rs, (r, i) ->
+                 |  IF((i = 0 AND r.shoe < 0) OR (i > 0 AND r.shoe > 0),
+                 |     reverse(r.ring), r.ring))""".stripMargin))
+        .select(col("relation_id"),
+          size(col("rs")).cast("long").as("n_rings"),
+          (size(col("rs")) - 1).cast("long").as("n_holes"),
+          expr("aggregate(rs, CAST(0 AS BIGINT), (acc, r) -> acc + size(r.ring))").as("n_points"),
+          expr("rs[0].way_id").as("outer_way"),
+          (abs(expr("rs[0].shoe")).cast("double") / 20000.0).as("outer_area"),
+          graft.functions.WkbMultiPolygon(
+            expr("transform(norm, ring -> transform(ring, p -> CAST(p.lon_c AS DOUBLE) / 100.0D))"),
+            expr("transform(norm, ring -> transform(ring, p -> CAST(p.lat_c AS DOUBLE) / 100.0D))"),
+            array(lit(0))).as("wkb"))
+        .select(col("relation_id"), col("n_rings"), col("n_holes"), col("n_points"),
+                col("outer_way"), col("outer_area"),
+                octet_length(col("wkb")).cast("long").as("wkb_len"),
+                substring(hex(col("wkb")), 1, 10).as("wkb_header"))
         .orderBy(col("relation_id"))
     },
 

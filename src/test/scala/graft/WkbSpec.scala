@@ -69,6 +69,113 @@ class WkbSpec extends GraftSuite {
     }
   }
 
+  test("polygon wkb: decoded ring is closed, CCW, bit-exact") {
+    import graft.functions.WkbPolygon
+    val rows = SparkEntry.queries("osm_way_polygon_wkb")(spark, sf)
+    assert(rows.count() > 0)
+    // re-derive the raw bytes (the registered query projects them down to
+    // structural columns for the oracle)
+    val polys = T.lineitem(spark, sf).select(
+        col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+        col("l_partkey").as("node_ref"))
+      .join(T.part(spark, sf).select(
+        col("p_partkey").as("node_id"),
+        (col("p_size").cast("long") * 100).as("lon_c"),
+        round(col("p_retailprice") * 100).cast("long").as("lat_c")),
+        col("node_ref") === col("node_id"))
+      .groupBy(col("way_id"))
+      .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+      .withColumn("ring",
+        expr("""IF(element_at(pts, 1).lon_c = element_at(pts, -1).lon_c
+               |   AND element_at(pts, 1).lat_c = element_at(pts, -1).lat_c,
+               |   pts, concat(pts, slice(pts, 1, 1)))""".stripMargin))
+      .withColumn("shoe",
+        expr("""aggregate(
+               |  zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1),
+               |           (a, b) -> a.lon_c * b.lat_c - b.lon_c * a.lat_c),
+               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("shell", expr("IF(shoe < 0, reverse(ring), ring)"))
+      .select(col("way_id"), col("shoe"),
+        WkbPolygon(
+          expr("array(transform(shell, p -> CAST(p.lon_c AS DOUBLE) / 100.0D))"),
+          expr("array(transform(shell, p -> CAST(p.lat_c AS DOUBLE) / 100.0D))")).as("wkb"))
+      .orderBy(col("way_id")).limit(200).collect()
+    assert(polys.nonEmpty)
+    polys.foreach { r =>
+      val rings = WkbPolygon.decode(r.getAs[Array[Byte]]("wkb"))
+      assert(rings.size === 1)
+      val (lons, lats) = rings.head
+      // closed: first point == last point
+      assert(lons.head === lons.last && lats.head === lats.last)
+      // shell winding CCW (shoelace over the decoded doubles; scale back
+      // to exact centi-longs so the sign check matches the plan's)
+      if (lons.length > 2) {
+        val shoe = WkbPolygon.shoelace(
+          lons.map(x => math.round(x * 100)), lats.map(x => math.round(x * 100)))
+        assert(shoe >= 0, s"way ${r.getLong(0)}: decoded shell winds CW")
+      }
+    }
+  }
+
+  test("multipolygon wkb: shell CCW, holes CW, all rings closed, largest-area shell first") {
+    import graft.functions.{WkbMultiPolygon, WkbPolygon}
+    val rel = SparkEntry.queries("osm_relation_multipolygon_wkb")(spark, sf)
+    assert(rel.count() > 0)
+    val ways = T.lineitem(spark, sf).select(
+        col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+        col("l_partkey").as("node_ref"))
+      .join(T.part(spark, sf).select(
+        col("p_partkey").as("node_id"),
+        (col("p_size").cast("long") * 100).as("lon_c"),
+        round(col("p_retailprice") * 100).cast("long").as("lat_c")),
+        col("node_ref") === col("node_id"))
+      .groupBy(col("way_id"))
+      .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+      .withColumn("ring",
+        expr("""IF(element_at(pts, 1).lon_c = element_at(pts, -1).lon_c
+               |   AND element_at(pts, 1).lat_c = element_at(pts, -1).lat_c,
+               |   pts, concat(pts, slice(pts, 1, 1)))""".stripMargin))
+      .withColumn("shoe",
+        expr("""aggregate(
+               |  zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1),
+               |           (a, b) -> a.lon_c * b.lat_c - b.lon_c * a.lat_c),
+               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+    val mp = T.orders(spark, sf)
+      .select(col("o_custkey").as("relation_id"), col("o_orderkey"))
+      .join(ways.select(col("way_id"), col("ring"), col("shoe")),
+            col("o_orderkey") === col("way_id"))
+      .groupBy(col("relation_id"))
+      .agg(expr(
+        """array_sort(collect_list(named_struct(
+          |  'neg_area', -abs(shoe), 'way_id', way_id, 'ring', ring, 'shoe', shoe)))""".stripMargin)
+        .as("rs"))
+      .withColumn("norm",
+        expr("""transform(rs, (r, i) ->
+               |  IF((i = 0 AND r.shoe < 0) OR (i > 0 AND r.shoe > 0),
+               |     reverse(r.ring), r.ring))""".stripMargin))
+      .select(col("relation_id"),
+        WkbMultiPolygon(
+          expr("transform(norm, ring -> transform(ring, p -> CAST(p.lon_c AS DOUBLE) / 100.0D))"),
+          expr("transform(norm, ring -> transform(ring, p -> CAST(p.lat_c AS DOUBLE) / 100.0D))"),
+          array(lit(0))).as("wkb"))
+      .orderBy(col("relation_id")).limit(50).collect()
+    assert(mp.nonEmpty)
+    mp.foreach { r =>
+      val polys = WkbMultiPolygon.decode(r.getAs[Array[Byte]]("wkb"))
+      assert(polys.size === 1)
+      val rings = polys.head
+      assert(rings.nonEmpty)
+      val areas = rings.map { case (lons, lats) =>
+        assert(lons.head === lons.last && lats.head === lats.last, "ring not closed")
+        WkbPolygon.shoelace(lons.map(x => math.round(x * 100)), lats.map(x => math.round(x * 100)))
+      }
+      assert(areas.head >= 0, "shell must wind CCW")
+      areas.tail.foreach(a => assert(a <= 0, "hole must wind CW"))
+      // the shell is the largest |area| ring
+      assert(areas.map(math.abs).max === math.abs(areas.head))
+    }
+  }
+
   test("wkb expression survives whole-stage codegen (no interpreted fallback)") {
     // force the codegen path by evaluating through a projection over a
     // non-trivial plan; identical bytes from eval and codegen paths
