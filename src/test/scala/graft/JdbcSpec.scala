@@ -24,6 +24,46 @@ class JdbcSpec extends GraftSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("postgres dialect emits the DDL a PostGIS layer load needs (no server required)") {
+    // The reference's real serving edge is Postgres/PostGIS
+    // (`/root/reference/osm_etl.py:88-91`): the dump-reload becomes, on
+    // this engine, a direct JDBC write whose CREATE TABLE goes through
+    // Spark's PostgresDialect. Assert the exact column DDL Spark would
+    // emit for an assembled OSM layer row — geometry WKB as BYTEA, text
+    // as TEXT, ids as BIGINT — plus a createTableColumnTypes override,
+    // without needing a live server (the DDL string IS the contract).
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val dialect = JdbcDialects.get("jdbc:postgresql://db.example/osm")
+    val layer = StructType(Seq(
+      StructField("osm_id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("layer", StringType),
+      StructField("area", DoubleType),
+      StructField("n_ring_points", IntegerType),
+      StructField("visible", BooleanType),
+      StructField("updated_at", TimestampType),
+      StructField("geom", BinaryType))) // WKB Polygon/MultiPolygon bytes
+    val ddl = JdbcUtils.schemaString(dialect, layer, caseSensitive = false, None)
+    assert(ddl.contains("\"osm_id\" BIGINT NOT NULL"))
+    assert(ddl.contains("\"name\" TEXT"))
+    assert(ddl.contains("\"area\" FLOAT8")) // = double precision
+    assert(ddl.contains("\"n_ring_points\" INTEGER"))
+    assert(ddl.contains("\"visible\" BOOLEAN"))
+    // Spark TimestampType is session-tz-relative → timestamptz; the
+    // no-zone variant is TimestampNTZType
+    assert(ddl.contains("\"updated_at\" TIMESTAMP WITH TIME ZONE"))
+    // WKB geometry lands as BYTEA — the PostGIS load then applies
+    // ST_GeomFromWKB(geom) server-side, exactly the osm2pgsql hand-off
+    assert(ddl.contains("\"geom\" BYTEA"))
+    // createTableColumnTypes pins a column type past the dialect default
+    // (the same knob the Derby round-trips use for VARCHAR)
+    val pinned = JdbcUtils.schemaString(
+      dialect, layer, caseSensitive = false, Some("name VARCHAR(256)"))
+    assert(pinned.contains("\"name\" VARCHAR(256)"))
+  }
+
   test("partitioned jdbc read stripes across numPartitions connections") {
     val url = JdbcIO.freshEmbeddedDerby("graft_spec_derby_p")
     val src = T.customer(spark, sf).select(col("c_custkey"), col("c_acctbal"))
