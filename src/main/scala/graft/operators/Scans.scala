@@ -129,6 +129,43 @@ object Scans {
     },
 
     Q(
+      "source_pbf_blocks",
+      """SELECT i AS element_id,
+        |       CASE CAST(i % 3 AS INT) WHEN 0 THEN 'node' WHEN 1 THEN 'way' ELSE 'relation' END AS kind,
+        |       'n' || CAST(i % 97 AS VARCHAR) AS name,
+        |       (i * 37) % 360000 - 180000 AS lon_c
+        |FROM range(0, 10000) t(i)
+        |WHERE i BETWEEN 2500 AND 7499
+        |ORDER BY element_id""".stripMargin
+    ) { (s, _) =>
+      // PBF-shaped blockwise binary ingest (graft.sources.OsmPbfLikeSource
+      // over GraftBlockFormat): length-prefixed blocks, per-block string
+      // table, delta/varint-packed elements — real byte decoding behind
+      // the DSv2 extension point (the reference's true input is PBF,
+      // osm_etl.py:54-55). The id BETWEEN predicate is pushed into the
+      // scan and skips whole blocks via the per-block [minId, maxId]
+      // index before any payload I/O; dropping lat_c exercises the
+      // pruned decode path. File staged once per session (conf-keyed,
+      // deterministic contents shared with the oracle's formulas).
+      val file = s.conf.getOption("spark.sql.graft.blkfile").getOrElse {
+        val f = java.nio.file.Files.createTempDirectory("graft_blk")
+          .resolve("elements.graftblk").toString
+        graft.sources.GraftBlockFormat.write(f,
+          (0L until 10000L).iterator.map(i => graft.sources.GraftBlockFormat.Elem(
+            i, graft.sources.OsmSyntheticSource.kindOf(i), s"n${i % 97}",
+            graft.sources.OsmSyntheticSource.lonOf(i),
+            graft.sources.OsmSyntheticSource.latOf(i))),
+          blockSize = 1000)
+        s.conf.set("spark.sql.graft.blkfile", f)
+        f
+      }
+      s.read.format("graft.sources.OsmPbfLikeSource").option("path", file).load()
+        .where(col("element_id").between(2500L, 7499L))
+        .select(col("element_id"), col("kind"), col("name"), col("lon_c"))
+        .orderBy(col("element_id"))
+    },
+
+    Q(
       "sink_jdbc",
       """SELECT n_nationkey, n_regionkey, n_name
         |FROM nation
