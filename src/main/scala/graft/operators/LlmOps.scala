@@ -249,19 +249,14 @@ object LlmOps {
     // random-pair floor, so precision is 1.0 here. xxhash64-based → no
     // DuckDB oracle; SmokeOpsSpec asserts concentration + precision.
     Q.smoke("dedup_simhash") { (s, d) =>
-      // Bit sums as 64 plain aggregates over exploded token rows (same
-      // codegen/partial-agg rationale as the minhash signature above).
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .withColumn("h", xxhash64(col("t")))
-      val bitCols = (0 until 64).map { b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-      }
-      val packed = (0 until 64)
-        .map(b => when(col(s"b$b") >= 0, shiftleft(lit(1L), b)).otherwise(0L))
-        .reduce(_ + _)
-      val sig = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-        .select(col("doc_id"), packed.as("simhash"))
+      // The 64-bit signature is ONE fused map-side expression
+      // (functions/SimHash64.scala) over the doc's own token array — no
+      // explode, no 64-column aggregate, no shuffle (same escape from
+      // the janino-class-size cliff as MinHashSignature; bit-identical
+      // values, so the measured hamming margins above are unchanged).
+      val sig = T.documents(s, d)
+        .select(col("doc_id"),
+                graft.functions.SimHash64(split(col("text"), " ")).as("simhash"))
       val chunks = sig.select(col("doc_id"), col("simhash"),
         posexplode(expr("transform(sequence(0, 7), c -> shiftright(simhash, c * 8) & 255)"))
           .as(Seq("chunk_i", "chunk_v")))
