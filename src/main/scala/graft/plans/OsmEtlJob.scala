@@ -44,6 +44,32 @@ object OsmEtlJob {
                 expr("array_max(transform(pts, p -> p.lon_c))").as("maxx"),
                 expr("array_max(transform(pts, p -> p.lat_c))").as("maxy")).as("bbox"))
 
+  /** Area assembly over assembled ways (round-4 surface: the majority of
+    * PgOSM Flex layers are area-shaped — buildings/water/landuse,
+    * README.md:80-82): ring closure, exact integer shoelace area +
+    * winding, CCW-normalized OGC WKB Polygon. Same semantics as the
+    * `osm_way_polygon_wkb` operator, producing the lake table rather
+    * than the oracle summary — all transforms stay inside the row over
+    * the already-assembled `pts`, no additional shuffle.
+    */
+  def assembleAreas(ways: DataFrame): DataFrame =
+    ways
+      .withColumn("ring",
+        expr("""IF(element_at(pts, 1).lon_c = element_at(pts, -1).lon_c
+               |   AND element_at(pts, 1).lat_c = element_at(pts, -1).lat_c,
+               |   pts, concat(pts, slice(pts, 1, 1)))""".stripMargin))
+      .withColumn("shoe",
+        expr("""aggregate(
+               |  zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1),
+               |           (a, b) -> a.lon_c * b.lat_c - b.lon_c * a.lat_c),
+               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("shell", expr("IF(shoe < 0, reverse(ring), ring)"))
+      .select(col("way_id"),
+        (abs(col("shoe")).cast("double") / 20000.0).as("area"),
+        graft.functions.WkbPolygon(
+          expr("array(transform(shell, p -> CAST(p.lon_c AS DOUBLE) / 100.0D))"),
+          expr("array(transform(shell, p -> CAST(p.lat_c AS DOUBLE) / 100.0D))")).as("polygon_wkb"))
+
   /** Two-level relation resolve over assembled ways. */
   def assembleRelations(members: DataFrame, ways: DataFrame): DataFrame =
     members
@@ -116,11 +142,16 @@ object OsmEtlJob {
       .parquet(s"$outDir/ways")
     relations.withColumn("pgosm_date", lit(pgosmDate))
       .write.mode("overwrite").partitionBy("pgosm_date").parquet(s"$outDir/relations")
+    // area layer (polygon WKB): what osm2pgsql writes for building/water/
+    // landuse-class layers; PostGIS load applies ST_GeomFromWKB
+    assembleAreas(ways).withColumn("pgosm_date", lit(pgosmDate))
+      .write.mode("overwrite").partitionBy("pgosm_date").parquet(s"$outDir/areas")
     layers.withColumn("pgosm_date", lit(pgosmDate))
       .write.mode("overwrite").partitionBy("layer", "pgosm_date").parquet(s"$outDir/layers")
 
     println(s"""{"job":"osm_etl","date":"$pgosmDate","ways":${spark.read.parquet(s"$outDir/ways").count()},""" +
             s""""relations":${spark.read.parquet(s"$outDir/relations").count()},""" +
+            s""""areas":${spark.read.parquet(s"$outDir/areas").count()},""" +
             s""""layer_rows":${spark.read.parquet(s"$outDir/layers").count()}}""")
     spark.stop()
   }

@@ -33,6 +33,20 @@ class OsmEtlJobSpec extends GraftSuite {
       nodes, Seq("heavy" -> (col("lon_c") >= 2500), "premium" -> (col("lat_c") > 150000)))
     assert(layers.where(col("layer") === "heavy" && col("lon_c") < 2500).count() == 0)
     assert(layers.where(col("layer") === "premium" && col("lat_c") <= 150000).count() == 0)
+    // area assembly: one polygon per way, closed CCW shell, area matches
+    // the exact shoelace of the decoded bytes
+    val areas = plans.OsmEtlJob.assembleAreas(ways)
+    assert(areas.count() == ways.count())
+    areas.orderBy("way_id").limit(100).collect().foreach { r =>
+      val rings = graft.functions.WkbPolygon.decode(r.getAs[Array[Byte]]("polygon_wkb"))
+      assert(rings.size == 1)
+      val (lons, lats) = rings.head
+      assert(lons.head == lons.last && lats.head == lats.last)
+      val shoe = graft.functions.WkbPolygon.shoelace(
+        lons.map(x => math.round(x * 100)), lats.map(x => math.round(x * 100)))
+      assert(shoe >= 0, "shell must be CCW-normalized")
+      assert(math.abs(r.getAs[Double]("area") - math.abs(shoe) / 20000.0) < 1e-9)
+    }
     // partitioned write + pruned re-read
     ways.join(
         T.orders(spark, sf).select(col("o_orderkey").as("way_id"),
