@@ -346,6 +346,65 @@ object OsmKernels {
     },
 
     Q(
+      "osm_point_in_polygon",
+      s"""WITH $duckRingsCte,
+         |pois AS (
+         |  SELECT p_partkey AS node_id, p_size * 100 AS px,
+         |         CAST(round(p_retailprice * 100) AS BIGINT) AS py
+         |  FROM part WHERE p_partkey % 97 = 0)
+         |SELECT way_id, count(*) AS n_pois
+         |FROM rings, pois
+         |WHERE px BETWEEN list_min(clons) AND list_max(clons)
+         |  AND py BETWEEN list_min(clats) AND list_max(clats)
+         |  AND (list_sum(list_transform(range(2, len(clons) + 1), i ->
+         |        CASE WHEN (clats[i-1] > py) <> (clats[i] > py)
+         |              AND ((clons[i-1] - px) * (clats[i] - clats[i-1])
+         |                   + (clons[i] - clons[i-1]) * (py - clats[i-1]))
+         |                  * (clats[i] - clats[i-1]) > 0
+         |             THEN 1 ELSE 0 END)) % 2 = 1)
+         |GROUP BY way_id
+         |ORDER BY way_id""".stripMargin
+    ) { (s, d) =>
+      // ST_Contains over the assembled area geometry — the defining query
+      // of the reference's terminal store ("amenable to efficient
+      // querying" in PostGIS, README.md:70): which POIs fall inside each
+      // way-polygon. Same scalable shape as join_spatial_grid: the
+      // inequality NEVER drives the join — polygons explode over the
+      // coarse grid cells their bbox covers, POIs snap to their cell,
+      // the equi-join proposes candidates, bbox + exact crossing-number
+      // (PointInRing, codegen'd integer kernel, boundary-consistent with
+      // the oracle) decide them, and pair-dedupe absorbs multi-cell
+      // meetings. POI side is size-gated broadcast (dim-sized here;
+      // fact-sized POIs degrade to a cell-key shuffle). Cell size is a
+      // replication-vs-precision knob per axis (coords are centi-units;
+      // lat spans ~24× lon on this fixture).
+      val pois = T.part(s, d).where(col("p_partkey") % 97 === 0).select(
+        col("p_partkey").as("node_id"),
+        (col("p_size").cast("long") * 100).as("px"),
+        round(col("p_retailprice") * 100).cast("long").as("py"),
+        expr("(p_size * 100) DIV 2500").as("cx"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT) DIV 60000").as("cy"))
+      val polyCells = wayRings(s, d)
+        .select(col("way_id"),
+          expr("transform(ring, p -> p.lon_c)").as("rlons"),
+          expr("transform(ring, p -> p.lat_c)").as("rlats"))
+        .withColumn("minx", expr("array_min(rlons)"))
+        .withColumn("maxx", expr("array_max(rlons)"))
+        .withColumn("miny", expr("array_min(rlats)"))
+        .withColumn("maxy", expr("array_max(rlats)"))
+        .withColumn("cx", explode(sequence(expr("minx DIV 2500"), expr("maxx DIV 2500"))))
+        .withColumn("cy", explode(sequence(expr("miny DIV 60000"), expr("maxy DIV 60000"))))
+      polyCells
+        .join(graft.Gate.bcast(pois), Seq("cx", "cy"))
+        .where(col("px").between(col("minx"), col("maxx")) &&
+               col("py").between(col("miny"), col("maxy")))
+        .where(graft.functions.PointInRing(col("rlons"), col("rlats"), col("px"), col("py")))
+        .select(col("node_id"), col("way_id")).distinct()
+        .groupBy(col("way_id")).agg(count(lit(1)).as("n_pois"))
+        .orderBy(col("way_id"))
+    },
+
+    Q(
       "osm_layer_extract",
       """SELECT layer, p_partkey AS element_id, brand, size_val
         |FROM (
