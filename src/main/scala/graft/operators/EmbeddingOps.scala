@@ -56,7 +56,14 @@ object EmbeddingOps {
     * Returns (assignments, inertia history); inertia = Σ(1 − cos) is
     * non-increasing under spherical Lloyd (KmeansSpec asserts it).
     */
-  def kmeans(e: DataFrame, k: Int, iters: Int): (DataFrame, Seq[Double]) = {
+  /** `trackInertia=false` skips the per-iteration scalar aggregate ACTION
+    * (the convergence probe) — the training dataflow is identical, but a
+    * consumer that only needs assignments (the registered query, the IVF
+    * index build) saves one Spark job per iteration. KmeansSpec turns it
+    * on to assert monotone convergence.
+    */
+  def kmeans(e: DataFrame, k: Int, iters: Int,
+             trackInertia: Boolean = false): (DataFrame, Seq[Double]) = {
     val vecs = e.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS FLOAT))").as("v"))
     // deterministic seeding: the k lowest vec_ids are the initial codebook
@@ -73,8 +80,9 @@ object EmbeddingOps {
              max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
              max(col("cos")).as("cos"))
       // coalesce: sum over zero rows is NULL (empty snapshot is routine)
-      inertia ::= assigned.agg(coalesce(sum(lit(1.0) - col("cos")), lit(0.0)))
-        .head.getDouble(0)
+      if (trackInertia)
+        inertia ::= assigned.agg(coalesce(sum(lit(1.0) - col("cos")), lit(0.0)))
+          .head.getDouble(0)
       cent = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .withColumn("micro", expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class KmeansSpec extends GraftSuite {
 
   test("spherical lloyd: inertia is non-increasing across iterations") {
-    val (_, hist) = EmbeddingOps.kmeans(T.embeddings(spark, sf), k = 4, iters = 4)
+    val (_, hist) = EmbeddingOps.kmeans(T.embeddings(spark, sf), k = 4, iters = 4, trackInertia = true)
     assert(hist.size === 4)
     hist.sliding(2).foreach { case Seq(a, b) =>
       assert(b <= a + 1e-9, s"inertia rose: $hist")
