@@ -120,6 +120,64 @@ class PropertySpec extends GraftSuite {
     for ((v, lbl) <- out if !inPairs(v)) assert(v == lbl)
   }
 
+  test("SimHash64 expression is bit-identical to the 64-agg-column formulation") {
+    // The fused kernel (round 4) replaced 64 sum(when(...)) aggregate bit
+    // columns; this pins the claimed equivalence on the REAL corpus, so
+    // the measured hamming margins provably carry over.
+    val docs = T.documents(spark, sf).limit(200)
+    val fused = docs
+      .select(col("doc_id"), graft.functions.SimHash64(split(col("text"), " ")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val packed = (0 until 64)
+      .map(b => when(col(s"b$b") >= 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_ + _)
+    val legacy = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"), packed.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.keySet == legacy.keySet)
+    fused.foreach { case (id, s) => assert(s == legacy(id), s"doc $id signature differs") }
+  }
+
+  test("PointInRing agrees with an independent even-odd implementation") {
+    // Random closed rings + probe points, verdicts checked against
+    // java.awt.geom.Path2D's WIND_EVEN_ODD containment (an entirely
+    // independent formulation). Integer coords keep both sides exact;
+    // points colliding with ring vertices are skipped (boundary rule is
+    // ours by design: strictly outside).
+    val rnd = new scala.util.Random(7)
+    var checked = 0
+    for (_ <- 1 to 60) {
+      val n = 3 + rnd.nextInt(8)
+      val xs = Array.fill(n)(rnd.nextInt(1000).toLong)
+      val ys = Array.fill(n)(rnd.nextInt(1000).toLong)
+      val lons = (xs :+ xs.head)
+      val lats = (ys :+ ys.head)
+      val path = new java.awt.geom.Path2D.Double(java.awt.geom.Path2D.WIND_EVEN_ODD)
+      path.moveTo(xs(0).toDouble, ys(0).toDouble)
+      (1 until n).foreach(i => path.lineTo(xs(i).toDouble, ys(i).toDouble))
+      path.closePath()
+      for (_ <- 1 to 30) {
+        // offset by 0.5-equivalent: probe at odd half-coordinates via
+        // doubling everything, so the probe can never sit ON an edge
+        val px = rnd.nextInt(1000) * 2L + 1
+        val py = rnd.nextInt(1000) * 2L + 1
+        val got = graft.functions.PointInRing.contains(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(lons.map(_ * 2)),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(lats.map(_ * 2)),
+          px, py)
+        val want = path.contains(px / 2.0, py / 2.0)
+        assert(got == want, s"ring=${xs.toSeq.zip(ys.toSeq)} p=($px,$py): got $got want $want")
+        checked += 1
+      }
+    }
+    assert(checked == 1800)
+  }
+
   test("asof-join emulation picks the latest quote at or before each trade") {
     // hand-computed fixture incl. an exact-tie (quote ts == trade ts → taken)
     val events = Seq(
