@@ -438,6 +438,36 @@ object OsmKernels {
         .orderBy(col("layer"), col("element_id"))
     },
 
+    // Douglas–Peucker generalization of assembled ways (the reference
+    // stack's low-zoom generalized layers; PostGIS ST_Simplify). The
+    // kernel (functions/SimplifyIndices.scala) emits KEPT point indices
+    // so the same pass serves any row layout; tolerance is in integer
+    // centi-units. Recursive geometry → no SQL oracle; SimplifySpec
+    // asserts endpoints, subsequence, the deviation bound against brute
+    // force, and idempotence.
+    Q.smoke("osm_way_simplify") { (s, d) =>
+      val tol = 20000L // 200 units: meaningful reduction on this corpus
+      T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+                col("l_partkey").as("node_ref"))
+        .join(nodes(s, d), col("node_ref") === col("node_id"))
+        .groupBy(col("way_id"))
+        .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+        .withColumn("rlons", expr("transform(pts, p -> p.lon_c)"))
+        .withColumn("rlats", expr("transform(pts, p -> p.lat_c)"))
+        .withColumn("keep",
+          graft.functions.SimplifyIndices(col("rlons"), col("rlats"), lit(tol)))
+        .select(col("way_id"),
+          size(col("pts")).cast("long").as("n_points"),
+          size(col("keep")).cast("long").as("n_kept"),
+          graft.functions.WkbLineString(
+            expr("transform(keep, i -> CAST(element_at(rlons, i + 1) AS DOUBLE) / 100.0D)"),
+            expr("transform(keep, i -> CAST(element_at(rlats, i + 1) AS DOUBLE) / 100.0D)")).as("wkb"))
+        .select(col("way_id"), col("n_points"), col("n_kept"),
+                octet_length(col("wkb")).cast("long").as("wkb_len"))
+        .orderBy(col("way_id"))
+    },
+
     Q(
       "osm_snapshot_delta",
       """WITH snap_a AS (
