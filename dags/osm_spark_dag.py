@@ -93,18 +93,18 @@ with DAG(
     )
 
     # Terminal load (osm_etl.py:88-91): instead of pg_dump + reload, the
-    # assembled layers go straight to Postgres/PostGIS over JDBC -- the
-    # sink_jdbc path with PostgresDialect DDL (geometry WKB as BYTEA,
-    # ST_GeomFromWKB applied server-side). Shown as a placeholder submit
-    # of the same jar; a deployment would pass the JDBC URL via an
-    # Airflow Connection exactly like the reference's pgosm_postgres_conn.
+    # assembled lake tables go straight to Postgres/PostGIS over JDBC via
+    # graft.plans.PostgisLoadJob (batched writes, PostgresDialect DDL:
+    # geometry WKB as BYTEA, ST_GeomFromWKB applied server-side). The JDBC
+    # URL comes from an Airflow Connection exactly like the reference's
+    # pgosm_postgres_conn (osm_etl.py:9-11).
     load_postgis = BashOperator(
         task_id="load_postgis",
         bash_command=submit(
-            "graft.plans.OsmEtlJob",
-            f"{OUT_DIR}",
-            "jdbc-load-placeholder",
-            PGOSM_DATE,
+            "graft.plans.PostgisLoadJob",
+            OUT_DIR,
+            "{{ conn.pgosm_postgres_conn.get_uri() }}",
+            "osm_",
         ),
     )
 

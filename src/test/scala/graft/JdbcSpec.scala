@@ -64,6 +64,34 @@ class JdbcSpec extends GraftSuite {
     assert(pinned.contains("\"name\" VARCHAR(256)"))
   }
 
+  test("PostgisLoadJob loads a lake dir end-to-end (Derby stand-in)") {
+    // The DAG's terminal task (dags/osm_spark_dag.py load_postgis) submits
+    // this exact path with a Postgres URL; here the offline Derby URL
+    // drives the identical code. Lake shape mirrors OsmEtlJob's output:
+    // scalars + a struct (flattens to parent_child) + an array (assembly
+    // intermediate, dropped) + WKB binary (passes through).
+    import org.apache.spark.sql.functions.{array, lit, struct}
+    val lake = java.nio.file.Files.createTempDirectory("graft_pg_lake").toString
+    T.nation(spark, sf)
+      .select(col("n_nationkey").as("way_id"), col("n_name").as("name"),
+        struct(lit(1L).as("minx"), lit(2L).as("miny")).as("bbox"),
+        array(lit(1L), lit(2L)).as("pts"),
+        expr("CAST(NULL AS BINARY)").as("wkb"))
+      .write.parquet(s"$lake/ways")
+    T.region(spark, sf)
+      .select(col("r_regionkey").as("way_id"), col("r_name").as("layer"))
+      .write.parquet(s"$lake/layers")
+    val url = JdbcIO.freshEmbeddedDerby("graft_spec_pg_load")
+    val loaded = graft.plans.PostgisLoadJob.load(spark, lake, url).toMap
+    // relations/areas absent from this lake → skipped, not failed
+    assert(loaded.keySet === Set("ways", "layers"))
+    assert(loaded("ways") === 25L && loaded("layers") === 5L)
+    val back = JdbcIO.readTable(spark, url, "osm_ways")
+    assert(back.schema.fieldNames.toSet ===
+      Set("way_id", "name", "bbox_minx", "bbox_miny", "wkb")) // pts dropped
+    assert(back.where(col("bbox_minx") === 1L).count() === 25L)
+  }
+
   test("partitioned jdbc read stripes across numPartitions connections") {
     val url = JdbcIO.freshEmbeddedDerby("graft_spec_derby_p")
     val src = T.customer(spark, sf).select(col("c_custkey"), col("c_acctbal"))

@@ -163,19 +163,35 @@ class PropertySpec extends GraftSuite {
       path.closePath()
       for (_ <- 1 to 30) {
         // offset by 0.5-equivalent: probe at odd half-coordinates via
-        // doubling everything, so the probe can never sit ON an edge
+        // doubling everything, so the probe can never sit ON a vertex;
+        // an odd-odd point CAN still lie exactly on a doubled edge (e.g.
+        // (0,0)-(2,2) passes through (1,1)), where the strict-outside
+        // kernel and Path2D may legitimately disagree — skip those.
         val px = rnd.nextInt(1000) * 2L + 1
         val py = rnd.nextInt(1000) * 2L + 1
-        val got = graft.functions.PointInRing.contains(
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(lons.map(_ * 2)),
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(lats.map(_ * 2)),
-          px, py)
-        val want = path.contains(px / 2.0, py / 2.0)
-        assert(got == want, s"ring=${xs.toSeq.zip(ys.toSeq)} p=($px,$py): got $got want $want")
-        checked += 1
+        val dlons = lons.map(_ * 2)
+        val dlats = lats.map(_ * 2)
+        val onEdge = (0 until n).exists { i =>
+          val x1 = dlons(i); val y1 = dlats(i)
+          val x2 = dlons(i + 1); val y2 = dlats(i + 1)
+          (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) == 0 &&
+            px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
+            py >= math.min(y1, y2) && py <= math.max(y1, y2)
+        }
+        if (!onEdge) {
+          val got = graft.functions.PointInRing.contains(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(dlons),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(dlats),
+            px, py)
+          val want = path.contains(px / 2.0, py / 2.0)
+          assert(got == want, s"ring=${xs.toSeq.zip(ys.toSeq)} p=($px,$py): got $got want $want")
+          checked += 1
+        }
       }
     }
-    assert(checked == 1800)
+    // edge-collinear probes are rare (none under this seed, a handful under
+    // others); require near-complete coverage so the test stays substantive
+    assert(checked >= 1750)
   }
 
   test("asof-join emulation picks the latest quote at or before each trade") {
