@@ -95,17 +95,37 @@ with DAG(
     # Terminal load (osm_etl.py:88-91): instead of pg_dump + reload, the
     # assembled lake tables go straight to Postgres/PostGIS over JDBC via
     # graft.plans.PostgisLoadJob (batched writes, PostgresDialect DDL:
-    # geometry WKB as BYTEA, ST_GeomFromWKB applied server-side). The JDBC
-    # URL comes from an Airflow Connection exactly like the reference's
-    # pgosm_postgres_conn (osm_etl.py:9-11).
-    load_postgis = BashOperator(
-        task_id="load_postgis",
-        bash_command=submit(
-            "graft.plans.PostgisLoadJob",
-            OUT_DIR,
-            "{{ conn.pgosm_postgres_conn.get_uri() }}",
-            "osm_",
-        ),
+    # geometry WKB as BYTEA, ST_GeomFromWKB applied server-side). The
+    # credentials come from an Airflow Connection exactly like the
+    # reference's pgosm_postgres_conn (osm_etl.py:9-11) — but rendered as
+    # a real JDBC URL (conn.get_uri() yields postgres://user:pass@..,
+    # which Spark's driver manager does not recognize); user/password ride
+    # the URL query string, which Spark's JDBC source accepts.
+    PG_JDBC_URL = (
+        "jdbc:postgresql://"
+        "{{ conn.pgosm_postgres_conn.host }}:{{ conn.pgosm_postgres_conn.port }}"
+        "/{{ conn.pgosm_postgres_conn.schema }}"
+        "?user={{ conn.pgosm_postgres_conn.login }}"
+        "&password={{ conn.pgosm_postgres_conn.password }}"
     )
+
+    # One load per region, pointed at the per-region lake dir the ETL
+    # fan-out actually wrote ({OUT_DIR}/{subregion} — NOT the bare
+    # OUT_DIR, which holds no tables and would fail loudly). Per-region
+    # table prefixes keep the idempotent overwrite loads from clobbering
+    # each other; the serving DB unions across prefixes (or views) the
+    # same way the reference's single PostGIS instance holds all regions.
+    with TaskGroup(group_id="load_postgis") as load_postgis:
+        for r in REGIONS:
+            sub = r["subregion"]
+            BashOperator(
+                task_id=f"load_{sub}_postgis",
+                bash_command=submit(
+                    "graft.plans.PostgisLoadJob",
+                    f"{OUT_DIR}/{sub}",
+                    f"'{PG_JDBC_URL}'",
+                    f"osm_{sub}_",
+                ),
+            )
 
     etl_regions_osm >> curate_corpus >> load_postgis

@@ -243,12 +243,16 @@ object JdbcIO {
     }.load()
   }
 
-  /** Batched append; `columnTypes` overrides the dialect's default DDL
+  /** Batched write; `columnTypes` overrides the dialect's default DDL
     * types on create (e.g. VARCHAR(n) where Derby would pick CLOB —
-    * exactly how a PostGIS load pins geometry/text column types). */
+    * exactly how a PostGIS load pins geometry/text column types).
+    * `overwrite = true` REPLACES the target table (drop + recreate) —
+    * the reference's dump-and-reload semantics, and what makes a
+    * retried load idempotent; default append preserves the original
+    * sink behavior for incremental writers. */
   def writeTable(df: DataFrame, url: String, table: String, batchSize: Int = 10000,
-                 columnTypes: Option[String] = None): Unit = {
-    val w = df.write.mode("append").format("jdbc")
+                 columnTypes: Option[String] = None, overwrite: Boolean = false): Unit = {
+    val w = df.write.mode(if (overwrite) "overwrite" else "append").format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("batchsize", batchSize)
     columnTypes.fold(w)(t => w.option("createTableColumnTypes", t)).save()

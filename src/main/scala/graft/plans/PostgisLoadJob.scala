@@ -39,34 +39,43 @@ object PostgisLoadJob {
     * between its middle store and the COPY into PostGIS.
     */
   def relational(df: DataFrame): DataFrame = {
-    val cols = df.schema.fields.flatMap { f =>
-      f.dataType match {
-        case s: StructType =>
-          s.fieldNames.map(n => col(s"${f.name}.$n").as(s"${f.name}_$n"))
-        case _: ArrayType | _: MapType => Nil
-        case _ => Seq(col(f.name))
+    val cols: Seq[org.apache.spark.sql.Column] =
+      df.schema.fields.toSeq.flatMap { f =>
+        f.dataType match {
+          case s: StructType =>
+            s.fieldNames.toSeq.map(n => col(s"${f.name}.$n").as(s"${f.name}_$n"))
+          case _: ArrayType | _: MapType => Nil
+          case _ => Seq(col(f.name))
+        }
       }
-    }
-    df.select(cols.toIndexedSeq: _*)
+    df.select(cols: _*)
   }
 
-  /** VARCHAR pins for every string column: PostgresDialect's TEXT default
-    * is fine, but Derby (the offline stand-in) would pick CLOB, which
-    * breaks ORDER BY/GROUP BY on read-back — one override string serves
-    * both dialects. */
-  private def varcharPins(df: DataFrame): Option[String] = {
-    val ss = df.schema.fields.collect {
-      case f if f.dataType == StringType => s"${f.name} VARCHAR(128)"
+  /** VARCHAR pins for string columns — Derby only. PostgresDialect's TEXT
+    * default is unbounded and correct (OSM tag values run past any fixed
+    * bound); Derby (the offline stand-in) would pick CLOB, which breaks
+    * ORDER BY/GROUP BY on read-back, so there we pin VARCHAR(512) — past
+    * OSM's 255-char value limit. */
+  private def varcharPins(df: DataFrame, url: String): Option[String] = {
+    if (!url.startsWith("jdbc:derby:")) None
+    else {
+      val ss = df.schema.fields.collect {
+        case f if f.dataType == StringType => s"${f.name} VARCHAR(512)"
+      }
+      if (ss.isEmpty) None else Some(ss.mkString(", "))
     }
-    if (ss.isEmpty) None else Some(ss.mkString(", "))
   }
 
   /** Load every lake table present under `lakeDir` into `url`; returns
-    * (table -> rows loaded). Factored out of main so JdbcSpec drives the
-    * identical path against embedded Derby. */
+    * (table -> rows loaded this run). Idempotent: each target table is
+    * REPLACED (overwrite), matching the reference's dump-and-reload
+    * semantics — an Airflow retry or a rerun of the same pgosm_date never
+    * duplicates rows. Throws if the lake dir holds no tables at all (a
+    * mispointed dir must fail the task, not report success). Factored out
+    * of main so JdbcSpec drives the identical path against embedded Derby. */
   def load(spark: SparkSession, lakeDir: String, url: String,
-           tablePrefix: String = "osm_"): Seq[(String, Long)] =
-    LakeTables.flatMap { t =>
+           tablePrefix: String = "osm_"): Seq[(String, Long)] = {
+    val loaded = LakeTables.flatMap { t =>
       val path = s"$lakeDir/$t"
       val exists = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -74,10 +83,16 @@ object PostgisLoadJob {
       if (!exists) None
       else {
         val rel = relational(spark.read.parquet(path))
-        JdbcIO.writeTable(rel, url, s"$tablePrefix$t", columnTypes = varcharPins(rel))
-        Some(t -> JdbcIO.readTable(spark, url, s"$tablePrefix$t").count())
+        JdbcIO.writeTable(rel, url, s"$tablePrefix$t",
+          columnTypes = varcharPins(rel, url), overwrite = true)
+        Some(t -> rel.count())
       }
     }
+    require(loaded.nonEmpty,
+      s"PostgisLoadJob: no lake tables (${LakeTables.mkString("/")}) under $lakeDir — " +
+        "is the lake dir mispointed? (ETL writes per-region subdirs)")
+    loaded
+  }
 
   def main(args: Array[String]): Unit = {
     val lakeDir = args(0)
