@@ -38,59 +38,83 @@ object EmbeddingOps {
       .select(col("label"), col("pos"),
               (col("sum_micro").cast("double") / col("n_vecs")).as("mean_micro"))
 
+  /** Map-only cluster assignment: the K-row codebook is folded into
+    * LITERAL expressions — one codegen'd cosine per centroid, argmax via
+    * `greatest` over (cos, -cid, cid) structs (highest cosine, ties to the
+    * lowest cid — `max_by(cid, struct(cos, -cid))` semantics) — so scoring
+    * N corpus rows against K centroids is a pure projection: ZERO exchange,
+    * nothing leaves the task that computed it (KmeansSpec asserts the plan
+    * is Exchange-free). This is what makes Lloyd viable at 100 TB: the
+    * corpus is read and scored in place every iteration; only K·dim
+    * partial sums ever move.
+    */
+  def assign(vecs: DataFrame, codebook: Seq[(Long, Array[Float])]): DataFrame =
+    if (codebook.isEmpty) {
+      // empty snapshot: no centroids -> no assignments (keep the schema)
+      vecs.where(lit(false))
+        .select(col("vec_id"), col("v"),
+                lit(null).cast("bigint").as("cid"), lit(null).cast("double").as("cos"))
+    } else {
+      val scored = codebook.map { case (cid, c) =>
+        struct(
+          graft.functions.CosineSimilarity(col("v"), typedLit(c)).as("cos"),
+          lit(-cid).as("ncid"), lit(cid).as("cid"))
+      }
+      val best = if (scored.sizeIs == 1) scored.head else greatest(scored: _*)
+      vecs.withColumn("best", best)
+        .select(col("vec_id"), col("v"),
+                col("best.cid").as("cid"), col("best.cos").as("cos"))
+    }
+
   /** Spherical k-means (Lloyd) over an embedding column — the IVF/coarse-
     * quantizer TRAINER (`emb_centroid` is its single step, `sim_cosine_ivf`
-    * its consumer). Assignment = argmax cosine against the broadcast
-    * centroid table (codegen'd kernel, K·dim driver-size); update = exact
-    * integer micro-unit means, so every iteration is partition-order
-    * deterministic — at 1000 executors the trained codebook is
-    * reproducible bit-for-bit.
-    *
-    * Each iteration: one broadcast join (no shuffle of the corpus) + one
-    * narrow (cid, pos) shuffle for the update. `localCheckpoint` truncates
-    * the K-row centroid lineage (dedup_clusters' Pregel discipline). The
-    * per-iteration inertia read is one scalar aggregate — the standard
-    * convergence probe of any iterative fitter, O(iters) actions, never a
-    * data collect.
+    * its consumer). Assignment = `assign` above: the codebook lives on the
+    * DRIVER as K·dim floats (metadata-sized, the same legitimacy class as
+    * the IVF probe's K-row collect) and is folded into literals, so the
+    * corpus NEVER shuffles. Update = exact integer micro-unit means — the
+    * one exchange per iteration, and a narrow one: map-side partial
+    * aggregation means the shuffle carries K·dim partial sums per task,
+    * never corpus rows. Every iteration is partition-order deterministic —
+    * at 1000 executors the trained codebook is reproducible bit-for-bit.
+    * The per-iteration codebook collect doubles as lineage truncation
+    * (each iteration's plan starts from literals, not the previous
+    * iteration's dataflow — the same discipline dedup_clusters gets from
+    * `localCheckpoint`).
     *
     * Returns (assignments, inertia history); inertia = Σ(1 − cos) is
     * non-increasing under spherical Lloyd (KmeansSpec asserts it).
-    */
-  /** `trackInertia=false` skips the per-iteration scalar aggregate ACTION
+    * `trackInertia=false` skips the per-iteration scalar aggregate ACTION
     * (the convergence probe) — the training dataflow is identical, but a
     * consumer that only needs assignments (the registered query, the IVF
-    * index build) saves one Spark job per iteration. KmeansSpec turns it
-    * on to assert monotone convergence.
+    * index build) saves one Spark job per iteration.
     */
   def kmeans(e: DataFrame, k: Int, iters: Int,
              trackInertia: Boolean = false): (DataFrame, Seq[Double]) = {
     val vecs = e.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS FLOAT))").as("v"))
+    def toCodebook(df: DataFrame): Seq[(Long, Array[Float])] =
+      df.orderBy(col("cid")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
     // deterministic seeding: the k lowest vec_ids are the initial codebook
-    var cent = vecs.where(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("c"))
-      .localCheckpoint(true)
+    var codebook = toCodebook(
+      vecs.where(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("v").as("c")))
     var inertia = List.empty[Double]
-    var assigned: DataFrame = null
+    var assigned: DataFrame = assign(vecs, codebook)
     for (_ <- 1 to iters) {
-      assigned = vecs.crossJoin(broadcast(cent))
-        .withColumn("cos", graft.functions.CosineSimilarity(col("v"), col("c")))
-        .groupBy(col("vec_id"))
-        .agg(first(col("v")).as("v"),
-             max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
-             max(col("cos")).as("cos"))
+      assigned = assign(vecs, codebook)
       // coalesce: sum over zero rows is NULL (empty snapshot is routine)
       if (trackInertia)
         inertia ::= assigned.agg(coalesce(sum(lit(1.0) - col("cos")), lit(0.0)))
           .head.getDouble(0)
-      cent = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .withColumn("micro", expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("micro")).cast("double") / count(lit(1)) / 1e6).as("m"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> CAST(p.m AS FLOAT))").as("c"))
-        .localCheckpoint(true)
+      codebook = toCodebook(
+        assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .withColumn("micro", expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+          .groupBy(col("cid"), col("pos"))
+          .agg((sum(col("micro")).cast("double") / count(lit(1)) / 1e6).as("m"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> CAST(p.m AS FLOAT))").as("c")))
     }
     (assigned.select(col("vec_id"), col("cid"), round(col("cos"), 6).as("cos")),
      inertia.reverse)

@@ -24,6 +24,20 @@ class KmeansSpec extends GraftSuite {
     assert(assigned.where(col("cid") < 0 || col("cid") >= 4).count() === 0)
   }
 
+  test("assignment stage is map-only: zero Exchange in the plan") {
+    // The 100 TB contract (VERDICT r5): scoring the corpus against the
+    // codebook must be a pure projection — the literal-folded argmax
+    // means no corpus row ever leaves its task during assignment. The
+    // returned assignments frame IS the assignment dataflow (projection
+    // over the scan), so its physical plan must contain no Exchange.
+    val (assigned, _) = EmbeddingOps.kmeans(T.embeddings(spark, sf), k = 4, iters = 2)
+    val p = assigned.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"assignment shuffled the corpus:\n$p")
+    // and the scoring kernel is codegen'd ("*(n)" marks a
+    // WholeStageCodegen stage in the plan string)
+    assert(p.contains("*("), p)
+  }
+
   test("training is deterministic: identical codebook on re-run") {
     val e = T.embeddings(spark, sf)
     val a = EmbeddingOps.kmeans(e, k = 4, iters = 2)._1.orderBy("vec_id").collect().map(_.toSeq)
