@@ -75,6 +75,57 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("banded minhash LSH recall is 1.0 on the corpus' planted near-dup pairs") {
+    // Pins dedup_minhash's correctness claim against future hash-family
+    // changes (VERDICT r5 #4): under the CURRENT per-slot family
+    // h_i(g) = XXH64(gram, seed = i) (functions/MinHashSignature) with the
+    // operator's 12×5 band geometry, BOTH approximate stages — band-bucket
+    // candidate generation and the Ĵ ≥ 1/2 signature-agreement prefilter —
+    // must pass every planted near-dup pair (true J ≥ 0.93; analysis says
+    // P(miss) ≈ 6e-7 per pair, so observed recall must be exactly 1.0).
+    val (bandsN, rowsN) = (12, 5)
+    val k = bandsN * rowsN
+    val hg = T.documents(spark, sf).select(col("doc_id"),
+      expr("""array_distinct(transform(
+             |  array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),
+             |                           i -> substring(text, i, 5))),
+             |  g -> xxhash64(g)))""".stripMargin).as("grams"))
+    // ground truth: exact all-pairs Jaccard ≥ 0.8 (feasible at spec scale)
+    val ex = hg.select(col("doc_id"), explode(col("grams")).as("g"))
+    val sizes = hg.select(col("doc_id"), size(col("grams")).as("n"))
+    val truePairs = ex.as("a")
+      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db")).agg(count(lit(1)).as("com"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .where(col("com").cast("double") / (col("na") + col("nb") - col("com")) >= 0.8)
+      .select(col("da"), col("db")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.size >= 20,
+      s"corpus plants ~25 near-dup pairs per 500 docs, found only ${truePairs.size}")
+    // stage 1: band-bucket candidates, the operator's exact construction
+    val sig = hg.select(col("doc_id"),
+      graft.functions.MinHashSignature(col("grams"), k).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until bandsN).map { b =>
+        xxhash64(concat_ws("_",
+          (0 until rowsN).map(r => col("sig").getItem(b * rowsN + r).cast("string")): _*))
+      }: _*)).as(Seq("band_i", "band_h")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+            col("a.band_i") === col("b.band_i") && col("a.band_h") === col("b.band_h") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truePairs -- cand
+    assert(missed.isEmpty, s"LSH bands missed ${missed.size} true pairs: $missed")
+    // stage 2: the agreement prefilter must keep every true pair too
+    val sigMap = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((a, b) <- truePairs) {
+      val agree = sigMap(a).zip(sigMap(b)).count { case (x, y) => x == y }
+      assert(agree * 2 >= k, s"agreement prefilter drops true pair ($a,$b): $agree/$k")
+    }
+  }
+
   test("merge upsert laws: empty delta is identity, same delta is idempotent") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(1, 20), Gen.chooseNum(0, 99)))
     def merge(base: org.apache.spark.sql.DataFrame, delta: org.apache.spark.sql.DataFrame) =
