@@ -92,20 +92,12 @@ object OsmEtlJob {
       .drop("layers")
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outDir = args(1)
-    val pgosmDate = if (args.length > 2) args(2) else "2024-07-25" // osm_etl.py:13
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
-      .appName(s"osm-etl-$pgosmDate")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+  /** The whole ETL dataflow, session-agnostic (main provisions a session
+    * and calls this; OsmEtlJobSpec drives the identical path in-process
+    * and chains PostgisLoadJob behind it — the full reference pipeline
+    * shape, `osm_etl.py:57-91`). Returns per-lake-table row counts. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          pgosmDate: String): Seq[(String, Long)] = {
     // --- scan: star-schema stand-ins for the OSM element stores (FIXTURES.md)
     val refs = T.lineitem(spark, sfDir).select(
       col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
@@ -149,10 +141,28 @@ object OsmEtlJob {
     layers.withColumn("pgosm_date", lit(pgosmDate))
       .write.mode("overwrite").partitionBy("layer", "pgosm_date").parquet(s"$outDir/layers")
 
-    println(s"""{"job":"osm_etl","date":"$pgosmDate","ways":${spark.read.parquet(s"$outDir/ways").count()},""" +
-            s""""relations":${spark.read.parquet(s"$outDir/relations").count()},""" +
-            s""""areas":${spark.read.parquet(s"$outDir/areas").count()},""" +
-            s""""layer_rows":${spark.read.parquet(s"$outDir/layers").count()}}""")
+    Seq("ways", "relations", "areas", "layers")
+      .map(t => t -> spark.read.parquet(s"$outDir/$t").count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val pgosmDate = if (args.length > 2) args(2) else "2024-07-25" // osm_etl.py:13
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .appName(s"osm-etl-$pgosmDate")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val counts = run(spark, sfDir, outDir, pgosmDate).toMap
+    println(s"""{"job":"osm_etl","date":"$pgosmDate","ways":${counts("ways")},""" +
+            s""""relations":${counts("relations")},""" +
+            s""""areas":${counts("areas")},""" +
+            s""""layer_rows":${counts("layers")}}""")
     spark.stop()
   }
 }

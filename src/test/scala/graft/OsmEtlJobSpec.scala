@@ -58,4 +58,34 @@ class OsmEtlJobSpec extends GraftSuite {
            "re-read must prune on the partition column")
     assert(pruned.count() > 0)
   }
+
+  test("full pipeline: OsmEtlJob lake -> PostgisLoadJob round-trips WKB byte-exact") {
+    // The reference pipeline end-to-end (`osm_etl.py:57-91`): ETL assembles
+    // the lake, the terminal load ships it to the serving database. Derby
+    // stands in for PostGIS; the load path (relational flattening, DDL
+    // pins, overwrite semantics) is identical.
+    val out = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val counts = plans.OsmEtlJob.run(spark, sf, out, "2024-07-25").toMap
+    assert(counts.keySet === Set("ways", "relations", "areas", "layers"))
+    assert(counts.values.forall(_ > 0), s"empty lake table: $counts")
+    val url = operators.JdbcIO.freshEmbeddedDerby("graft_e2e_load")
+    val loaded = plans.PostgisLoadJob.load(spark, out, url).toMap
+    assert(loaded === counts, "load must report exactly the lake's row counts")
+    // idempotency: a retried load (the DAG's retries=2) must not duplicate
+    val again = plans.PostgisLoadJob.load(spark, out, url).toMap
+    assert(again === counts)
+    assert(operators.JdbcIO.readTable(spark, url, "osm_areas").count() === counts("areas"))
+    // geometry survives the hand-off byte-exact: every polygon WKB read
+    // back from the database equals the lake's bytes (ST_GeomFromWKB
+    // server-side then sees the identical geometry)
+    val lakeWkb = spark.read.parquet(s"$out/areas")
+      .select(col("way_id"), col("polygon_wkb"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("polygon_wkb")).toMap
+    val dbWkb = operators.JdbcIO.readTable(spark, url, "osm_areas")
+      .select(col("way_id"), col("polygon_wkb"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("polygon_wkb")).toMap
+    assert(dbWkb.keySet === lakeWkb.keySet)
+    for ((id, bytes) <- lakeWkb)
+      assert(java.util.Arrays.equals(bytes, dbWkb(id)), s"WKB differs for way $id")
+  }
 }
