@@ -25,10 +25,16 @@ object OsmEtlJob {
 
   /** Ordered member resolve + regroup (the osm_way_geometry kernel,
     * producing the assembled-way table rather than the oracle summary).
+    *
+    * The node store is the corpus of this pipeline (osm2pgsql's node
+    * location store is its central scaling problem), so the resolve join
+    * goes through the size-gated [[graft.Gate.bcast]]: broadcast while the
+    * node table fits the budget, shuffle join (same result, one exchange)
+    * beyond it — a planet-scale node store must never be driver-collected.
     */
   def assembleWays(refs: DataFrame, nodes: DataFrame): DataFrame =
     refs
-      .join(broadcast(nodes), refs("node_ref") === nodes("node_id"))
+      .join(graft.Gate.bcast(nodes), refs("node_ref") === nodes("node_id"))
       .groupBy(col("way_id"))
       .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
       .select(col("way_id"), col("pts"),

@@ -59,6 +59,33 @@ class OsmEtlJobSpec extends GraftSuite {
     assert(pruned.count() > 0)
   }
 
+  test("assembleWays node-store broadcast is size-gated: degrades to a shuffle join") {
+    // The node store is the corpus (a planet-scale node location store);
+    // the resolve join must not hard-broadcast it. Mirror of PlanSpec's
+    // gate-degradation test, aimed at the actual spark-submit job path.
+    val refs = T.lineitem(spark, sf).select(
+      col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+      col("l_partkey").as("node_ref"))
+    val nodes = T.part(spark, sf).select(
+      col("p_partkey").as("node_id"),
+      (col("p_size").cast("long") * 100).as("lon_c"),
+      round(col("p_retailprice") * 100).cast("long").as("lat_c"))
+    val under = plans.OsmEtlJob.assembleWays(refs, nodes)
+    assert(under.queryExecution.executedPlan.toString().contains("BroadcastHashJoin"),
+           "under the budget the node resolve must broadcast")
+    spark.conf.set("spark.sql.graft.broadcastGateBytes", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val over = plans.OsmEtlJob.assembleWays(refs, nodes)
+      assert(!over.queryExecution.executedPlan.toString().contains("BroadcastHashJoin"),
+             "above the budget the node resolve must shuffle, not broadcast")
+      assert(over.count() === under.count(), "gate must never change results")
+    } finally {
+      spark.conf.unset("spark.sql.graft.broadcastGateBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("full pipeline: OsmEtlJob lake -> PostgisLoadJob round-trips WKB byte-exact") {
     // The reference pipeline end-to-end (`osm_etl.py:57-91`): ETL assembles
     // the lake, the terminal load ships it to the serving database. Derby
