@@ -233,8 +233,10 @@ object JdbcIO {
   }
 
   def readTable(spark: SparkSession, url: String, table: String,
-                partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
-    val r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+                partitionColumn: Option[(String, Long, Long, Int)] = None,
+                creds: Option[(String, String)] = None): DataFrame = {
+    val r0 = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    val r = creds.fold(r0) { case (u, p) => r0.option("user", u).option("password", p) }
     // Parallel JDBC ingest: without partitioning, one executor drags the
     // whole table through a single connection.
     partitionColumn.fold(r) { case (c, lo, hi, n) =>
@@ -246,15 +248,43 @@ object JdbcIO {
   /** Batched write; `columnTypes` overrides the dialect's default DDL
     * types on create (e.g. VARCHAR(n) where Derby would pick CLOB —
     * exactly how a PostGIS load pins geometry/text column types).
-    * `overwrite = true` REPLACES the target table (drop + recreate) —
-    * the reference's dump-and-reload semantics, and what makes a
-    * retried load idempotent; default append preserves the original
-    * sink behavior for incremental writers. */
+    * `overwrite = true` REPLACES the target table — with `truncate = true`
+    * via TRUNCATE TABLE, which keeps the table's DDL, indexes (e.g. a GiST
+    * on the geometry column), grants, and dependent views intact across
+    * idempotent reloads; without it, drop + recreate (the reference's
+    * dump-and-reload semantics). Default append preserves the original
+    * sink behavior for incremental writers. `creds` ride the connection
+    * properties, never the URL (a URL leaks through logs and plan dumps).
+    */
   def writeTable(df: DataFrame, url: String, table: String, batchSize: Int = 10000,
-                 columnTypes: Option[String] = None, overwrite: Boolean = false): Unit = {
-    val w = df.write.mode(if (overwrite) "overwrite" else "append").format("jdbc")
+                 columnTypes: Option[String] = None, overwrite: Boolean = false,
+                 truncate: Boolean = false,
+                 creds: Option[(String, String)] = None): Unit = {
+    val w0 = df.write.mode(if (overwrite) "overwrite" else "append").format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("batchsize", batchSize)
+      .option("truncate", truncate.toString)
+    val w = creds.fold(w0) { case (u, p) => w0.option("user", u).option("password", p) }
     columnTypes.fold(w)(t => w.option("createTableColumnTypes", t)).save()
+  }
+
+  /** Driver-side `DELETE FROM table WHERE predicate` — the slice-replace
+    * half of an idempotent partitioned load (delete the slice, append the
+    * fresh rows). A missing target table is fine (first-ever load: the
+    * subsequent append creates it). */
+  def deleteWhere(url: String, table: String, predicate: String,
+                  creds: Option[(String, String)] = None): Unit = {
+    val props = new java.util.Properties()
+    creds.foreach { case (u, p) => props.setProperty("user", u); props.setProperty("password", p) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM $table WHERE $predicate")
+      catch {
+        // Derby 42X05 / Postgres 42P01: table does not exist (yet)
+        case e: java.sql.SQLException
+          if e.getSQLState == "42X05" || e.getSQLState == "42P01" => ()
+      } finally st.close()
+    } finally conn.close()
   }
 }
