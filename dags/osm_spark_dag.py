@@ -96,25 +96,33 @@ with DAG(
     # assembled lake tables go straight to Postgres/PostGIS over JDBC via
     # graft.plans.PostgisLoadJob (batched writes, PostgresDialect DDL:
     # geometry WKB as BYTEA, ST_GeomFromWKB applied server-side). The
-    # credentials come from an Airflow Connection exactly like the
-    # reference's pgosm_postgres_conn (osm_etl.py:9-11) — but rendered as
-    # a real JDBC URL (conn.get_uri() yields postgres://user:pass@..,
-    # which Spark's driver manager does not recognize); user/password ride
-    # the URL query string, which Spark's JDBC source accepts.
+    # connection comes from an Airflow Connection exactly like the
+    # reference's pgosm_postgres_conn (osm_etl.py:9-11), rendered as a
+    # real JDBC URL (conn.get_uri() yields postgres://user:pass@..,
+    # which Spark's driver manager does not recognize). Credentials NEVER
+    # ride the URL (a URL leaks through task logs, the Spark UI, and plan
+    # dumps): they flow through the task env as GRAFT_PG_USER /
+    # GRAFT_PG_PASSWORD, which the job passes to JDBC as connection
+    # properties.
     PG_JDBC_URL = (
         "jdbc:postgresql://"
         "{{ conn.pgosm_postgres_conn.host }}:{{ conn.pgosm_postgres_conn.port }}"
         "/{{ conn.pgosm_postgres_conn.schema }}"
-        "?user={{ conn.pgosm_postgres_conn.login }}"
-        "&password={{ conn.pgosm_postgres_conn.password }}"
     )
+    PG_ENV = {
+        "GRAFT_PG_USER": "{{ conn.pgosm_postgres_conn.login }}",
+        "GRAFT_PG_PASSWORD": "{{ conn.pgosm_postgres_conn.password }}",
+    }
 
     # One load per region, pointed at the per-region lake dir the ETL
     # fan-out actually wrote ({OUT_DIR}/{subregion} — NOT the bare
-    # OUT_DIR, which holds no tables and would fail loudly). Per-region
-    # table prefixes keep the idempotent overwrite loads from clobbering
-    # each other; the serving DB unions across prefixes (or views) the
-    # same way the reference's single PostGIS instance holds all regions.
+    # OUT_DIR, which holds no tables and would fail loudly). All regions
+    # land in ONE set of unified tables (osm_ways, osm_relations, …) —
+    # the reference's single-`osm`-database semantics (osm_etl.py:69-91).
+    # Idempotency is per-region slice-replace: each row is stamped
+    # load_region=<subregion>, and a (re)run deletes only its own slice
+    # before appending, so an Airflow retry of one region never duplicates
+    # rows or clobbers its siblings.
     with TaskGroup(group_id="load_postgis") as load_postgis:
         for r in REGIONS:
             sub = r["subregion"]
@@ -124,8 +132,10 @@ with DAG(
                     "graft.plans.PostgisLoadJob",
                     f"{OUT_DIR}/{sub}",
                     f"'{PG_JDBC_URL}'",
-                    f"osm_{sub}_",
+                    sub,
                 ),
+                env=PG_ENV,
+                append_env=True,
             )
 
     etl_regions_osm >> curate_corpus >> load_postgis

@@ -569,8 +569,10 @@ object OsmKernels {
       // colorado" becomes partition pruning on re-read (PartitionFilters —
       // unselected regions' files are never opened).
       val out = s"${sys.props("java.io.tmpdir")}/graft_region_partitioned"
+      // customer grows with sf — size-gated broadcast (nation/region are
+      // constant-cardinality and stay hard-broadcast)
       val staged = T.orders(s, d)
-        .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(graft.Gate.bcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .select(col("o_orderkey"), col("o_totalprice"), col("r_name"), col("n_name"))

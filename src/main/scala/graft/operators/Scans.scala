@@ -260,6 +260,10 @@ object JdbcIO {
                  columnTypes: Option[String] = None, overwrite: Boolean = false,
                  truncate: Boolean = false,
                  creds: Option[(String, String)] = None): Unit = {
+    // Spark's JDBC truncate option only applies in overwrite mode; an
+    // append+truncate call would silently no-op the truncate — reject it.
+    require(overwrite || !truncate,
+      "truncate=true requires overwrite=true (Spark's JDBC truncate only applies to overwrite)")
     val w0 = df.write.mode(if (overwrite) "overwrite" else "append").format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("batchsize", batchSize)
@@ -268,23 +272,42 @@ object JdbcIO {
     columnTypes.fold(w)(t => w.option("createTableColumnTypes", t)).save()
   }
 
-  /** Driver-side `DELETE FROM table WHERE predicate` — the slice-replace
-    * half of an idempotent partitioned load (delete the slice, append the
-    * fresh rows). A missing target table is fine (first-ever load: the
-    * subsequent append creates it). */
-  def deleteWhere(url: String, table: String, predicate: String,
-                  creds: Option[(String, String)] = None): Unit = {
+  /** Plain SQL identifier (unquoted form, the shape `writeTable` creates):
+    * anything else is rejected rather than interpolated into DDL/DML. */
+  private val Ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Driver-side `DELETE FROM table WHERE column = value` — the
+    * slice-replace half of an idempotent partitioned load (delete the
+    * stale slice, append the fresh rows). `table`/`column` must be plain
+    * identifiers — validated against [[Ident]] before any SQL is built.
+    * The table rides unquoted (Spark's JDBC writer creates `dbtable`
+    * verbatim-unquoted, so the DB's own case folding applies); the column
+    * rides ANSI-double-quoted, because the writer emits column DDL through
+    * `dialect.quoteIdentifier` (JdbcSpec pins that contract) and an
+    * unquoted name would case-fold past it. `value` rides a
+    * PreparedStatement parameter, so external input (an Airflow-rendered
+    * region or date) can never splice into the SQL. A missing target
+    * table is fine (first-ever load: the subsequent append creates it).
+    * Returns rows deleted. */
+  def deleteSlice(url: String, table: String, column: String, value: String,
+                  creds: Option[(String, String)] = None): Int = {
+    require(Ident.matches(table), s"not a plain SQL identifier: $table")
+    require(Ident.matches(column), s"not a plain SQL identifier: $column")
     val props = new java.util.Properties()
     creds.foreach { case (u, p) => props.setProperty("user", u); props.setProperty("password", p) }
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val st = conn.createStatement()
-      try st.executeUpdate(s"DELETE FROM $table WHERE $predicate")
-      catch {
-        // Derby 42X05 / Postgres 42P01: table does not exist (yet)
+      // the whole prepare+execute is fallible: Derby binds at prepare time
+      try {
+        val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "$column" = ?""")
+        try { st.setString(1, value); st.executeUpdate() } finally st.close()
+      } catch {
+        // target does not exist (yet): table — Derby 42X05 / Postgres 42P01 /
+        // MySQL 42S02 — or the user's default schema itself (Derby 42Y07,
+        // auto-created by the first CREATE TABLE)
         case e: java.sql.SQLException
-          if e.getSQLState == "42X05" || e.getSQLState == "42P01" => ()
-      } finally st.close()
+          if Set("42X05", "42P01", "42S02", "42Y07").contains(e.getSQLState) => 0
+      }
     } finally conn.close()
   }
 }

@@ -98,6 +98,22 @@ object OsmEtlJob {
       .drop("layers")
   }
 
+  /** The way→region dimension chain (the reference's per-{region,subregion}
+    * routing, `osm_etl.py:69-85`, as joins instead of container fan-out).
+    * `customer` grows linearly with scale (GBs at planet sf) so its join
+    * goes through the size-gated [[graft.Gate.bcast]] — same hazard class
+    * as the node store in [[assembleWays]]; nation/region are
+    * constant-cardinality dims (25/5 rows at any sf) and stay
+    * hard-broadcast. */
+  def regionOfWay(orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(graft.Gate.bcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey").as("way_id"), col("r_name").as("region"),
+              col("n_name").as("subregion"))
+
   /** The whole ETL dataflow, session-agnostic (main provisions a session
     * and calls this; OsmEtlJobSpec drives the identical path in-process
     * and chains PostgisLoadJob behind it — the full reference pipeline
@@ -128,12 +144,9 @@ object OsmEtlJob {
           "premium" -> (col("lat_c") > 150000))) // retailprice > 1500
 
     // --- region/date-partitioned lake write (the dump artifact, osm_etl.py:88-91)
-    val regionOfWay = orders
-      .join(broadcast(T.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(T.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(T.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
-      .select(col("o_orderkey").as("way_id"), col("r_name").as("region"), col("n_name").as("subregion"))
-    ways.join(regionOfWay, "way_id")
+    val wayRegions = regionOfWay(orders, T.customer(spark, sfDir),
+                                 T.nation(spark, sfDir), T.region(spark, sfDir))
+    ways.join(wayRegions, "way_id")
       .withColumn("pgosm_date", lit(pgosmDate))
       .write.mode("overwrite")
       .partitionBy("region", "subregion", "pgosm_date")

@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StringType, StructType}
   * server-side knob, not an engine limit — repartition(n) before calling
   * if the serving DB wants fewer writers).
   *
-  * Usage: PostgisLoadJob <lakeDir> <jdbcUrl|derby:embedded> [tablePrefix]
+  * Usage: PostgisLoadJob <lakeDir> <jdbcUrl|derby:embedded> [region] [tablePrefix]
   */
 object PostgisLoadJob {
 
@@ -66,15 +66,36 @@ object PostgisLoadJob {
     }
   }
 
+  /** Orchestration-level slice column stamped on every loaded row in
+    * region mode. Named `load_region` (not `region`) because the lake's
+    * `ways` table already carries a DATA-derived `region` partition
+    * column; the load slice is the DAG's {region,subregion} task label —
+    * a distinct concept that must not overwrite data. */
+  val SliceColumn = "load_region"
+
   /** Load every lake table present under `lakeDir` into `url`; returns
-    * (table -> rows loaded this run). Idempotent: each target table is
-    * REPLACED (overwrite), matching the reference's dump-and-reload
-    * semantics — an Airflow retry or a rerun of the same pgosm_date never
-    * duplicates rows. Throws if the lake dir holds no tables at all (a
-    * mispointed dir must fail the task, not report success). Factored out
-    * of main so JdbcSpec drives the identical path against embedded Derby. */
+    * (table -> rows loaded this run). Factored out of main so JdbcSpec
+    * drives the identical path against embedded Derby.
+    *
+    * Two idempotency modes, both safe under Airflow retries:
+    *  - `region = Some(label)` — UNIFIED tables (the reference's
+    *    single-`osm`-database semantics, `/root/reference/osm_etl.py:69-91`):
+    *    all regions land in ONE `osm_ways`/… table, each row stamped
+    *    `load_region = label`; a (re)load first deletes its own slice
+    *    (`JdbcIO.deleteSlice`, driver-side parameterized DELETE) then
+    *    appends — re-running one region's task replaces only that
+    *    region's rows and never touches its siblings.
+    *  - `region = None` — whole-table overwrite (dump-and-reload), for
+    *    single-region deployments and ad-hoc reloads.
+    *
+    * `creds` ride JDBC connection properties, never the URL (a URL leaks
+    * through logs, Spark UI, and plan dumps).
+    *
+    * Throws if the lake dir holds no tables at all (a mispointed dir must
+    * fail the task, not report success). */
   def load(spark: SparkSession, lakeDir: String, url: String,
-           tablePrefix: String = "osm_"): Seq[(String, Long)] = {
+           tablePrefix: String = "osm_", region: Option[String] = None,
+           creds: Option[(String, String)] = None): Seq[(String, Long)] = {
     val loaded = LakeTables.flatMap { t =>
       val path = s"$lakeDir/$t"
       val exists = new org.apache.hadoop.fs.Path(path)
@@ -82,10 +103,20 @@ object PostgisLoadJob {
         .exists(new org.apache.hadoop.fs.Path(path))
       if (!exists) None
       else {
-        val rel = relational(spark.read.parquet(path))
-        JdbcIO.writeTable(rel, url, s"$tablePrefix$t",
-          columnTypes = varcharPins(rel, url), overwrite = true)
-        Some(t -> rel.count())
+        val raw = relational(spark.read.parquet(path))
+        val target = s"$tablePrefix$t"
+        region match {
+          case Some(label) =>
+            val rel = raw.withColumn(SliceColumn, org.apache.spark.sql.functions.lit(label))
+            JdbcIO.deleteSlice(url, target, SliceColumn, label, creds)
+            JdbcIO.writeTable(rel, url, target,
+              columnTypes = varcharPins(rel, url), creds = creds) // append creates on first load
+            Some(t -> raw.count())
+          case None =>
+            JdbcIO.writeTable(raw, url, target,
+              columnTypes = varcharPins(raw, url), overwrite = true, creds = creds)
+            Some(t -> raw.count())
+        }
       }
     }
     require(loaded.nonEmpty,
@@ -94,12 +125,19 @@ object PostgisLoadJob {
     loaded
   }
 
+  /** Usage: PostgisLoadJob <lakeDir> <jdbcUrl|derby:embedded> [region] [tablePrefix]
+    * Credentials come from GRAFT_PG_USER / GRAFT_PG_PASSWORD env vars
+    * (never CLI args — argv leaks through process listings and Airflow
+    * task logs; env is injected per-task by the orchestrator). */
   def main(args: Array[String]): Unit = {
     val lakeDir = args(0)
     val url =
       if (args(1) == "derby:embedded") JdbcIO.freshEmbeddedDerby("graft_pg_load")
       else args(1)
-    val prefix = if (args.length > 2) args(2) else "osm_"
+    val region = if (args.length > 2) Some(args(2)) else None
+    val prefix = if (args.length > 3) args(3) else "osm_"
+    val creds = for (u <- sys.env.get("GRAFT_PG_USER"); p <- sys.env.get("GRAFT_PG_PASSWORD"))
+      yield (u, p)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .appName("postgis-load")
@@ -108,7 +146,7 @@ object PostgisLoadJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val loaded = load(spark, lakeDir, url, prefix)
+    val loaded = load(spark, lakeDir, url, prefix, region, creds)
     println(loaded.map { case (t, n) => s""""$t":$n""" }
       .mkString("""{"job":"postgis_load",""", ",", "}"))
     spark.stop()

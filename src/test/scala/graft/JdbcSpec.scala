@@ -92,6 +92,90 @@ class JdbcSpec extends GraftSuite {
     assert(back.where(col("bbox_minx") === 1L).count() === 25L)
   }
 
+  test("unified tables: two regions slice-replace-load into one table, idempotently") {
+    // The reference loads every region into ONE PostGIS `osm` database
+    // (`/root/reference/osm_etl.py:69-91`); here two per-region lake dirs
+    // land in one `osm_ways`, each row stamped load_region, and re-running
+    // one region's load replaces only its own slice. Creds ride connection
+    // properties — the URL must never carry them.
+    import org.apache.spark.sql.functions.lit
+    val creds = Some(("app_loader", "s3cr3t"))
+    val url = JdbcIO.freshEmbeddedDerby("graft_spec_unified")
+    assert(!url.contains("s3cr3t") && !url.contains("app_loader"))
+    def lakeFor(tag: String, rows: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_lake_$tag").toString
+      T.nation(spark, sf).limit(rows)
+        .select(col("n_nationkey").as("way_id"), col("n_name").as("name"),
+                lit(tag).as("batch"))
+        .write.parquet(s"$dir/ways")
+      dir
+    }
+    // first-ever load: deleteSlice hits a missing table (no-op), append creates
+    val l1 = graft.plans.PostgisLoadJob.load(
+      spark, lakeFor("co-v1", 10), url, region = Some("colorado"), creds = creds).toMap
+    val l2 = graft.plans.PostgisLoadJob.load(
+      spark, lakeFor("es-v1", 7), url, region = Some("spain"), creds = creds).toMap
+    assert(l1("ways") === 10L && l2("ways") === 7L)
+    def slice(r: String) =
+      JdbcIO.readTable(spark, url, "osm_ways", creds = creds)
+        .where(col("load_region") === r)
+    assert(slice("colorado").count() === 10L && slice("spain").count() === 7L)
+    // retry of the same region: replaces its slice, never duplicates
+    graft.plans.PostgisLoadJob.load(
+      spark, lakeFor("co-v1", 10), url, region = Some("colorado"), creds = creds)
+    assert(slice("colorado").count() === 10L && slice("spain").count() === 7L)
+    // fresh snapshot for one region: only that slice changes
+    graft.plans.PostgisLoadJob.load(
+      spark, lakeFor("co-v2", 4), url, region = Some("colorado"), creds = creds)
+    assert(slice("colorado").count() === 4L, "rerun must replace only its own slice")
+    assert(slice("colorado").where(col("batch") === "co-v2").count() === 4L)
+    assert(slice("spain").count() === 7L, "sibling region's slice must be untouched")
+  }
+
+  test("deleteSlice validates identifiers and parameterizes the value") {
+    val url = JdbcIO.freshEmbeddedDerby("graft_spec_delsafe")
+    // missing table is a first-load no-op, not an error
+    assert(JdbcIO.deleteSlice(url, "no_such_table", "load_region", "x") === 0)
+    // injection-shaped identifiers are rejected before any SQL is built
+    intercept[IllegalArgumentException] {
+      JdbcIO.deleteSlice(url, "ways; DROP TABLE ways", "load_region", "x")
+    }
+    intercept[IllegalArgumentException] {
+      JdbcIO.deleteSlice(url, "ways", "c OR 1=1", "x")
+    }
+    // a hostile VALUE is inert data via the PreparedStatement parameter
+    val src = T.region(spark, sf).select(col("r_regionkey"), col("r_name"))
+    JdbcIO.writeTable(src, url, "slices", columnTypes = Some("r_name VARCHAR(64)"))
+    assert(JdbcIO.deleteSlice(url, "slices", "r_name", "' OR '1'='1") === 0)
+    assert(JdbcIO.readTable(spark, url, "slices").count() === src.count())
+  }
+
+  test("writeTable rejects truncate without overwrite; truncate-overwrite keeps indexes") {
+    val url = JdbcIO.freshEmbeddedDerby("graft_spec_trunc")
+    val src = T.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+    intercept[IllegalArgumentException] {
+      JdbcIO.writeTable(src, url, "nation_t", truncate = true) // append+truncate no-ops in Spark
+    }
+    JdbcIO.writeTable(src, url, "nation_t", columnTypes = Some("n_name VARCHAR(64)"))
+    // server-side index (stand-in for a GiST on geometry) must survive reloads
+    val conn = java.sql.DriverManager.getConnection(url)
+    // quoted column: Spark's writer creates columns through quoteIdentifier
+    try conn.createStatement().executeUpdate("CREATE INDEX nation_t_ix ON nation_t(\"n_nationkey\")")
+    finally conn.close()
+    def indexExists: Boolean = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT COUNT(*) FROM SYS.SYSCONGLOMERATES WHERE CONGLOMERATENAME = 'NATION_T_IX'")
+        rs.next(); rs.getInt(1) > 0
+      } finally c.close()
+    }
+    assert(indexExists)
+    JdbcIO.writeTable(src, url, "nation_t", overwrite = true, truncate = true)
+    assert(JdbcIO.readTable(spark, url, "nation_t").count() === src.count())
+    assert(indexExists, "TRUNCATE-mode overwrite must keep the table's indexes")
+  }
+
   test("partitioned jdbc read stripes across numPartitions connections") {
     val url = JdbcIO.freshEmbeddedDerby("graft_spec_derby_p")
     val src = T.customer(spark, sf).select(col("c_custkey"), col("c_acctbal"))

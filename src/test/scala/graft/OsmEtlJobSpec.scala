@@ -86,6 +86,30 @@ class OsmEtlJobSpec extends GraftSuite {
     }
   }
 
+  test("regionOfWay customer broadcast is size-gated: degrades to a shuffle join") {
+    // customer grows linearly with sf (unlike nation/region, constant at
+    // 25/5 rows) — same hazard class as the node store, same gate.
+    val (o, c, n, r) = (T.orders(spark, sf), T.customer(spark, sf),
+                        T.nation(spark, sf), T.region(spark, sf))
+    val under = plans.OsmEtlJob.regionOfWay(o, c, n, r)
+    val underPlan = under.queryExecution.executedPlan.toString()
+    assert(underPlan.contains("BroadcastHashJoin") &&
+           !underPlan.contains("SortMergeJoin") && !underPlan.contains("ShuffledHashJoin"),
+           "under the budget all three dim joins must broadcast")
+    spark.conf.set("spark.sql.graft.broadcastGateBytes", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val over = plans.OsmEtlJob.regionOfWay(o, c, n, r)
+      val overPlan = over.queryExecution.executedPlan.toString()
+      assert(overPlan.contains("SortMergeJoin") || overPlan.contains("ShuffledHashJoin"),
+             "above the budget the customer join must shuffle, not broadcast")
+      assert(over.count() === under.count(), "gate must never change results")
+    } finally {
+      spark.conf.unset("spark.sql.graft.broadcastGateBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("full pipeline: OsmEtlJob lake -> PostgisLoadJob round-trips WKB byte-exact") {
     // The reference pipeline end-to-end (`osm_etl.py:57-91`): ETL assembles
     // the lake, the terminal load ships it to the serving database. Derby
