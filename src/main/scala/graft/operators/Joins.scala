@@ -159,18 +159,33 @@ object Joins {
 
     Q(
       "join_theta",
-      """SELECT a.s_suppkey AS suppkey, count(*) AS n_richer
-        |FROM supplier a
-        |JOIN supplier b ON a.s_acctbal < b.s_acctbal
+      """WITH s AS (SELECT s_suppkey,
+        |                  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM supplier)
+        |SELECT a.s_suppkey AS suppkey, count(*) AS n_overlap
+        |FROM s a
+        |JOIN s b ON a.cents - 20000 <= b.cents + 20000
+        |        AND b.cents - 20000 <= a.cents + 20000
+        |        AND a.s_suppkey <> b.s_suppkey
         |GROUP BY a.s_suppkey
         |ORDER BY suppkey""".stripMargin
     ) { (s, d) =>
-      // Non-equi condition → nested-loop with the smaller side broadcast;
-      // supplier is dim-sized so this stays a broadcast at scale.
-      val a = T.supplier(s, d).select(col("s_suppkey").as("suppkey"), col("s_acctbal").as("bal_a"))
-      val b = broadcast(T.supplier(s, d).select(col("s_acctbal").as("bal_b")))
-      a.join(b, col("bal_a") < col("bal_b"))
-        .groupBy(col("suppkey")).agg(count(lit(1)).as("n_richer"))
+      // Theta join as the PostGIS `&&` workload (README.md:80-82): pairs
+      // whose ±$200 balance intervals overlap. Non-equi condition →
+      // broadcast nested-loop; the predicate runs once per probe×build
+      // PAIR, so it is the codegen'd [[graft.functions.IntervalOverlaps]]
+      // (one fused branchless test, named in the plan — PlanSpec pins it)
+      // over exact integer cents, not four anonymous column comparisons.
+      // The build side grows with sf → size-gated, not hard-broadcast.
+      val cents = (col("s_acctbal").cast("decimal(18,2)") * 100).cast("long")
+      val a = T.supplier(s, d).select(col("s_suppkey").as("suppkey"),
+        (cents - 20000).as("a_lo"), (cents + 20000).as("a_hi"))
+      val b = graft.Gate.bcast(T.supplier(s, d).select(col("s_suppkey").as("b_suppkey"),
+        (cents - 20000).as("b_lo"), (cents + 20000).as("b_hi")))
+      a.join(b, graft.functions.IntervalOverlaps(
+                  col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi")) &&
+                col("suppkey") =!= col("b_suppkey"))
+        .groupBy(col("suppkey")).agg(count(lit(1)).as("n_overlap"))
         .orderBy(col("suppkey"))
     },
 

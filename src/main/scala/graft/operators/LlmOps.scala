@@ -30,6 +30,46 @@ object LlmOps {
   def cosine(a: String, b: String): Column =
     graft.functions.CosineSimilarity(col(a), col(b))
 
+  /** Connected components by Pregel-style min-label propagation: each
+    * round every vertex takes the min label among itself and its
+    * neighbours; fixpoint in O(component diameter) rounds. Each round is
+    * one join + one groupBy; `localCheckpoint` truncates the growing
+    * lineage (at 100 TB an unchecked 10-round loop re-executes the whole
+    * prefix every round), and the driver-side loop condition is an
+    * isEmpty over changed labels — O(1) result, never a data collect.
+    *
+    * `vertices` needs an `id` column; `edges` needs `src`/`dst` (directed
+    * — pass both directions for an undirected graph). Returns (labels
+    * as (id, lbl), rounds-to-fixpoint). THROWS if the fixpoint is not
+    * reached within `maxIters`: a pathological high-diameter component
+    * must fail loudly rather than silently return half-propagated labels
+    * or spin the driver unbounded. Near-dup graphs have tiny shallow
+    * components (3 rounds on this corpus — logged per run); raise
+    * `maxIters` deliberately for genuinely deep graphs. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIters: Int = 20): (DataFrame, Int) = {
+    var labels = vertices.select(col("id"), col("id").as("lbl"))
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val viaNbr = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .where(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIters rounds — component " +
+        "diameter exceeds the iteration budget; raise maxIters explicitly")
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"connectedComponents: fixpoint in $it rounds")
+    (labels, it)
+  }
+
   /** Distinct character 5-gram shingles of a text column. */
   private val shingles5 =
     "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
@@ -317,14 +357,10 @@ object LlmOps {
     ) { (s, d) =>
       // Connected components over the near-dup pair graph — the step that
       // turns pairwise matches into dedup groups with a canonical (min id)
-      // representative. Pregel-style iterative min-label propagation:
-      // each round every vertex takes the min label among itself and its
-      // neighbours; converges in O(component diameter) rounds (near-dup
-      // clusters are shallow — 3 rounds here). Each round is one
-      // broadcast-able join + one groupBy; localCheckpoint truncates the
-      // growing lineage (at 100 TB, an unchecked 10-round loop re-executes
-      // the whole prefix every round). The driver-side loop condition is a
-      // count() of changed labels — O(1) result, not a collect of data.
+      // representative. Delegates to [[connectedComponents]] (bounded,
+      // convergence-asserted, rounds-to-fixpoint logged — 3 rounds on this
+      // corpus' shallow near-dup clusters; PropertySpec pins the round
+      // count on a long-chain component).
       val e = T.embeddings(s, d)
       val p = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
         .join(e.select(col("vec_id").as("vb"), col("label"), col("embedding").as("eb")), Seq("label"))
@@ -332,22 +368,9 @@ object LlmOps {
         .select(col("va"), col("vb"))
       val edges = p.unionByName(p.select(col("vb").as("va"), col("va").as("vb")))
         .toDF("src", "dst").cache()
-      var labels = e.select(col("vec_id"), col("vec_id").as("lbl"))
-      var it = 0
-      var converged = false
-      while (!converged && it < 20) {
-        val viaNbr = edges.join(labels, edges("src") === labels("vec_id"))
-          .select(col("dst").as("vec_id"), col("lbl"))
-        val next = labels.unionByName(viaNbr)
-          .groupBy(col("vec_id")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
-        converged = next.join(labels.withColumnRenamed("lbl", "old"), "vec_id")
-          .where(col("lbl") =!= col("old")).isEmpty
-        labels = next
-        it += 1
-      }
+      val (labels, _) = connectedComponents(e.select(col("vec_id").as("id")), edges)
       edges.unpersist()
-      labels.select(col("vec_id"), col("lbl").as("cluster_id")).orderBy(col("vec_id"))
+      labels.select(col("id").as("vec_id"), col("lbl").as("cluster_id")).orderBy(col("vec_id"))
     },
 
     Q(

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** Round artifact for the full reference pipeline shape
+  * (`/root/reference/osm_etl.py:57-91`): ETL (scan → geometry assembly →
+  * layer extraction → partitioned lake) chained into the terminal serving
+  * load (unified tables, per-region slice-replace), timed end-to-end as
+  * ONE spark-submit-able main — so a regression anywhere on the
+  * production path surfaces in a recorded per-round number, not only
+  * inside `sbt test`.
+  *
+  * Emits one JSON line `{"job":"pipeline_chain","sec":…,"etl_sec":…,
+  * "load_sec":…,"rows":{…}}` on stdout and mirrors it to
+  * ./PIPELINE_CHAIN.json (committed per round next to BENCH_FULL.json).
+  *
+  * Usage: PipelineChain [sfDir] — default sf0.01; Derby stands in for
+  * PostGIS exactly as in JdbcSpec (same load code path; against a real
+  * server only the URL changes).
+  */
+object PipelineChain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("pipeline-chain")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val lake = java.nio.file.Files.createTempDirectory("graft_chain_lake").toString
+    val url = graft.operators.JdbcIO.freshEmbeddedDerby("graft_chain_pg")
+
+    val t0 = System.nanoTime()
+    val etlCounts = OsmEtlJob.run(spark, sfDir, lake, "2024-07-25")
+    val t1 = System.nanoTime()
+    // unified serving tables, slice-replace idempotent load (region mode)
+    val loadCounts = PostgisLoadJob.load(spark, lake, url, region = Some("chain"))
+    val t2 = System.nanoTime()
+    require(loadCounts.toMap == etlCounts.toMap,
+      s"load rows ${loadCounts.toMap} != lake rows ${etlCounts.toMap}")
+
+    def sec(a: Long, b: Long): String = f"${(b - a) / 1e9}%.3f"
+    val rows = etlCounts.map { case (t, n) => s""""$t":$n""" }.mkString("{", ",", "}")
+    val line =
+      s"""{"job":"pipeline_chain","sec":${sec(t0, t2)},"etl_sec":${sec(t0, t1)},""" +
+        s""""load_sec":${sec(t1, t2)},"rows":$rows,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("PIPELINE_CHAIN.json"),
+      line.getBytes("UTF-8"))
+    catch { case _: Throwable => () } // best-effort; stdout is the contract
+    println(line)
+    spark.stop()
+  }
+}

@@ -32,6 +32,14 @@ class PlanSpec extends GraftSuite {
     assert(plan("join_sort_merge").contains("SortMergeJoin"))
   }
 
+  test("join_theta: fused interval_overlaps expression drives the broadcast NLJ") {
+    val p = plan("join_theta")
+    assert(p.contains("interval_overlaps"),
+           "theta predicate must be the fused codegen expression, not raw column arithmetic")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+           "dim-sized build side must broadcast under the gate")
+  }
+
   test("agg_hash_group partial-aggregates map-side") {
     val p = plan("agg_hash_group")
     assert(p.contains("HashAggregate"))

@@ -245,6 +245,28 @@ class PropertySpec extends GraftSuite {
     assert(checked >= 1750)
   }
 
+  test("connectedComponents converges in diameter rounds on a long chain, throws past budget") {
+    // A path graph 0-1-2-…-11 is the worst case per vertex count: the min
+    // label walks one hop per round, so fixpoint takes diameter rounds of
+    // change + 1 no-change round to detect it. Pins the O(diameter) claim
+    // (a broken propagation step converges early with wrong labels or
+    // never) and the loud-failure contract for over-budget graphs.
+    val n = 12
+    val verts = (0L until n.toLong).toDF("id")
+    val fwd = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val (labels, rounds) = operators.LlmOps.connectedComponents(verts, edges)
+    assert(rounds === n, s"expected diameter+detect = $n rounds, took $rounds")
+    assert(labels.where($"lbl" =!= 0L).isEmpty, "one chain component, min label 0")
+    // an isolated vertex set converges in exactly 1 (detection-only) round
+    val (_, r0) = operators.LlmOps.connectedComponents(verts, fwd.limit(0))
+    assert(r0 === 1)
+    // pathological diameter vs budget: fail loudly, never return half-labels
+    intercept[IllegalArgumentException] {
+      operators.LlmOps.connectedComponents(verts, edges, maxIters = 3)
+    }
+  }
+
   test("asof-join emulation picks the latest quote at or before each trade") {
     // hand-computed fixture incl. an exact-tie (quote ts == trade ts → taken)
     val events = Seq(
