@@ -30,6 +30,13 @@ object LlmOps {
   def cosine(a: String, b: String): Column =
     graft.functions.CosineSimilarity(col(a), col(b))
 
+  /** LSH bits for `sim_cosine_lsh`'s 256-bucket coarse quantizer. One
+    * shared definition: the operator builds its join key with it and
+    * SmokeOpsSpec recomputes the reachable set with it, so the recall
+    * pin can never drift from the production hash family. */
+  val LshBits = 8
+  def lshBucket(v: Column): Column = graft.functions.SignProjection(v, LshBits)
+
   /** Connected components by Pregel-style min-label propagation: each
     * round every vertex takes the min label among itself and its
     * neighbours; fixpoint in O(component diameter) rounds. Each round is
@@ -424,19 +431,17 @@ object LlmOps {
     },
 
     // LSH-bucketed approximate nearest neighbour — the 100 TB path:
-    // random-hyperplane sign bits (8 fixed dims) coarse-quantize vectors
-    // into 256 buckets; the query multi-probes its bucket plus all
-    // hamming ≤ 2 neighbours (37 of 256 ⇒ ~14.5% of the corpus scanned —
-    // the probe radius is the recall/scan-budget knob; measured on this
-    // corpus label blocks are NOT clusters, so sign-bit LSH is the right
-    // structure-free bucketing). Approximate → no SQL oracle; SmokeOpsSpec
-    // measures recall@10 vs sim_cosine_topk.
+    // 8 sign-random-projection bits (codegen'd full-dimension ±1
+    // hyperplanes, [[graft.functions.SignProjection]]) coarse-quantize
+    // vectors into 256 buckets; the query multi-probes its bucket plus
+    // all hamming ≤ 2 neighbours (37 of 256 ⇒ ~14.5% of the corpus
+    // scanned — the probe radius is the recall/scan-budget knob; label
+    // blocks are NOT clusters on this corpus, so structure-free sign-LSH
+    // is the right bucketing). Approximate → no SQL oracle; SmokeOpsSpec
+    // pins the result to brute force over the reachable buckets and to
+    // the analytic angular-model recall.
     Q.smoke("sim_cosine_lsh") { (s, d) =>
-      val bucketOf: Column = expr(
-        """aggregate(zip_with(slice(embedding, 1, 8), sequence(0, 7),
-          |  (x, i) -> CASE WHEN x >= 0 THEN shiftleft(1L, i) ELSE 0L END),
-          |  0L, (acc, v) -> acc + v)""".stripMargin)
-      val e = T.embeddings(s, d).withColumn("bucket", bucketOf)
+      val e = T.embeddings(s, d).withColumn("bucket", lshBucket(col("embedding")))
       val q = e.where(col("vec_id") === 0)
         .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
       // all XOR masks with ≤ 2 of 8 bits set: 1 + 8 + 28 = 37 probes

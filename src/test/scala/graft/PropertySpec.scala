@@ -245,6 +245,45 @@ class PropertySpec extends GraftSuite {
     assert(checked >= 1750)
   }
 
+  test("SignProjection codegen bucket equals an independent Scala evaluation") {
+    // The LSH bucket must be byte-identical wherever it is computed —
+    // that determinism is what makes it a joinable key across executors.
+    // Recompute every bucket in plain Scala from the declared weight
+    // function and compare against the codegen'd column.
+    val rows = T.embeddings(spark, sf).limit(64)
+      .select($"vec_id", $"embedding",
+        operators.LlmOps.lshBucket($"embedding").as("bucket"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val v = r.getSeq[Float](1)
+      var want = 0L
+      for (b <- 0 until operators.LlmOps.LshBits) {
+        var dot = 0.0
+        for (i <- v.indices)
+          dot += (if (functions.SignProjection.positive(b, i)) 1.0 else -1.0) * v(i)
+        if (dot >= 0) want |= 1L << b
+      }
+      assert(r.getLong(2) === want, s"vec ${r.getLong(0)}: bucket mismatch")
+    }
+    // the family must actually use high dimensions (the old first-8-coords
+    // bucketing ignored 94% of the vector): flipping only dim 100 of a
+    // one-hot vector must change some plane's sign for at least one bit
+    val probe = (0 until 128).map(i => if (i == 100) 1.0f else 0.0f)
+    val negProbe = probe.map(-_)
+    def bucketOf(vec: Seq[Float]): Long = {
+      var got = 0L
+      for (b <- 0 until operators.LlmOps.LshBits) {
+        var dot = 0.0
+        for (i <- vec.indices)
+          dot += (if (functions.SignProjection.positive(b, i)) 1.0 else -1.0) * vec(i)
+        if (dot >= 0) got |= 1L << b
+      }
+      got
+    }
+    assert(bucketOf(probe) !== bucketOf(negProbe), "projection must weight dim 100")
+  }
+
   test("connectedComponents converges in diameter rounds on a long chain, throws past budget") {
     // A path graph 0-1-2-…-11 is the worst case per vertex count: the min
     // label walks one hop per round, so fixpoint takes diameter rounds of

@@ -98,15 +98,14 @@ class SmokeOpsSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     for ((id, c) <- ann) assert(math.abs(all(id) - c) < 1e-9)
     // DETERMINISTIC PIN (the minhash treatment): multi-probe hamming ≤ 2
-    // over 8 sign bits reaches an exactly computable vector set; the ANN
-    // result must equal the brute-force top-10 over that set — any change
-    // to the hash family, probe radius, or bucket geometry shifts the
-    // reachable set and fails here, instead of sliding past a floor.
-    val bucketOf = expr(
-      """aggregate(zip_with(slice(embedding, 1, 8), sequence(0, 7),
-        |  (x, i) -> CASE WHEN x >= 0 THEN shiftleft(1L, i) ELSE 0L END),
-        |  0L, (acc, v) -> acc + v)""".stripMargin)
-    val bucketed = T.embeddings(spark, sf).withColumn("bucket", bucketOf)
+    // over the shared production hash (LlmOps.lshBucket) reaches an
+    // exactly computable vector set; the ANN result must equal the
+    // brute-force top-10 over that set — a probe-radius or top-k change
+    // shifts the reachable set and fails here instead of sliding past a
+    // floor (the hash family itself is pinned separately against an
+    // independent eval below).
+    val bucketed = T.embeddings(spark, sf)
+      .withColumn("bucket", operators.LlmOps.lshBucket(col("embedding")))
     val qb = bucketed.where(col("vec_id") === 0).head.getAs[Long]("bucket")
     val reachable = bucketed.where(col("vec_id") =!= 0)
       .where(expr(s"bit_count(bucket ^ ${qb}L) <= 2"))
