@@ -34,10 +34,11 @@ object Flagship {
       val li = T.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("l_shipdate") <  lit("1999-01-01").cast("timestamp"))
-      // orders is fact-sized: shuffle join on the key. customer/nation/
-      // region are dims: broadcast so the big side never re-shuffles.
+      // orders is fact-sized: shuffle join on the key. nation/region are
+      // constant-cardinality dims: hard-broadcast so the big side never
+      // re-shuffles. customer GROWS with sf → size-gated broadcast.
       li.join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(graft.Gate.bcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("l_returnflag"))
