@@ -123,6 +123,17 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort; stdout is the contract
+    // refresh the pipeline-chain round artifact (ETL lake → unified
+    // serving load at sf0.01, ~17 s): record goes to PIPELINE_CHAIN.json
+    // + stderr only — stdout stays a single parseable bench record.
+    // Best-effort: a chain failure is reported, never fails the bench.
+    try {
+      val chainSf = sys.env.getOrElse("SPARK_GRAFT_CHAIN_SF_DIR", "/root/testdata/sf0.01")
+      System.err.println("[bench] " + graft.plans.PipelineChain.record(spark, chainSf))
+    } catch {
+      case t: Throwable => System.err.println(
+        s"[bench] pipeline_chain FAILED: ${Option(t.getMessage).getOrElse(t.getClass.getName).take(200)}")
+    }
     println(full)
     // compact duplicate LAST: complete within any >=300-char stdout tail
     println(

@@ -19,18 +19,12 @@ import org.apache.spark.sql.SparkSession
   * server only the URL changes).
   */
 object PipelineChain {
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("pipeline-chain")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Run the chain on an existing session; returns the JSON record and
+    * mirrors it to ./PIPELINE_CHAIN.json. Called by main (standalone
+    * spark-submit) and by Bench after its sweeps (so the artifact
+    * refreshes every round without a separate driver hook). */
+  def record(spark: SparkSession, sfDir: String): String = {
     val lake = java.nio.file.Files.createTempDirectory("graft_chain_lake").toString
     val url = graft.operators.JdbcIO.freshEmbeddedDerby("graft_chain_pg")
 
@@ -50,8 +44,23 @@ object PipelineChain {
         s""""load_sec":${sec(t1, t2)},"rows":$rows,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("PIPELINE_CHAIN.json"),
       line.getBytes("UTF-8"))
-    catch { case _: Throwable => () } // best-effort; stdout is the contract
-    println(line)
+    catch { case _: Throwable => () } // best-effort; the return value is the contract
+    line
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("pipeline-chain")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(record(spark, sfDir))
     spark.stop()
   }
 }
