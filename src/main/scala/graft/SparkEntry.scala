@@ -21,6 +21,7 @@ object SparkEntry {
       operators.TrainingOps.all ++
       operators.EmbeddingOps.all ++
       operators.StreamOps.all ++
+      operators.EventOps.all ++
       operators.SqlSurface.all ++
       operators.Extensibility.all
 

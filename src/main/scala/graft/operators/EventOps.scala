@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{Gate, Q, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-analytics operators over the `events` fixture: gap-based
+  * sessionization and ordered funnel analysis — the batch counterparts of
+  * §2.H's streaming session windows (the reference's serving DB answers
+  * the same "user activity" questions over its loaded tables,
+  * `/root/reference/README.md:93`).
+  *
+  * Both operators key every shuffle on `user_id`, the natural
+  * distribution key of an event log: at 100 TB the event table arrives
+  * hash-partitioned (or bucketed) by user, so the window sort and the
+  * per-stage aggregates below are one exchange each — and the per-user
+  * stage tables that funnel joins consume are corpus-fraction-sized,
+  * so they ride the size-gated broadcast ([[graft.Gate.bcast]]).
+  *
+  * All timestamps are compared and emitted as epoch milliseconds
+  * (`unix_millis` / DuckDB `epoch_ms`): exact BIGINT arithmetic in both
+  * engines, no cross-engine timestamp-precision hazard in the oracle
+  * hash (fixture values are µs; ms floor-truncation agrees bit-for-bit).
+  */
+object EventOps {
+
+  private val GapMs = 1800000L // 30 min session gap
+
+  val all: Seq[Q] = Seq(
+
+    Q(
+      "event_sessionize",
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ms,
+        |         CASE WHEN lag(ms) OVER w IS NULL
+        |              OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (
+        |  SELECT user_id, ms,
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ms) AS start_ms, max(ms) AS end_ms
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+    ) { (s, d) =>
+      // Gap-based batch sessionization: a session break is a >30 min gap
+      // between consecutive events of one user; session_id is the running
+      // count of breaks (lag + cumulative sum over the same user window).
+      // One exchange on user_id feeds both window passes AND the session
+      // roll-up (lag, the running sum, and groupBy(user_id, session_id)
+      // all hash on user_id first) — the canonical one-shuffle
+      // sessionization that holds at 100 TB, where the in-partition sort
+      // is per-user-sized, never global.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val gap = col("ms") - lag(col("ms"), 1).over(w)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("new_s", when(gap.isNull || gap > GapMs, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ms")).as("start_ms"),
+             max(col("ms")).as("end_ms"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    Q(
+      "event_funnel",
+      """WITH a AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS ta FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |b AS (
+        |  SELECT e.user_id, min(epoch_ms(e.ts)) AS tb
+        |  FROM events e JOIN a ON e.user_id = a.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_ms(e.ts) > a.ta AND epoch_ms(e.ts) <= a.ta + 86400000
+        |  GROUP BY e.user_id),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_ms(e.ts)) AS tc
+        |  FROM events e JOIN b ON e.user_id = b.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_ms(e.ts) > b.tb AND epoch_ms(e.ts) <= b.tb + 86400000
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, count(*) AS n_users FROM a
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM b
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM c
+        |ORDER BY stage""".stripMargin
+    ) { (s, d) =>
+      // Ordered funnel view → click → purchase with a 24 h conversion
+      // window per hop: each stage is the users whose earliest qualifying
+      // event STRICTLY FOLLOWS their previous stage's earliest and lands
+      // within the window (min-ts per user, then a filtered
+      // re-aggregate; without the bound the fixture's 30-day log
+      // converts everyone and the check discriminates nothing). Every
+      // groupBy and join keys on user_id, so the three stages share one
+      // partitioning of the event log; the per-user stage tables fed
+      // back into the joins shrink monotonically (funnel ⊆ previous
+      // stage) and are corpus-fraction-sized → size-gated broadcast,
+      // shuffle join past the budget.
+      val HopMs = 86400000L
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      val a = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("ta"))
+      val b = ev.where(col("event_type") === "click")
+        .join(Gate.bcast(a), "user_id")
+        .where(col("ms") > col("ta") && col("ms") <= col("ta") + HopMs)
+        .groupBy(col("user_id")).agg(min(col("ms")).as("tb"))
+      val c = ev.where(col("event_type") === "purchase")
+        .join(Gate.bcast(b), "user_id")
+        .where(col("ms") > col("tb") && col("ms") <= col("tb") + HopMs)
+        .groupBy(col("user_id")).agg(min(col("ms")).as("tc"))
+      def stage(n: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(n.toLong).as("stage"), lit(name).as("event_type"), col("n_users"))
+      stage(1, "view", a).unionAll(stage(2, "click", b)).unionAll(stage(3, "purchase", c))
+        .orderBy(col("stage"))
+    }
+  )
+}

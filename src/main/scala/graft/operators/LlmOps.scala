@@ -663,6 +663,36 @@ object LlmOps {
       // partitioning and batch shape are the real thing.
       graft.functions.Multimodal.pipeline(T.documents(s, d))
         .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "multimodal_frame_sample",
+      """SELECT doc_id,
+        |       CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(f AS BIGINT) * 4096 AS byte_offset,
+        |       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS frame_hash
+        |FROM (SELECT doc_id, unnest(generate_series(0, n_chars % 240, 10)) AS f
+        |      FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin
+    ) { (s, d) =>
+      // Frame sampling over a multimodal (video-shaped) column: each doc
+      // stands in for a clip of (n_chars % 240) + 1 frames; every 10th
+      // frame explodes to a row carrying its byte offset into the payload
+      // and a per-frame content fingerprint (a real pipeline hashes the
+      // decoded frame; the id:index key is the container-safe
+      // deterministic stand-in — the decode itself is Multimodal.pipeline's
+      // per-partition stage). `sequence` + explode is a GENERATOR, not a
+      // join: output rows stream per input row with no shuffle at all, so
+      // the op scales linearly with splits; the ~n/10 fan-out is the
+      // per-frame training-example expansion a video corpus needs.
+      T.documents(s, d)
+        .select(col("doc_id"),
+                explode(sequence(lit(0L), col("n_chars") % 240, lit(10L))).as("f"))
+        .select(col("doc_id"), col("f").as("frame_idx"),
+                (col("f") * 4096).as("byte_offset"),
+                md5(concat(col("doc_id").cast("string"), lit(":"),
+                           col("f").cast("string"))).as("frame_hash"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }
   )
 }

@@ -74,6 +74,37 @@ object TrainingOps {
     },
 
     Q(
+      "sample_fixed_k",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 20
+        |ORDER BY lang, doc_id""".stripMargin
+    ) { (s, d) =>
+      // Exact-k-per-stratum sample (the reservoir-sampling contract, made
+      // reproducible): rank each stratum by a content-independent keyed
+      // hash (md5 of the id — uniform over insertion order, identical in
+      // both engines) and keep the first k. Unlike `sample_stratified`'s
+      // keep-RATE, this guarantees an exact stratum SIZE — what a
+      // balanced eval-set draw needs. rand() would re-sample on every
+      // retry/repartition; the hash ranking never does. The window sorts
+      // per-stratum in-partition after one exchange on lang; at 100 TB
+      // with k ≪ n the same result comes from the `topk_per_group`
+      // per-partition top-k pattern (partial min-k before the shuffle),
+      // which this key's plan degrades to by swapping the window for it.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                row_number().over(w).cast("long").as("rk"))
+        .where(col("rk") <= 20)
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
+    Q(
       "text_rarity",
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property checks for the event-analytics and sampling keys added in
+  * round 8 (`event_sessionize`, `event_funnel`, `sample_fixed_k`,
+  * `multimodal_frame_sample`). All four are DuckDB-oracled — these specs
+  * pin the SEMANTIC invariants the hash compare can't express (gap
+  * contract, funnel monotonicity, exact stratum size, stride coverage).
+  */
+class EventOpsSpec extends GraftSuite {
+
+  private def q(key: String) = SparkEntry.queries(key)(spark, sf)
+
+  test("event_sessionize: sessions partition the log, gaps respect the 30-min contract") {
+    val sessions = q("event_sessionize").collect()
+    val nEvents = T.events(spark, sf).count()
+    assert(sessions.map(_.getLong(2)).sum == nEvents,
+      "every event must land in exactly one session")
+    // within a user: sessions are disjoint, ordered, and split by > 30 min
+    val byUser = sessions.groupBy(_.getLong(0))
+    for ((u, ss) <- byUser) {
+      val ordered = ss.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq == (1L to ordered.length).toSeq,
+        s"user $u session ids must be dense from 1")
+      for (Array(prev, next) <- ordered.sliding(2).map(_.toArray)) {
+        assert(prev.getLong(4) < next.getLong(3),
+          s"user $u sessions must not overlap")
+        assert(next.getLong(3) - prev.getLong(4) > 1800000L,
+          s"user $u consecutive sessions must be split by > 30 min")
+      }
+      for (r <- ordered)
+        assert(r.getLong(3) <= r.getLong(4), "session start <= end")
+    }
+  }
+
+  test("event_funnel: stage populations are monotonically non-increasing") {
+    val rows = q("event_funnel").collect().sortBy(_.getLong(0))
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "view"), (2L, "click"), (3L, "purchase")))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel must narrow: ${counts.mkString(",")}")
+    assert(counts.head > 0, "stage 1 must be populated at sf0.001")
+  }
+
+  test("sample_fixed_k: exactly min(k, stratum size) rows per stratum, stable across runs") {
+    val got = q("sample_fixed_k").collect().map(r => (r.getLong(0), r.getString(1)))
+    val strata = T.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    for ((lang, n) <- strata)
+      assert(perLang.getOrElse(lang, 0) == math.min(20L, n),
+        s"stratum $lang must yield exactly min(20, $n)")
+    // reproducibility: the hash ranking admits no run-to-run variation
+    val again = q("sample_fixed_k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == again.toSeq, "sample must be bit-stable across runs")
+  }
+
+  test("multimodal_frame_sample: stride-10 frames bounded by the clip length") {
+    val frames = q("multimodal_frame_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clipLen = T.documents(spark, sf)
+      .select(col("doc_id"), (col("n_chars") % 240).as("last"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames.nonEmpty)
+    for ((doc, idx, off) <- frames) {
+      assert(idx % 10 == 0 && idx >= 0 && idx <= clipLen(doc),
+        s"doc $doc frame $idx outside stride/bounds")
+      assert(off == idx * 4096)
+    }
+    // coverage: every doc contributes exactly floor(last/10)+1 frames
+    val perDoc = frames.groupBy(_._1).view.mapValues(_.length).toMap
+    for ((doc, last) <- clipLen)
+      assert(perDoc(doc) == (last / 10 + 1).toInt, s"doc $doc frame count")
+  }
+}
