@@ -89,11 +89,11 @@ object TrainingOps {
       // both engines) and keep the first k. Unlike `sample_stratified`'s
       // keep-RATE, this guarantees an exact stratum SIZE — what a
       // balanced eval-set draw needs. rand() would re-sample on every
-      // retry/repartition; the hash ranking never does. The window sorts
-      // per-stratum in-partition after one exchange on lang; at 100 TB
-      // with k ≪ n the same result comes from the `topk_per_group`
-      // per-partition top-k pattern (partial min-k before the shuffle),
-      // which this key's plan degrades to by swapping the window for it.
+      // retry/repartition; the hash ranking never does. The rk <= 20
+      // filter makes Catalyst plan a WindowGroupLimit BELOW the lang
+      // exchange (per-partition partial top-k map-side, PlanSpec pins
+      // it), so each input split ships at most k rows per stratum —
+      // O(k·strata)/partition at 100 TB, never a full stratum sort.
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("lang"))
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))

@@ -130,6 +130,34 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("event_sessionize: one data exchange feeds both windows and the session roll-up") {
+    val p = plan("event_sessionize")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(dataExchanges == 1,
+      s"sessionize must shuffle exactly once on user_id (found $dataExchanges hash exchanges):\n$p")
+    assert(p.contains("Window"), "lag/cumsum must run as window operators")
+  }
+
+  test("sample_fixed_k: WindowGroupLimit partial top-k runs below the exchange") {
+    val p = plan("sample_fixed_k")
+    val idxLimit = p.indexOf("WindowGroupLimit")
+    val idxExchange = p.indexOf("Exchange hashpartitioning")
+    assert(idxLimit >= 0, "rank filter must plan a WindowGroupLimit")
+    assert(idxExchange >= 0, "stratum ranking needs the lang exchange")
+    // plan prints top-down: the LAST WindowGroupLimit occurrence must sit
+    // below (after) the exchange — the map-side partial top-k that keeps
+    // the shuffle O(k) per stratum per partition
+    assert(p.lastIndexOf("WindowGroupLimit") > idxExchange,
+      "a partial WindowGroupLimit must run map-side, before the shuffle")
+  }
+
+  test("multimodal_frame_sample: generator plan, no data shuffle") {
+    val p = plan("multimodal_frame_sample")
+    assert(p.contains("Generate"), "frame fan-out must be a Generate (explode), not a join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "frame sampling must not shuffle (only the final ORDER BY range exchange is allowed)")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
