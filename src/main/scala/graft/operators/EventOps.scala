@@ -121,6 +121,42 @@ object EventOps {
           .select(lit(n.toLong).as("stage"), lit(name).as("event_type"), col("n_users"))
       stage(1, "view", a).unionAll(stage(2, "click", b)).unionAll(stage(3, "purchase", c))
         .orderBy(col("stage"))
+    },
+
+    Q(
+      "event_retention",
+      """WITH f AS (
+        |  SELECT user_id,
+        |         CAST(floor(min(epoch_ms(ts)) / 86400000) AS BIGINT) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |       CAST(floor(epoch_ms(e.ts) / 86400000) AS BIGINT) - f.cohort_day AS day_offset,
+        |       count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |WHERE e.event_type = 'purchase'
+        |  AND CAST(floor(epoch_ms(e.ts) / 86400000) AS BIGINT) >= f.cohort_day
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, day_offset""".stripMargin
+    ) { (s, d) =>
+      // Cohort retention: users cohorted by first-signup DAY (the
+      // fixture's uniform 30-day log collapses to one cohort at week
+      // grain — day grain discriminates), activity = distinct purchasers
+      // per (cohort, day-offset) cell. The cohort table is per-user →
+      // size-gated broadcast back onto the log; the distinct-count
+      // aggregate hashes on the O(days²) cell key, with Spark's two-phase
+      // distinct expansion keeping the map side partial. Day indices are
+      // exact epoch-ms integer floors, so both engines bucket identically.
+      val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("event_type"), day.as("day"))
+      val f = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.where(col("event_type") === "purchase")
+        .join(Gate.bcast(f), "user_id")
+        .where(col("day") >= col("cohort_day"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     }
   )
 }
