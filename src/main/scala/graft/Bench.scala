@@ -32,8 +32,36 @@ import org.apache.spark.sql.SparkSession
   *    generated classes (freeing JIT code cache + metaspace) and lets
   *    ContextCleaner reap broadcast blocks;
   *  - build.sbt gives the forked JVM -XX:ReservedCodeCacheSize headroom.
+  *
+  * Contention self-adjudication (VERDICT r8 item 1: the driver's round-8
+  * record reported 539 s for code independently measured at ~75 s — box
+  * weather a reader could not distinguish from a regression): every sweep
+  * is now bracketed by (a) a fixed SENTINEL query — a constant-shape
+  * range→sum whose steady-state cost depends only on available CPU, so
+  * any drift across the run is the box, never the code under test — and
+  * (b) a /proc/loadavg snapshot. The record carries both series plus a
+  * derived `"contended"` flag (sentinel max > 3× sentinel min). A
+  * contended record is self-labelling: compare `total_min`s across
+  * rounds instead of trusting its median.
   */
 object Bench {
+
+  /** Constant-shape CPU sentinel: ~0.1–0.3 s of pure codegen'd arithmetic
+    * on an unloaded local[32]; no IO, no shuffle, no caching — its only
+    * variable is how much CPU the box is actually giving this JVM. */
+  private def sentinelSec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(200L * 1000 * 1000)
+      .selectExpr("sum(cast(id as double) * 2654435761.0)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 1/5/15-min load averages, best-effort (empty off-Linux). */
+  private def loadavg(): Seq[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .trim.split(" ").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq.empty }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -55,14 +83,40 @@ object Bench {
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val GC_EVERY = 8
+    // pipeline-chain round artifact FIRST (VERDICT r8 item 3: run after
+    // three sweeps it inherited bench-JVM state — accumulated Derby
+    // caches + codegen classes swung load_sec 5.5 s → 32.5 s between
+    // runs; a fresh-JVM measurement is the reproducible one). Chain
+    // state is dropped before the sweeps start (clearCache + full GC).
+    // Best-effort: a chain failure is reported, never fails the bench.
+    try {
+      val chainSf = sys.env.getOrElse("SPARK_GRAFT_CHAIN_SF_DIR", "/root/testdata/sf0.01")
+      System.err.println("[bench] " + graft.plans.PipelineChain.record(spark, chainSf))
+    } catch {
+      case t: Throwable => System.err.println(
+        s"[bench] pipeline_chain FAILED: ${Option(t.getMessage).getOrElse(t.getClass.getName).take(200)}")
+    }
+    spark.catalog.clearCache()
+    System.gc()
     val wall0 = System.nanoTime()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     var done = 0
+    // one untimed sentinel execution first: the very first run pays
+    // one-off codegen/JIT (measured 1.0 s vs 0.3 s steady) — that is JVM
+    // warm-up, not box weather, and must not trip the contended flag
+    sentinelSec(spark)
+    // per sweep: [sentinel-at-start, sentinel-at-end] and loadavg-at-start
+    val sentinels = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    val loads = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    val sweepWall = scala.collection.mutable.ArrayBuffer[Double]()
     // perRun(r): name -> seconds for queries that succeeded in sweep r
     val perRun: Seq[Map[String, Double]] = (1 to runs).map { r =>
-      names.flatMap { case (name, fn) =>
+      loads += loadavg()
+      val s0 = sentinelSec(spark)
+      val sw0 = System.nanoTime()
+      val m = names.flatMap { case (name, fn) =>
         val times = (1 to repeat).flatMap { _ =>
           val t0 = System.nanoTime()
           val ok =
@@ -92,8 +146,16 @@ object Bench {
           })
         rec
       }.toMap
+      sweepWall += (System.nanoTime() - sw0) / 1e9
+      val s1 = sentinelSec(spark)
+      sentinels += ((s0, s1))
+      System.err.println(
+        f"[bench] run $r/$runs sentinel $s0%.3f→$s1%.3f s load=${loads.last.mkString(",")}")
+      m
     }
     val wall = (System.nanoTime() - wall0) / 1e9
+    val sentAll = sentinels.flatMap(t => Seq(t._1, t._2))
+    val contended = sentAll.nonEmpty && sentAll.max > 3 * sentAll.min
     def jnum(v: Double): String = f"$v%.3f"
     // per-query steady-state cost: min over every successful execution
     val best: Seq[(String, Double)] = names.map(_._1)
@@ -113,33 +175,30 @@ object Bench {
     }.mkString("{", ",", "}")
     val totalsJson = totals.map(jnum).mkString("[", ",", "]")
     val minTotal = sortedTotals.headOption.getOrElse(best.map(_._2).sum)
+    val sentJson = sentinels.map { case (a, b) => s"[${jnum(a)},${jnum(b)}]" }
+      .mkString("[", ",", "]")
+    val loadJson = loads.map(_.map(jnum).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val sweepWallJson = sweepWall.map(jnum).mkString("[", ",", "]")
+    val canary =
+      s""""sentinels":$sentJson,"loadavg":$loadJson,"sweep_wall":$sweepWallJson,""" +
+        s""""contended":$contended"""
     val full =
       s"""{"metric":"total","value":${jnum(median)},"unit":"sec","queries":$qs,""" +
         s""""errors":$es,"n_queries":${best.size},"runs":$runs,"repeat":$repeat,""" +
         s""""run_totals":$totalsJson,"total_median":${jnum(median)},"total_min":${jnum(minTotal)},""" +
-        s""""sum_of_query_mins":${jnum(best.map(_._2).sum)},""" +
+        s""""sum_of_query_mins":${jnum(best.map(_._2).sum)},$canary,""" +
         s""""wall_sec":${jnum(wall)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort; stdout is the contract
-    // refresh the pipeline-chain round artifact (ETL lake → unified
-    // serving load at sf0.01, ~17 s): record goes to PIPELINE_CHAIN.json
-    // + stderr only — stdout stays a single parseable bench record.
-    // Best-effort: a chain failure is reported, never fails the bench.
-    try {
-      val chainSf = sys.env.getOrElse("SPARK_GRAFT_CHAIN_SF_DIR", "/root/testdata/sf0.01")
-      System.err.println("[bench] " + graft.plans.PipelineChain.record(spark, chainSf))
-    } catch {
-      case t: Throwable => System.err.println(
-        s"[bench] pipeline_chain FAILED: ${Option(t.getMessage).getOrElse(t.getClass.getName).take(200)}")
-    }
     println(full)
     // compact duplicate LAST: complete within any >=300-char stdout tail
     println(
       s"""{"metric":"total","value":${jnum(median)},"unit":"sec","queries":{},""" +
         s""""n_queries":${best.size},"n_errors":${errors.size},"runs":$runs,""" +
-        s""""run_totals":$totalsJson,"total_min":${jnum(minTotal)},""" +
+        s""""run_totals":$totalsJson,"total_min":${jnum(minTotal)},$canary,""" +
         s""""wall_sec":${jnum(wall)},"sf":"$sfDir","full_record":"BENCH_FULL.json"}""")
     spark.stop()
   }

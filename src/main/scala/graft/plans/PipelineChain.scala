@@ -22,8 +22,10 @@ object PipelineChain {
 
   /** Run the chain on an existing session; returns the JSON record and
     * mirrors it to ./PIPELINE_CHAIN.json. Called by main (standalone
-    * spark-submit) and by Bench after its sweeps (so the artifact
-    * refreshes every round without a separate driver hook). */
+    * spark-submit) and by Bench BEFORE its sweeps (fresh-JVM state — the
+    * post-sweep placement inherited Derby caches + codegen pressure and
+    * swung load_sec 6×; the artifact still refreshes every round without
+    * a separate driver hook). */
   def record(spark: SparkSession, sfDir: String): String = {
     val lake = java.nio.file.Files.createTempDirectory("graft_chain_lake").toString
     val url = graft.operators.JdbcIO.freshEmbeddedDerby("graft_chain_pg")
@@ -39,9 +41,15 @@ object PipelineChain {
 
     def sec(a: Long, b: Long): String = f"${(b - a) / 1e9}%.3f"
     val rows = etlCounts.map { case (t, n) => s""""$t":$n""" }.mkString("{", ",", "}")
+    // per-phase throughput (VERDICT r8 item 3): total lake rows over each
+    // phase's wall — the run-over-run comparable number (row counts are
+    // deterministic per sf, so rows/sec moves only with the box/code).
+    val totalRows = etlCounts.map(_._2).sum
+    def rps(a: Long, b: Long): String = f"${totalRows / ((b - a) / 1e9)}%.0f"
     val line =
       s"""{"job":"pipeline_chain","sec":${sec(t0, t2)},"etl_sec":${sec(t0, t1)},""" +
-        s""""load_sec":${sec(t1, t2)},"rows":$rows,"sf":"$sfDir"}"""
+        s""""load_sec":${sec(t1, t2)},"etl_rows_per_sec":${rps(t0, t1)},""" +
+        s""""load_rows_per_sec":${rps(t1, t2)},"rows":$rows,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("PIPELINE_CHAIN.json"),
       line.getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort; the return value is the contract
