@@ -144,6 +144,21 @@ object LlmOps {
     grams.select(col("doc_id"),
       expr("array_distinct(transform(grams, g -> xxhash64(g)))").as("grams"))
 
+  /** LSH band buckets of a MinHash signature table: one row per
+    * (doc_id, band index, band hash), the join key of every banded
+    * candidate join (self-join for full-corpus dedup, corpus←new probe
+    * for incremental). Band hash = xxhash64 over the band's `rowsN`
+    * signature components. */
+  private def bandBuckets(sig: DataFrame, bandsN: Int, rowsN: Int): DataFrame = {
+    val bandCols = (0 until bandsN).map { b =>
+      xxhash64(concat_ws("_",
+        (0 until rowsN).map(r => col("sig").getItem(b * rowsN + r).cast("string")): _*)).as(s"band$b")
+    }
+    sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bandsN).map(b => col(s"band$b")): _*)).as(Seq("band_i", "band_h")))
+  }
+
   /** Exact pairwise Jaccard over candidate pairs: attach both (hashed)
     * gram arrays, prune by the size bound J ≤ min/max, then one codegen'd
     * array_intersect per surviving pair. Far cheaper than an explode-join
@@ -264,14 +279,7 @@ object LlmOps {
       val sig = hg
         .select(col("doc_id"), graft.functions.MinHashSignature(col("grams"), k).as("sig"))
         .cache()
-      val bandCols = (0 until bandsN).map { b =>
-        xxhash64(concat_ws("_",
-          (0 until rowsN).map(r => col("sig").getItem(b * rowsN + r).cast("string")): _*)).as(s"band$b")
-      }
-      val bands = sig
-        .select(col("doc_id") +: bandCols: _*)
-        .select(col("doc_id"),
-          posexplode(array((0 until bandsN).map(b => col(s"band$b")): _*)).as(Seq("band_i", "band_h")))
+      val bands = bandBuckets(sig, bandsN, rowsN)
       val cand = bands.as("a")
         .join(bands.as("b"),
               col("a.band_i") === col("b.band_i") && col("a.band_h") === col("b.band_h") &&
@@ -290,6 +298,64 @@ object LlmOps {
       jaccardOfPairs(cand, hg, tau = 0.8)
         .where(col("jaccard") >= 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    Q(
+      "dedup_incremental",
+      """WITH g AS (SELECT DISTINCT doc_id, substring(text, i, 5) AS gram
+        |           FROM documents, unnest(range(1, greatest(length(text) - 3, 2))) AS t(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |c AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS com
+        |      FROM g a JOIN g b ON a.gram = b.gram
+        |      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 GROUP BY 1, 2),
+        |m AS (SELECT DISTINCT db FROM c
+        |      JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+        |      WHERE com * 1.0 / (sa.n + sb.n - com) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT db FROM m)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Incremental corpus dedup — the production shape of LLM-corpus
+      // ingestion (and of the reference's weekly dated snapshots,
+      // /root/reference/osm_etl.py:13,45): dedup a NEW batch (stand-in
+      // split: doc_id % 5 = 0, 1/5 of the corpus) against the EXISTING
+      // corpus WITHOUT re-pairing the corpus with itself. Same LSH
+      // geometry as `dedup_minhash` (60-min signature, 12×5 bands —
+      // recall properties carry over unchanged); the difference is the
+      // candidate join: the new batch's band buckets PROBE the existing
+      // corpus' band-bucket table (at 100 TB that table is the persisted
+      // index an ingestion pipeline maintains across batches), so
+      // candidate count is O(|new| × bucket collisions) and the corpus
+      // side never self-joins — re-pairing 100 TB with itself per weekly
+      // batch is the anti-pattern this operator exists to avoid.
+      // Survivors = new docs with no verified cross-set match ≥ τ,
+      // via left_anti (the batch actually admitted to the corpus).
+      val isNew = col("doc_id") % 5 === 0
+      val (bandsN, rowsN) = (12, 5)
+      val k = bandsN * rowsN
+      val hg = hashGrams(T.documents(s, d).select(col("doc_id"), expr(shingles5).as("grams"))).cache()
+      val sig = hg
+        .select(col("doc_id"), graft.functions.MinHashSignature(col("grams"), k).as("sig"))
+        .cache()
+      val bands = bandBuckets(sig, bandsN, rowsN)
+      // disjoint sides by construction → no doc_id ordering predicate;
+      // every candidate is (existing, new) exactly once
+      val cand = bands.where(!isNew).as("a")
+        .join(bands.where(isNew).as("b"),
+              col("a.band_i") === col("b.band_i") && col("a.band_h") === col("b.band_h"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .join(graft.Gate.bcast(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))), "doc_a")
+        .join(graft.Gate.bcast(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))), "doc_b")
+        .where(graft.functions.SignatureAgreement(col("sa"), col("sb")) * 2 >= k)
+        .select(col("doc_a"), col("doc_b"))
+      val dropped = jaccardOfPairs(cand, hg, tau = 0.8)
+        .where(col("jaccard") >= 0.8)
+        .select(col("doc_b").as("doc_id"))
+        .distinct()
+      T.documents(s, d).where(isNew).select(col("doc_id"))
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
     },
 
     Q(

@@ -158,6 +158,38 @@ class PlanSpec extends GraftSuite {
       "frame sampling must not shuffle (only the final ORDER BY range exchange is allowed)")
   }
 
+  test("dedup_incremental: the existing-corpus side never self-joins") {
+    // The operator's whole reason to exist: per-batch ingestion must not
+    // re-pair the 100 TB corpus with itself. In the optimized plan, the
+    // corpus side is recognisable by its NOT((doc_id % 5) = 0) filter —
+    // assert no join anywhere has that filter on BOTH subtrees, and that
+    // the single band-bucket join is exactly corpus on one side, new
+    // batch on the other.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .queryExecution.optimizedPlan
+    def corpusSide(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.toString.contains("NOT ((doc_id")
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected the probe + attach + anti joins in the plan")
+    // exactly one pair-GENERATING join (the band-bucket probe), with the
+    // corpus on exactly one side; every other join must key on doc ids
+    // (per-doc attach / anti joins — linear in candidates, they can never
+    // re-pair the corpus with itself). Note corpus-filter strings on BOTH
+    // sides of an attach join are fine: InferFiltersFromConstraints
+    // legitimately pushes the corpus predicate onto the gram/sig side.
+    val (bandJoins, docJoins) = joins.partition(
+      _.condition.exists(_.references.exists(_.name == "band_h")))
+    assert(bandJoins.size == 1, s"expected exactly one band-bucket probe, got ${bandJoins.size}")
+    assert(corpusSide(bandJoins.head.left) ^ corpusSide(bandJoins.head.right),
+      "band probe must have the corpus on exactly one side, the new batch on the other")
+    for (j <- docJoins)
+      assert(j.condition.exists(_.references.map(_.name).forall(
+          n => n == "doc_a" || n == "doc_b" || n == "doc_id" || n == "sa" || n == "sb" ||
+               n == "na" || n == "nb" || n == "ga" || n == "gb")),
+        s"non-probe join must attach per-doc state, not generate pairs: ${j.condition}")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
