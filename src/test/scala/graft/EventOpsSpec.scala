@@ -34,6 +34,70 @@ class EventOpsSpec extends GraftSuite {
     }
   }
 
+  test("event_sessionize: no intra-session gap exceeds 30 min (under-splitting guard)") {
+    // The partition/ordering test above catches over-splitting; this one
+    // catches UNDER-splitting (two sessions wrongly merged would leave a
+    // > 30-min gap inside one session). The exact gap contract is an
+    // equality: per user, #sessions == #(consecutive-event gaps > 30 min)
+    // + 1, recomputed here independently from the raw event log.
+    val gapMs = 1800000L
+    val byUserEvents = T.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val nSessions = q("event_sessionize").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(nSessions.keySet == byUserEvents.keySet, "every active user sessionized")
+    for ((u, times) <- byUserEvents) {
+      val bigGaps = times.sliding(2).count(w => w.length == 2 && w(1) - w(0) > gapMs)
+      assert(nSessions(u) == bigGaps + 1,
+        s"user $u: ${nSessions(u)} sessions but ${bigGaps} >30-min gaps — " +
+          "every big gap must split, nothing else may")
+    }
+  }
+
+  test("event_funnel: stage populations are additive over a user partition") {
+    // Funnel membership is decided per user independently, so splitting
+    // the event log by user and summing per-stage counts must reproduce
+    // the full-log counts EXACTLY. This guards the 24 h-hop boundary
+    // logic (ms > ta, ms <= ta + 86400000): an off-by-one there shifts
+    // stage membership identically in the split and full runs only if
+    // the hop logic is a pure per-user function — any cross-user leak or
+    // nondeterminism breaks the equality.
+    val full = q("event_funnel").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ev = T.events(spark, sf)
+    val halves = Seq(col("user_id") % 2 === 0, col("user_id") % 2 === 1).map { pred =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_funnel_half").toString
+      ev.where(pred).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      SparkEntry.queries("event_funnel")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    for (stage <- 1L to 3L)
+      assert(halves.map(_.getOrElse(stage, 0L)).sum == full(stage),
+        s"stage $stage: halves ${halves.map(_.getOrElse(stage, 0L))} must sum to ${full(stage)}")
+  }
+
+  test("event_retention: cells are sound — disjoint, non-negative offsets, cohort-bounded") {
+    val cells = q("event_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cells.nonEmpty, "fixture has signup+purchase users at sf0.001")
+    // one row per (cohort_day, day_offset); offsets never negative
+    assert(cells.map(c => (c._1, c._2)).distinct.length == cells.length, "cells must be disjoint")
+    assert(cells.forall(_._2 >= 0), "purchases before the cohort day are excluded")
+    assert(cells.forall(_._3 > 0), "empty cells must not be emitted")
+    // n_active in any cell is bounded by the cohort's signup population
+    val cohortSize = T.events(spark, sf)
+      .where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(floor(unix_millis(col("ts")) / 86400000L).cast("long")).as("cohort_day"))
+      .groupBy(col("cohort_day")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((cohort, _, n) <- cells)
+      assert(n <= cohortSize(cohort),
+        s"cohort $cohort cell has $n actives > ${cohortSize(cohort)} signups")
+  }
+
   test("event_funnel: stage populations are monotonically non-increasing") {
     val rows = q("event_funnel").collect().sortBy(_.getLong(0))
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
