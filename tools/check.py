@@ -10,6 +10,9 @@ sorts columns by name on both sides, and compares values exactly
 """
 import json
 import math
+import pathlib
+import py_compile
+import re
 import sys
 
 import duckdb
@@ -61,11 +64,52 @@ def cells_equal(a, b) -> bool:
     return a == b or str(a) == str(b)
 
 
+def structural_checks(out_dir: str, oracle: dict) -> int:
+    """Doc-drift + deployment-artifact lint (VERDICT r8 items 2 and 7).
+
+    Returns the number of failures (0 = clean). The inventory counts in
+    SURVEY.md's `**Inventory size**` block must equal what the engine
+    actually registers — the add-an-operator-forget-the-docs bug class
+    recurred four rounds running; this makes the fifth mechanically
+    impossible. Registered count = one Verify result dir per query.
+    """
+    fails = 0
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    m = re.search(
+        r"\*\*Inventory size\*\*: (\d+) keyed operators.*?"
+        r"(\d+) entries registered in `SparkEntry\.queries`, (\d+) of them oracled",
+        (repo / "SURVEY.md").read_text(), re.S)
+    if not m:
+        print("DRIFT: SURVEY.md '**Inventory size**' block missing or reshaped")
+        fails += 1
+    else:
+        n_ops, n_reg, n_orc = map(int, m.groups())
+        n_dirs = sum(1 for p in pathlib.Path(out_dir).iterdir() if p.is_dir())
+        if n_reg != n_dirs:
+            print(f"DRIFT: SURVEY.md says {n_reg} registered entries; "
+                  f"SparkEntry.queries produced {n_dirs} Verify results")
+            fails += 1
+        if n_ops != n_reg - 1:  # §2 operators + flagship = registered
+            print(f"DRIFT: SURVEY.md operator count {n_ops} != registered {n_reg} - 1")
+            fails += 1
+        if n_orc != len(oracle):
+            print(f"DRIFT: SURVEY.md says {n_orc} oracled; oracle_sql.json has {len(oracle)}")
+            fails += 1
+    for dag in sorted((repo / "dags").glob("*.py")):
+        try:
+            py_compile.compile(str(dag), doraise=True)
+        except py_compile.PyCompileError as e:
+            print(f"DAGLINT: {dag.name} does not compile: {e.msg[:200]}")
+            fails += 1
+    return fails
+
+
 def main():
     out_dir = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    n_structural = structural_checks(out_dir, oracle)
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -116,8 +160,9 @@ def main():
         else:
             print(f"PASS {name} ({len(spark_df)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail" + (f": {fails}" if fails else ""))
-    sys.exit(1 if n_fail else 0)
+    print(f"\n{n_pass} pass, {n_fail} fail" + (f": {fails}" if fails else "")
+          + (f" ({n_structural} structural/drift failures)" if n_structural else ""))
+    sys.exit(1 if (n_fail or n_structural) else 0)
 
 
 if __name__ == "__main__":
