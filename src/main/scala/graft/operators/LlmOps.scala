@@ -96,11 +96,18 @@ object LlmOps {
         .distinct()
     }
     var it = 0
-    var converged = e.isEmpty
+    var nE = e.count()
+    var converged = nE == 0
     while (!converged && it < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // both sets are distinct, so equal size + empty one-sided except ⇒
+      // equal sets; the count short-circuits the except join on rounds
+      // where the edge set is still visibly changing size (a count over
+      // a checkpointed set is a metadata-cheap job next to a shuffle)
+      val nNext = next.count()
+      converged = nNext == nE && next.exceptAll(e).isEmpty
       e = next
+      nE = nNext
       it += 1
     }
     require(converged,
