@@ -75,24 +75,26 @@ object LlmOps {
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    def largeStar(ed: DataFrame): DataFrame = {
-      val nb = ed.select(col("src").as("u"), col("dst").as("v"))
+    // each star step computes the per-neighbourhood minimum as a WINDOW
+    // min over one hash exchange instead of a groupBy + join-back (two
+    // exchanges of the same rows) — on the near-dup graphs this runs over
+    // the edge set is tiny, so per-round cost is scheduling-dominated and
+    // halving the shuffles per step is the lever that matters
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    def largeStar(ed: DataFrame): DataFrame =
+      ed.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(ed.select(col("dst").as("u"), col("src").as("v")))
-      val m = nb.groupBy(col("u"))
-        .agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      nb.join(m, "u")
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
         .where(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .distinct()
-    }
     def smallStar(ed: DataFrame): DataFrame = {
       // edges already point large→small: N≤(u) is exactly ed's dst side
-      val m = ed.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      val viaNbr = ed.join(m, "src")
-        .where(col("dst") =!= col("m"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-      viaNbr.unionByName(m.select(col("src"), col("m").as("dst")))
+      val withMin = ed.select(col("src").as("u"), col("dst").as("v"))
+        .withColumn("m", min(col("v")).over(wU))
+      withMin.where(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .unionByName(withMin.select(col("u").as("src"), col("m").as("dst")))
         .distinct()
     }
     var it = 0
