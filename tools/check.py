@@ -14,6 +14,7 @@ import pathlib
 import py_compile
 import re
 import sys
+import tempfile
 
 import duckdb
 import pandas as pd
@@ -97,7 +98,8 @@ def structural_checks(out_dir: str, oracle: dict) -> int:
             fails += 1
     for dag in sorted((repo / "dags").glob("*.py")):
         try:
-            py_compile.compile(str(dag), doraise=True)
+            with tempfile.NamedTemporaryFile(suffix=".pyc") as tmp:
+                py_compile.compile(str(dag), cfile=tmp.name, doraise=True)
         except py_compile.PyCompileError as e:
             print(f"DAGLINT: {dag.name} does not compile: {e.msg[:200]}")
             fails += 1
