@@ -302,6 +302,68 @@ object Aggs {
         .agg(max_by(col("c_custkey"), ord).as("richest_cust"),
              min_by(col("c_custkey"), ord).as("poorest_cust"))
         .orderBy(col("c_nationkey"))
+    },
+
+    Q(
+      "agg_histogram",
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+        |       count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin
+    ) { (s, d) =>
+      // Fixed-width histogram — the profiling/data-quality staple. The
+      // bucket id is computed in the scan projection, so this is one
+      // partial+final hash aggregate whose shuffle carries #buckets ×
+      // #map-partitions rows regardless of input size; at 100 TB the
+      // reduce side sees a few hundred rows. Integer floor bucketing is
+      // exact cross-engine (no fp bin-boundary hazard: /5000 of a
+      // 2-decimal value sits far from representability boundaries, and
+      // min/max pass values through untouched).
+      T.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("l_extendedprice")).as("lo"),
+             max(col("l_extendedprice")).as("hi"))
+        .orderBy(col("bucket"))
+    },
+
+    Q(
+      "agg_corr",
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem)
+        |SELECT n,
+        |       round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |       / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS corr
+        |FROM m""".stripMargin
+    ) { (s, d) =>
+      // Pearson correlation via exact decimal moments. Spark's built-in
+      // corr() streams doubles, so its result depends on partition
+      // count and merge order — useless for a cross-engine hash and
+      // unstable under repartitioning at 100 TB. Instead the five
+      // moments (Σx, Σy, Σxy, Σx², Σy²) accumulate in exact DECIMAL
+      // (2-decimal inputs → 4-decimal products, associative +
+      // commutative), one map-side-partial global aggregate; only the
+      // final 1-row formula drops to IEEE doubles, which both engines
+      // evaluate identically on identical inputs.
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      def dbl(c: String) = col(c).cast("double")
+      T.lineitem(s, d)
+        .agg(count(lit(1)).as("n"),
+             sum(x).as("sx"), sum(y).as("sy"),
+             sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("n"),
+          round((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+            / (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+             * sqrt(dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))), 6).as("corr"))
     }
   )
 }

@@ -265,6 +265,38 @@ object EmbeddingOps {
         .select(col("vec_id"), round(cosine("embedding", "qe"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
+    },
+
+    Q(
+      "emb_quantize_int8",
+      """SELECT vec_id,
+        |       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        |       CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+        |            THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |            ELSE list_transform(embedding, x ->
+        |              CAST(floor(127.0 * CAST(x AS DOUBLE)
+        |                   / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) + 0.5) AS BIGINT))
+        |       END AS q
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      // Symmetric int8 quantization (q = round(127·x/max|x|) per vector)
+      // — the storage/compute compression step every 100 TB ANN index
+      // applies before sharding: 4× smaller than float32, and the int8
+      // dot product is SIMD-friendly downstream. Pure per-row projection
+      // (higher-order transform, no shuffle, scan-parallel). The chain
+      // float→double cast, abs, max, one multiply/divide, floor is
+      // bit-identical IEEE in both engines, so even the un-rounded scale
+      // column hashes exactly; the all-zero-vector guard keeps the
+      // division total.
+      T.embeddings(s, d)
+        .withColumn("scale", array_max(expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))")))
+        .withColumn("q",
+          when(col("scale") === 0d, expr("transform(embedding, x -> CAST(0 AS BIGINT))"))
+            .otherwise(expr(
+              "transform(embedding, x -> CAST(floor(127.0 * CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))")))
+        .select(col("vec_id"), col("scale"), col("q"))
+        .orderBy(col("vec_id"))
     }
   )
 }

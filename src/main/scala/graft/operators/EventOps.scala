@@ -157,6 +157,118 @@ object EventOps {
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    Q(
+      "event_dau_rolling",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |contrib AS (
+        |  SELECT user_id, day + o.off AS report_day
+        |  FROM ud, (SELECT unnest(generate_series(0, 6)) AS off) o)
+        |SELECT d.day AS report_day, count(DISTINCT c.user_id) AS active_7d
+        |FROM days d JOIN contrib c ON c.report_day = d.day
+        |GROUP BY d.day
+        |ORDER BY report_day""".stripMargin
+    ) { (s, d) =>
+      // Rolling 7-day distinct active users per day — the dashboard
+      // staple that is quietly hard at scale because a naive
+      // per-day self-join re-scans the log 7×. Here the log collapses
+      // FIRST to distinct (user, day) pairs (one shuffle, and at 100 TB
+      // that dedup is the big reduction: |user-days| ≪ |events|); each
+      // pair then fans out to the ≤7 report days it contributes to via
+      // a generator (`explode(sequence(...))` — no shuffle, no
+      // re-scan), and one distinct-count per report day finishes it.
+      // The observed-days table is bounded by the calendar → size-gated
+      // broadcast keeps the contribution stream shuffle-free until the
+      // final count.
+      val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
+      val ud = T.events(s, d).select(col("user_id"), day.as("day")).distinct()
+      val days = ud.select(col("day").as("report_day")).distinct()
+      ud.select(col("user_id"),
+                explode(sequence(col("day"), col("day") + lit(6))).as("report_day"))
+        .join(Gate.bcast(days), "report_day")
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy(col("report_day"))
+    },
+
+    Q(
+      "event_attribution",
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |w AS (
+        |  SELECT user_id, event_type,
+        |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM o)
+        |SELECT coalesce(touch, 'none') AS touch, count(*) AS n_purchases
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1
+        |ORDER BY touch""".stripMargin
+    ) { (s, d) =>
+      // Last-touch attribution: each purchase credits the user's most
+      // recent non-purchase event. One user-partitioned window pass
+      // (`last(..., ignoreNulls)` over an unbounded-to-previous-row
+      // frame — running state, not a per-row rescan) carries the latest
+      // touch along the ordered event stream; purchases then roll up by
+      // touch type. Single shuffle on user_id, per-user sort — the same
+      // one-exchange profile as sessionize, at any log size.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                unix_millis(col("ts")).as("ms"))
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+            .over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy(col("touch"))
+    },
+
+    Q(
+      "event_ohlc",
+      """WITH o AS (
+        |  SELECT event_type, CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour,
+        |         value, epoch_ms(ts) AS ms, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER w AS rn,
+        |            count(*)     OVER (PARTITION BY event_type, hour) AS cnt
+        |  FROM o WINDOW w AS (PARTITION BY event_type, hour ORDER BY ms, event_id))
+        |SELECT event_type, hour, count(*) AS n,
+        |       min(value) AS low, max(value) AS high,
+        |       max(CASE WHEN rn = 1 THEN value END) AS open,
+        |       max(CASE WHEN rn = cnt THEN value END) AS close
+        |FROM r GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin
+    ) { (s, d) =>
+      // Time-series downsampling to hourly OHLC bars per event type —
+      // the resample primitive for metrics/trading-style logs. open and
+      // close are picked by a row_number over ONE in-partition sort
+      // (close = last row via the partition count, so no second
+      // descending sort), then a hash aggregate on the same
+      // (event_type, hour) key reuses the window's exchange: one
+      // shuffle total. Values pass through un-transformed (no fp
+      // arithmetic) so the oracle hash is exact.
+      val hour = floor(unix_millis(col("ts")) / 3600000L).cast("long")
+      val p = Window.partitionBy(col("event_type"), col("hour"))
+      val w = p.orderBy(col("ms"), col("event_id"))
+      T.events(s, d)
+        .select(col("event_type"), hour.as("hour"), col("value"),
+                unix_millis(col("ts")).as("ms"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(p))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"),
+             min(col("value")).as("low"), max(col("value")).as("high"),
+             max(when(col("rn") === 1, col("value"))).as("open"),
+             max(when(col("rn") === col("cnt"), col("value"))).as("close"))
+        .orderBy(col("event_type"), col("hour"))
     }
   )
 }

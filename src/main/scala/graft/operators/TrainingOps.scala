@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, T}
+import graft.{Gate, Q, T}
 import org.apache.spark.sql.functions._
 
 /** Training-corpus preparation operators beyond §2.K's dedup/similarity
@@ -329,6 +329,54 @@ object TrainingOps {
           regexp_extract(parse_url(col("url"), lit("HOST")), "^[a-z]+\\.([a-z]+\\.[a-z]+)", 1)
             .as("domain"))
         .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "text_tfidf_topk",
+      """WITH tok AS (
+        |  SELECT doc_id, t AS token
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |        FROM documents)
+        |  WHERE t <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |         tf.tf * ((1000000 * n.n_docs) // df.df) AS score
+        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+        |  FROM scored)
+        |SELECT doc_id, token, tf, score FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, token""".stripMargin
+    ) { (s, d) =>
+      // Top-3 TF-IDF terms per document — keyword extraction for corpus
+      // browsing/routing. The idf is integer-scaled (⌊10⁶·N/df⌋) so the
+      // whole score chain is exact BIGINT arithmetic: bit-identical
+      // cross-engine AND under any partitioning — a float log-idf would
+      // hash-drift on neither count. Cost shape at 100 TB: the token
+      // stream shuffles once to per-(doc,token) counts; df is a second
+      // aggregate OVER THE ALREADY-COLLAPSED tf table (vocabulary-sized
+      // input, not token-stream-sized); the vocabulary table rides the
+      // size-gated broadcast back onto tf, and the top-3 is a
+      // doc-partitioned window on the same doc-keyed distribution.
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.documents(s, d)
+      val tok = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+      tf.join(Gate.bcast(df), "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * expr("(1000000 * n_docs) DIV df"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("token"))
     }
   )
 }

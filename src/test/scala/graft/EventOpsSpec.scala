@@ -121,6 +121,61 @@ class EventOpsSpec extends GraftSuite {
     assert(got.toSeq == again.toSeq, "sample must be bit-stable across runs")
   }
 
+  test("event_dau_rolling: per-day rolling distinct actives match an independent recompute") {
+    val got = q("event_dau_rolling").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val userDays = T.events(spark, sf)
+      .select(col("user_id"), floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val observedDays = userDays.map(_._2).distinct.sorted
+    assert(got.keySet == observedDays.toSet, "one row per observed day, no phantom days")
+    for (d <- observedDays) {
+      val expected = userDays.filter(ud => ud._2 >= d - 6 && ud._2 <= d).map(_._1).distinct.length
+      assert(got(d) == expected, s"day $d: rolling active_7d ${got(d)} != recomputed $expected")
+    }
+    // rolling window dominates the single day it ends on
+    val daily = userDays.groupBy(_._2).view.mapValues(_.map(_._1).distinct.length).toMap
+    for (d <- observedDays) assert(got(d) >= daily(d))
+  }
+
+  test("event_attribution: purchase counts are total and touches are genuine precedents") {
+    val got = q("event_attribution").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = T.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val nPurchases = ev.count(_._3 == "purchase")
+    assert(got.values.sum == nPurchases, "every purchase attributed exactly once")
+    assert(!got.contains("purchase"), "a purchase never credits itself")
+    // independent last-touch recompute per purchase
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._2))
+      ordered.zipWithIndex.collect { case ((_, _, "purchase", _), i) =>
+        ordered.take(i).reverse.find(_._3 != "purchase").map(_._3).getOrElse("none")
+      }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == expected, s"attribution mismatch: $got vs $expected")
+  }
+
+  test("event_ohlc: bars are internally consistent and open/close match the sort order") {
+    val bars = q("event_ohlc").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val ev = T.events(spark, sf)
+      .select(col("event_type"), floor(unix_millis(col("ts")) / 3600000L).cast("long").as("hour"),
+              col("value"), unix_millis(col("ts")).as("ms"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(bars.values.map(_._1).sum == ev.length, "bars partition the event log")
+    for (((typ, hour), (n, low, high, open, close)) <- bars) {
+      val cell = ev.filter(e => e._1 == typ && e._2 == hour).sortBy(e => (e._4, e._5))
+      assert(cell.length == n)
+      assert(low == cell.map(_._3).min && high == cell.map(_._3).max)
+      assert(open == cell.head._3, s"($typ,$hour) open")
+      assert(close == cell.last._3, s"($typ,$hour) close")
+      assert(low <= math.min(open, close) && high >= math.max(open, close))
+    }
+  }
+
   test("multimodal_frame_sample: stride-10 frames bounded by the clip length") {
     val frames = q("multimodal_frame_sample").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
