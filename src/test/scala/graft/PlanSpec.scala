@@ -190,6 +190,66 @@ class PlanSpec extends GraftSuite {
         s"non-probe join must attach per-doc state, not generate pairs: ${j.condition}")
   }
 
+  test("event_ohlc: one hash exchange serves both window passes and the bar aggregate") {
+    val p = plan("event_ohlc")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "window + same-key aggregate must share one shuffle")
+    assert("Window ".r.findAllIn(p).size == 2 && "\\+- Sort ".r.findAllIn(p).size <= 2,
+      "close must come from the partition count, not a second descending in-partition sort")
+  }
+
+  test("event_dau_rolling: day fan-out is a generator over the collapsed user-day set") {
+    val p = plan("event_dau_rolling")
+    assert(p.contains("Generate explode(sequence"),
+      "rolling fan-out must be a generator, not a 7-way union/self-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "observed-days filter must broadcast under the gate")
+    // the generator consumes the DISTINCT (user, day) aggregate, i.e. the
+    // event log was collapsed BEFORE the ×7 fan-out, not after
+    val gen = p.linesIterator.dropWhile(!_.contains("Generate explode")).take(3).mkString("\n")
+    assert(gen.contains("HashAggregate(keys=[user_id"),
+      "generator must sit directly on the collapsed user-day set")
+  }
+
+  test("agg_histogram: bucket id computed below the partial aggregate") {
+    val p = plan("agg_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final pair")
+    val partialIdx = p.indexOf("partial_count")
+    val floorIdx = p.indexOf("FLOOR(")
+    assert(partialIdx >= 0 && floorIdx > partialIdx,
+      "bucket floor must be a scan-side projection under the partial agg")
+  }
+
+  test("agg_corr: five decimal moments in ONE aggregate pass, no corr() double stream") {
+    val p = plan("agg_corr")
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      "all five moments must ride one partial+final aggregate")
+    assert(!p.contains("corr("), "must not fall back to the fp-order-dependent builtin")
+    assert(p.contains("Exchange SinglePartition"),
+      "only the 11-value partial state crosses the wire")
+  }
+
+  test("text_tfidf_topk: top-3 is rank-limited below the shuffle, df reuses cached tf") {
+    val p = plan("text_tfidf_topk")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "per-doc top-3 must prune map-side (WindowGroupLimit), not sort whole docs")
+    // both tf consumers (probe side and the df branch) must read the
+    // persisted tf table; the only tokenize Generates in the plan text
+    // are the InMemoryRelation echoes of the one cached subtree
+    assert("InMemoryTableScan".r.findAllIn(p).size == 2,
+      "both tf consumers must read the cache, not re-tokenize the corpus")
+    assert("Generate explode\\(split".r.findAllIn(p).size ==
+           "InMemoryRelation".r.findAllIn(p).size,
+      "every tokenize in the plan must be a cached-subtree echo, none live")
+    spark.catalog.clearCache() // the query persists tf; mimic Verify/Bench hygiene
+  }
+
+  test("emb_quantize_int8: pure projection — no shuffle before the output sort") {
+    val p = plan("emb_quantize_int8")
+    assert("Exchange".r.findAllIn(p).size == 1 && p.contains("rangepartitioning"),
+      "quantization must be scan-parallel; only the deterministic output sort shuffles")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
