@@ -305,6 +305,40 @@ object Aggs {
     },
 
     Q(
+      "agg_mode",
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        |           ORDER BY cnt DESC, c_mktsegment) AS rn
+        |  FROM c)
+        |SELECT c_nationkey, c_mktsegment AS mode_segment, cnt AS n
+        |FROM r WHERE rn = 1
+        |ORDER BY c_nationkey""".stripMargin
+    ) { (s, d) =>
+      // Mode (most frequent value per group) with a deterministic
+      // lexicographic tie-break — bare mode() is engine- and
+      // partitioning-dependent under ties. Two-level shape: count per
+      // (group, value) collapses the input first (the shuffle carries
+      // #distinct-pairs, not rows), then the rn=1 pick plans as
+      // WindowGroupLimit — O(1) state per group map-side. A string
+      // value can't ride the packed-BIGINT max_by trick
+      // (`agg_arg_minmax`), so the window formulation IS the scale path.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("cnt").desc, col("c_mktsegment"))
+      T.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"),
+                col("cnt").as("n"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    Q(
       "agg_histogram",
       """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
         |       count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi

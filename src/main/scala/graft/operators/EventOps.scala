@@ -231,6 +231,44 @@ object EventOps {
     },
 
     Q(
+      "event_anomaly",
+      """WITH c AS (
+        |  SELECT event_type, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS nd, sum(cnt) AS s1, sum(cnt * cnt) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_type, c.day, c.cnt,
+        |       round((CAST(c.cnt AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.nd)
+        |         / sqrt(CAST(m.nd AS DOUBLE) * CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)) * m.nd, 4) AS z
+        |FROM c JOIN m ON c.event_type = m.event_type
+        |ORDER BY c.event_type, c.day""".stripMargin
+    ) { (s, d) =>
+      // Daily-volume anomaly score: z-score of each (event_type, day)
+      // count against that type's own distribution — the monitoring
+      // query behind "did error volume spike today?". The moments are
+      // exact BIGINT sums over the ALREADY-COLLAPSED per-day counts
+      // (two tiny aggregates after one log shuffle), so the z-scores
+      // are partition-order invariant; the per-type moment table is
+      // calendar × types sized → size-gated broadcast back onto the
+      // daily counts. Algebraic identity: z = (cnt − s1/nd) · nd /
+      // √(nd·s2 − s1²) — population std, no per-row second pass.
+      val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
+      val c = T.events(s, d)
+        .groupBy(col("event_type"), day.as("day")).agg(count(lit(1)).as("cnt"))
+      val m = c.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("cnt")).as("s1"),
+             sum(col("cnt") * col("cnt")).as("s2"))
+      c.join(Gate.bcast(m), "event_type")
+        .select(col("event_type"), col("day"), col("cnt"),
+          round((col("cnt").cast("double") - col("s1").cast("double") / col("nd"))
+            / sqrt(col("nd").cast("double") * col("s2").cast("double")
+                   - col("s1").cast("double") * col("s1").cast("double"))
+            * col("nd"), 4).as("z"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    Q(
       "event_ohlc",
       """WITH o AS (
         |  SELECT event_type, CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour,

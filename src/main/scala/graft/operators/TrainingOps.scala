@@ -332,6 +332,66 @@ object TrainingOps {
     },
 
     Q(
+      "sample_split",
+      s"""SELECT doc_id, lang,
+         |       CASE WHEN ${fpSql("text")} % 100 < 80 THEN 'train'
+         |            WHEN ${fpSql("text")} % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Deterministic train/val/test assignment (80/10/10) keyed on the
+      // content rolling-hash — the split a training pipeline must be able
+      // to REPRODUCE on any rebuild: re-partitioning, re-sharding, or a
+      // different engine assigns every doc to the same split (rand()
+      // would leak val docs into train on every retry). Pure scan-pushed
+      // projection; the same content key also means exact dupes land in
+      // the same split, so near-dup leakage across splits is bounded by
+      // the dedup stage, not the splitter.
+      val b = fpSpark("text") % 100
+      T.documents(s, d)
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "text_bigram_topk",
+      """WITH a AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM a)
+        |SELECT bigram, count(*) AS f
+        |FROM g GROUP BY 1
+        |ORDER BY f DESC, bigram
+        |LIMIT 25""".stripMargin
+    ) { (s, d) =>
+      // Top-25 word bigrams (collocation mining — the n>1 sibling of
+      // `text_heavy_hitters`, input to tokenizer-merge and boilerplate
+      // screens). The bigram stream is a per-row generator over the
+      // token array (transform over 1-based element_at windows — no
+      // join, no shuffle to form pairs), then one partial+final count
+      // agg and a TakeOrderedAndProject top-k: the shuffle carries
+      // #distinct-bigrams × #map-partitions rows and the cut is O(k)
+      // per partition. Tie-break on the bigram keeps the LIMIT edge
+      // deterministic cross-engine.
+      T.documents(s, d)
+        .select(split(lower(col("text")), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+             |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
+          .as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("bigram"))
+        .limit(25)
+    },
+
+    Q(
       "text_tfidf_topk",
       """WITH tok AS (
         |  SELECT doc_id, t AS token

@@ -82,6 +82,65 @@ class AnalyticsOpsSpec extends GraftSuite {
     }
   }
 
+  test("agg_mode: winner is the true max count with the lexicographic tie-break") {
+    val got = q("agg_mode").collect()
+      .map(r => r.getAs[Number](0).longValue -> ((r.getString(1), r.getLong(2)))).toMap
+    val counts = T.customer(spark, sf)
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).count()
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1), r.getLong(2)))
+    assert(got.keySet == counts.map(_._1).toSet, "one row per group")
+    for ((nation, (seg, n)) <- got) {
+      val grp = counts.filter(_._1 == nation)
+      val best = grp.map(_._3).max
+      assert(n == best, s"nation $nation: reported $n != max count $best")
+      assert(seg == grp.filter(_._3 == best).map(_._2).min,
+        s"nation $nation: tie must break to the lexicographically first segment")
+    }
+  }
+
+  test("sample_split: 80/10/10 split is exhaustive, disjoint, and bit-stable") {
+    val rows = q("sample_split").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.length == T.documents(spark, sf).count(), "every doc assigned")
+    assert(rows.map(_._1).distinct.length == rows.length, "exactly one split per doc")
+    assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic: identical content ⇒ identical split on a rerun
+    assert(rows.toSeq == q("sample_split").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq)
+    // rough proportions at 500 docs (binomial 3σ bands)
+    val frac = rows.count(_._2 == "train").toDouble / rows.length
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac far off 0.8")
+  }
+
+  test("text_bigram_topk: counts match a driver-side recount of adjacent pairs") {
+    val got = q("text_bigram_topk").collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = T.documents(spark, sf).select(lower(col("text"))).collect()
+      .flatMap(_.getString(0).split(" ", -1).sliding(2).collect {
+        case Array(a, b) => s"$a $b"
+      })
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.length == math.min(25, all.size))
+    for ((bg, f) <- got) assert(all(bg) == f, s"'$bg' count $f != ${all(bg)}")
+    // the cut is the true top-25 by (count desc, bigram)
+    val expected = all.toSeq.sortBy { case (b, f) => (-f, b) }.take(25)
+    assert(got.toSeq == expected, "top-25 edge must be deterministic")
+  }
+
+  test("event_anomaly: z-scores standardize each type's daily counts (mean 0, var 1)") {
+    val rows = q("event_anomaly").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    for ((typ, grp) <- rows.groupBy(_._1)) {
+      val n = grp.length
+      val zs = grp.map(_._4)
+      assert(math.abs(zs.sum / n) < 1e-3, s"$typ: z mean ${zs.sum / n} not ~0")
+      assert(math.abs(zs.map(z => z * z).sum / n - 1.0) < 1e-2,
+        s"$typ: z variance not ~1 (rounding tolerance)")
+      // monotone: higher count ⇒ higher z within a type
+      val byCount = grp.sortBy(_._3)
+      assert(byCount.map(_._4).zip(byCount.tail.map(_._4)).forall { case (a, b) => a <= b },
+        s"$typ: z must be monotone in the count")
+    }
+  }
+
   test("emb_quantize_int8: range, max-element saturation, and dequantization error bound") {
     val rows = q("emb_quantize_int8").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))

@@ -250,6 +250,30 @@ class PlanSpec extends GraftSuite {
       "quantization must be scan-parallel; only the deterministic output sort shuffles")
   }
 
+  test("agg_mode: rn=1 pick is a WindowGroupLimit over the collapsed counts") {
+    val p = plan("agg_mode")
+    assert(p.contains("WindowGroupLimit"),
+      "mode pick must prune to 1 row per group map-side")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "(group, value) count must collapse the input before the window")
+  }
+
+  test("text_bigram_topk: generator pair-forming + fused top-k, no join") {
+    val p = plan("text_bigram_topk")
+    assert(p.contains("Generate explode(transform(sequence"),
+      "bigrams must come from a per-row generator, not a self-join")
+    assert(p.contains("TakeOrderedAndProject"), "top-25 must fuse, never global-sort")
+    assert(!p.contains("Join"), "no join may form the pairs")
+  }
+
+  test("event_anomaly: moments aggregate the collapsed daily counts, broadcast back") {
+    val p = plan("event_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-type moment table must broadcast under the gate")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      "only the count/moment aggregates may shuffle — never the raw log twice")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
