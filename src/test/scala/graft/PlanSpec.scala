@@ -230,6 +230,9 @@ class PlanSpec extends GraftSuite {
   }
 
   test("text_tfidf_topk: top-3 is rank-limited below the shuffle, df reuses cached tf") {
+    // start from a cold cache: a tf copy left behind by another suite
+    // changes how many cached-subtree echoes the plan text carries
+    spark.catalog.clearCache()
     val p = plan("text_tfidf_topk")
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       "per-doc top-3 must prune map-side (WindowGroupLimit), not sort whole docs")
