@@ -231,6 +231,41 @@ object EventOps {
     },
 
     Q(
+      "event_path_topk",
+      """WITH o AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+        |w AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type, 1) OVER win AS t2,
+        |         lead(event_type, 2) OVER win AS t3
+        |  FROM o WINDOW win AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS f
+        |FROM w WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY f DESC, path
+        |LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      // Top-10 3-step behavioral paths (funnel DISCOVERY — `event_funnel`
+      // measures a path you already know; this one surfaces which paths
+      // exist). Two leads over one user-partitioned window turn the
+      // ordered stream into overlapping type-trigrams in a single
+      // shuffle + in-partition sort — no self-joins; the trigram count
+      // is a partial+final agg over a bounded (|types|³) key space and
+      // the cut fuses to TakeOrderedAndProject with a path tie-break.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      T.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"),
+                col("event_id"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .where(col("t2").isNotNull && col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("path"))
+        .limit(10)
+    },
+
+    Q(
       "event_anomaly",
       """WITH c AS (
         |  SELECT event_type, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day, count(*) AS cnt

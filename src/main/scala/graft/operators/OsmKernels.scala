@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, T}
+import graft.{Gate, Q, T}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.J — the reference's actual ETL, re-expressed as Spark
@@ -554,6 +554,48 @@ object OsmKernels {
     },
 
     Q(
+      "merge_scd2",
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_acctbal AS bal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS id, c_acctbal + 100 AS bal
+        |  FROM customer WHERE c_custkey % 2 = 1)
+        |SELECT b.id, b.bal, CAST(0 AS BIGINT) AS valid_from,
+        |       CASE WHEN u.id IS NULL THEN CAST(NULL AS BIGINT)
+        |            ELSE CAST(1 AS BIGINT) END AS valid_to
+        |FROM base b LEFT JOIN upd u ON b.id = u.id
+        |UNION ALL
+        |SELECT id, bal, CAST(1 AS BIGINT) AS valid_from,
+        |       CAST(NULL AS BIGINT) AS valid_to
+        |FROM upd
+        |ORDER BY id, valid_from""".stripMargin
+    ) { (s, d) =>
+      // Slowly-changing-dimension type 2 (`merge_upsert`'s history-keeping
+      // sibling): an update CLOSES the current version (valid_to set) and
+      // appends a new open one, so every historical state stays queryable
+      // by validity interval — the dimension shape a weekly snapshot
+      // pipeline needs for as-of reprocessing. One left join marks closed
+      // rows (the update set is corpus-fraction-sized → size-gated
+      // broadcast, the dimension never shuffles) plus a union of the new
+      // versions; at scale the join inherits the bucketed dim layout like
+      // merge_upsert. Updates synthesized deterministically: odd custkeys
+      // re-balance (+100) at version time 1.
+      val c = T.customer(s, d)
+      val base = c.select(col("c_custkey").as("id"), col("c_acctbal").as("bal"))
+      val upd = c.where(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey").as("u_id"), (col("c_acctbal") + 100).as("u_bal"))
+      val closedOrCurrent = base
+        .join(Gate.bcast(upd.select(col("u_id"))), col("id") === col("u_id"), "left")
+        .select(col("id"), col("bal"), lit(0L).as("valid_from"),
+                when(col("u_id").isNull, lit(null).cast("long"))
+                  .otherwise(lit(1L)).as("valid_to"))
+      val newVersions = upd
+        .select(col("u_id").as("id"), col("u_bal").as("bal"),
+                lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      closedOrCurrent.unionAll(newVersions).orderBy(col("id"), col("valid_from"))
+    },
+
+    Q(
       "osm_region_partition_write",
       """SELECT r_name, n_name, count(*) AS n_orders
         |FROM orders
@@ -586,6 +628,43 @@ object OsmKernels {
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Small-file compaction — the weekly lake-maintenance pass every
+    // partitioned 100 TB lake needs (each incremental append writes
+    // #tasks files per partition; a year of appends makes scans
+    // metadata-bound). One keyed repartition rewrites each partition
+    // into a bounded file count: the salt term caps files per partition
+    // dir (at scale: ceil(partition_bytes / target_file_bytes) from the
+    // lake's stats, here a fixed 2), so hot partitions still split into
+    // multiple right-sized files instead of one huge one — compaction
+    // must not undo `join_skew_salted`'s lesson. Layout/behavioral (file
+    // counts aren't SQL) → smoke + AnalyticsOpsSpec asserts files
+    // collapse 16→≤2 per partition with bit-identical row content.
+    Q.smoke("lake_compact") { (s, d) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_lake_compact"
+      val src = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      // fragment: 16 writer tasks × every priority → 16 files per partition
+      src.repartition(16).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(s"$root/fragmented")
+      val frag = s.read.schema(src.schema).parquet(s"$root/fragmented")
+      val targetFiles = 2
+      frag.repartition(col("o_orderpriority"),
+                       pmod(col("o_orderkey"), lit(targetFiles)))
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(s"$root/compacted")
+      def stats(path: String, label: String) =
+        s.read.schema(src.schema).parquet(path)
+          // project the file name first: the analyzer (correctly) rejects
+          // nondeterministic expressions as direct aggregate arguments
+          .select(col("o_orderpriority").as("part"), input_file_name().as("f"))
+          .groupBy(col("part"))
+          .agg(countDistinct(col("f")).as(s"files_$label"),
+               count(lit(1)).as(s"rows_$label"))
+      stats(s"$root/fragmented", "before")
+        .join(stats(s"$root/compacted", "after"), "part")
+        .orderBy(col("part"))
     }
   )
 }

@@ -392,6 +392,46 @@ object TrainingOps {
     },
 
     Q(
+      "text_repetition",
+      """WITH a AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM a),
+        |c AS (
+        |  SELECT doc_id, bigram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |       CAST(max(cnt) AS BIGINT) AS top_cnt,
+        |       CAST((100 * max(cnt)) // sum(cnt) AS BIGINT) AS top_pct
+        |FROM c GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Per-doc repetition gate (the Gopher "top n-gram share" quality
+      // signal — boilerplate and spam repeat their bigrams): share of
+      // the doc's bigram mass held by its most frequent bigram, as an
+      // exact integer percentage. Same generator pair-forming as
+      // `text_bigram_topk`, but the roll-up keys on doc_id: one shuffle
+      // to per-(doc, bigram) counts, then the doc-level max/sum reuses
+      // that exchange (both hash doc_id first). Integer ⌊100·max/Σ⌋
+      // keeps the gate threshold engine-exact.
+      val pairs = T.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+             |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
+          .as("bigram"))
+      pairs.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_cnt"))
+        .select(col("doc_id"), col("n_bigrams"), col("top_cnt"),
+                expr("(100 * top_cnt) DIV n_bigrams").as("top_pct"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "text_tfidf_topk",
       """WITH tok AS (
         |  SELECT doc_id, t AS token

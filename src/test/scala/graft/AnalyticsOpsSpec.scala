@@ -141,6 +141,67 @@ class AnalyticsOpsSpec extends GraftSuite {
     }
   }
 
+  test("merge_scd2: one open version per key, updates close-and-append correctly") {
+    val rows = q("merge_scd2").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+                 if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val bal = T.customer(spark, sf).select(col("c_custkey"), col("c_acctbal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byKey = rows.groupBy(_._1)
+    assert(byKey.keySet == bal.keySet, "every dimension key appears")
+    for ((k, vs) <- byKey) {
+      assert(vs.count(_._4.isEmpty) == 1, s"key $k must have exactly one open version")
+      if (k % 2 == 0) {
+        assert(vs.length == 1 && vs.head._2 == bal(k) && vs.head._3 == 0L,
+          s"unchanged key $k must pass through untouched")
+      } else {
+        assert(vs.length == 2, s"updated key $k must have history + current")
+        val Seq(closed, open) = vs.sortBy(_._3).toSeq
+        assert(closed._2 == bal(k) && closed._3 == 0L && closed._4.contains(1L),
+          s"key $k old version must be closed at the update time")
+        assert(open._2 == bal(k) + 100 && open._3 == 1L && open._4.isEmpty,
+          s"key $k new version must open at the update time")
+        assert(closed._4.get <= open._3, s"key $k validity intervals must not overlap")
+      }
+    }
+  }
+
+  test("text_repetition: per-doc bigram mass and top share recount") {
+    val got = q("text_repetition").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = T.documents(spark, sf).select(col("doc_id"), lower(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    for ((id, toks) <- docs if toks.length >= 2) {
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = bigrams.groupBy(identity).view.mapValues(_.length.toLong)
+      val (n, top, pct) = got(id)
+      assert(n == bigrams.length.toLong, s"doc $id bigram mass")
+      assert(top == counts.values.max, s"doc $id top count")
+      assert(pct == 100L * top / n, s"doc $id integer share")
+    }
+    assert(got.keySet == docs.filter(_._2.length >= 2).map(_._1).toSet)
+  }
+
+  test("lake_compact: files collapse per partition, row content survives") {
+    val rows = q("lake_compact").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((part, filesBefore, rowsBefore, filesAfter, rowsAfter) <- rows) {
+      assert(filesAfter < filesBefore,
+        s"$part: compaction must reduce file count ($filesBefore -> $filesAfter)")
+      assert(filesAfter <= 2, s"$part: salt bound must cap files at 2, got $filesAfter")
+      assert(rowsBefore == rowsAfter, s"$part: compaction must not lose or duplicate rows")
+    }
+    // content equality beyond counts: the compacted lake re-aggregates to
+    // the same exact totals as the fragmented one
+    val root = s"${sys.props("java.io.tmpdir")}/graft_lake_compact"
+    val schema = T.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")).schema
+    def tot(p: String) = spark.read.schema(schema).parquet(p)
+      .agg(sum(col("o_orderkey")), count(lit(1))).collect().head
+    assert(tot(s"$root/fragmented") == tot(s"$root/compacted"))
+  }
+
   test("emb_quantize_int8: range, max-element saturation, and dequantization error bound") {
     val rows = q("emb_quantize_int8").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))

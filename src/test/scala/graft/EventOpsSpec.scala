@@ -176,6 +176,22 @@ class EventOpsSpec extends GraftSuite {
     }
   }
 
+  test("event_path_topk: trigram paths match a per-user sliding recount") {
+    val got = q("event_path_topk").collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = T.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._4)).map(_._2).sliding(3).collect {
+          case Array(a, b, c) => s"$a>$b>$c"
+        }
+      }.groupBy(p => p).view.mapValues(_.length.toLong).toMap
+    assert(got.length == math.min(10, all.size))
+    for ((path, f) <- got) assert(all(path) == f, s"path '$path' count")
+    val expected = all.toSeq.sortBy { case (p, f) => (-f, p) }.take(10)
+    assert(got.toSeq == expected, "top-10 cut must be deterministic")
+  }
+
   test("multimodal_frame_sample: stride-10 frames bounded by the clip length") {
     val frames = q("multimodal_frame_sample").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
