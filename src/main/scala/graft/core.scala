@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** One keyed operator query from SURVEY.md §2.
   *
@@ -60,6 +60,30 @@ object Gate {
       org.apache.spark.sql.functions.broadcast(df)
     else df
   }
+}
+
+/** Per-(JVM, dataset) scratch roots for layout operators (lake_compact,
+  * osm_region_partition_write). A fixed java.io.tmpdir path races when a
+  * bench and a test run share one box; the per-process nonce isolates
+  * runs while the operator and its spec — same JVM — still agree on the
+  * path, and the dataset hash keeps two data dirs apart within a run.
+  */
+object Scratch {
+  private val runNonce = java.lang.Long.toHexString(
+    java.util.concurrent.ThreadLocalRandom.current().nextLong())
+  def dir(tag: String, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${runNonce}_${math.abs(d.hashCode).toHexString}"
+}
+
+/** Registry for plans an operator persists as part of its own shape
+  * (text_tfidf_topk's tf table): callers that sweep many queries
+  * (Verify, Bench, specs) drain it after materializing each result so
+  * executor storage memory doesn't accumulate across the sweep.
+  */
+object Caches {
+  private val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  def register[A <: Dataset[_]](df: A): A = synchronized { live += df.toDF(); df }
+  def drain(): Unit = synchronized { live.foreach(_.unpersist()); live.clear() }
 }
 
 /** Table loaders over the driver-generated corpus (TESTDATA.md). */

@@ -269,16 +269,17 @@ object EmbeddingOps {
 
     Q(
       "emb_quantize_int8",
-      """SELECT vec_id,
-        |       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
-        |       CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
-        |            THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-        |            ELSE list_transform(embedding, x ->
-        |              CAST(floor(127.0 * CAST(x AS DOUBLE)
-        |                   / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) + 0.5) AS BIGINT))
-        |       END AS q
-        |FROM embeddings
-        |ORDER BY vec_id""".stripMargin
+      """SELECT vec_id, i - 1 AS pos, scale,
+        |       CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(floor(127.0 * CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT)
+        |       END AS q_val
+        |FROM (
+        |  SELECT vec_id,
+        |         unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS i,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings) t
+        |ORDER BY vec_id, pos""".stripMargin
     ) { (s, d) =>
       // Symmetric int8 quantization (q = round(127·x/max|x|) per vector)
       // — the storage/compute compression step every 100 TB ANN index
@@ -286,17 +287,20 @@ object EmbeddingOps {
       // dot product is SIMD-friendly downstream. Pure per-row projection
       // (higher-order transform, no shuffle, scan-parallel). The chain
       // float→double cast, abs, max, one multiply/divide, floor is
-      // bit-identical IEEE in both engines, so even the un-rounded scale
+      // bit-identical IEEE in both engines, so the un-rounded scale
       // column hashes exactly; the all-zero-vector guard keeps the
-      // division total.
+      // division total. Output is exploded to scalar
+      // (vec_id, pos, scale, q_val) rows — the emb_normalize shape
+      // convention — because the driver's compare can't hash arrays.
       T.embeddings(s, d)
         .withColumn("scale", array_max(expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))")))
-        .withColumn("q",
-          when(col("scale") === 0d, expr("transform(embedding, x -> CAST(0 AS BIGINT))"))
-            .otherwise(expr(
-              "transform(embedding, x -> CAST(floor(127.0 * CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))")))
-        .select(col("vec_id"), col("scale"), col("q"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), col("scale"),
+          posexplode(
+            when(col("scale") === 0d, expr("transform(embedding, x -> CAST(0 AS BIGINT))"))
+              .otherwise(expr(
+                "transform(embedding, x -> CAST(floor(127.0 * CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))")))
+            .as(Seq("pos", "q_val")))
+        .orderBy(col("vec_id"), col("pos"))
     }
   )
 }

@@ -274,8 +274,10 @@ object EventOps {
         |  SELECT event_type, count(*) AS nd, sum(cnt) AS s1, sum(cnt * cnt) AS s2
         |  FROM c GROUP BY 1)
         |SELECT c.event_type, c.day, c.cnt,
-        |       round((CAST(c.cnt AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.nd)
-        |         / sqrt(CAST(m.nd AS DOUBLE) * CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)) * m.nd, 4) AS z
+        |       CASE WHEN m.nd * m.s2 - m.s1 * m.s1 <= 0 THEN NULL
+        |            ELSE round((CAST(c.cnt AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.nd)
+        |              / sqrt(CAST(m.nd AS DOUBLE) * CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)) * m.nd, 4)
+        |       END AS z
         |FROM c JOIN m ON c.event_type = m.event_type
         |ORDER BY c.event_type, c.day""".stripMargin
     ) { (s, d) =>
@@ -287,7 +289,11 @@ object EventOps {
       // are partition-order invariant; the per-type moment table is
       // calendar × types sized → size-gated broadcast back onto the
       // daily counts. Algebraic identity: z = (cnt − s1/nd) · nd /
-      // √(nd·s2 − s1²) — population std, no per-row second pass.
+      // √(nd·s2 − s1²) — population std, no per-row second pass. The
+      // discriminant nd·s2 − s1² is an EXACT integer, so the
+      // zero-variance guard (one observed day, or constant daily
+      // counts → z undefined) is a precise <= 0 test, not an epsilon:
+      // both engines emit NULL instead of NaN/Inf.
       val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
       val c = T.events(s, d)
         .groupBy(col("event_type"), day.as("day")).agg(count(lit(1)).as("cnt"))
@@ -296,10 +302,13 @@ object EventOps {
              sum(col("cnt") * col("cnt")).as("s2"))
       c.join(Gate.bcast(m), "event_type")
         .select(col("event_type"), col("day"), col("cnt"),
-          round((col("cnt").cast("double") - col("s1").cast("double") / col("nd"))
-            / sqrt(col("nd").cast("double") * col("s2").cast("double")
-                   - col("s1").cast("double") * col("s1").cast("double"))
-            * col("nd"), 4).as("z"))
+          when(col("nd") * col("s2") - col("s1") * col("s1") <= 0L,
+               lit(null).cast("double"))
+            .otherwise(
+              round((col("cnt").cast("double") - col("s1").cast("double") / col("nd"))
+                / sqrt(col("nd").cast("double") * col("s2").cast("double")
+                       - col("s1").cast("double") * col("s1").cast("double"))
+                * col("nd"), 4)).as("z"))
         .orderBy(col("event_type"), col("day"))
     },
 

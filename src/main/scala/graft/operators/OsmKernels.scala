@@ -610,7 +610,7 @@ object OsmKernels {
       // becomes ONE job + a region-partitioned lake layout; "process only
       // colorado" becomes partition pruning on re-read (PartitionFilters —
       // unselected regions' files are never opened).
-      val out = s"${sys.props("java.io.tmpdir")}/graft_region_partitioned"
+      val out = graft.Scratch.dir("region_partitioned", d)
       // customer grows with sf — size-gated broadcast (nation/region are
       // constant-cardinality and stay hard-broadcast)
       val staged = T.orders(s, d)
@@ -642,7 +642,7 @@ object OsmKernels {
     // counts aren't SQL) → smoke + AnalyticsOpsSpec asserts files
     // collapse 16→≤2 per partition with bit-identical row content.
     Q.smoke("lake_compact") { (s, d) =>
-      val root = s"${sys.props("java.io.tmpdir")}/graft_lake_compact"
+      val root = graft.Scratch.dir("lake_compact", d)
       val src = T.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
       // fragment: 16 writer tasks × every priority → 16 files per partition

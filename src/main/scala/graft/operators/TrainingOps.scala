@@ -469,10 +469,13 @@ object TrainingOps {
       // persist tf: df is derived FROM tf, and without materialization
       // Catalyst would re-tokenize the whole corpus for the df branch
       // (column pruning rewrites the shared subtree, defeating exchange
-      // reuse) — at 100 TB that is a second full corpus scan. Cached, the
-      // broadcast-side job computes tf once and the probe side reuses it;
-      // Verify/Bench clear the cache after each query.
-      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")).persist()
+      // reuse) — at 100 TB that is a second full corpus scan. The cache
+      // is part of this operator's contract, so it's registered with
+      // graft.Caches: sweeping callers (Verify/Bench/specs) drain the
+      // registry after materializing, instead of every composition
+      // having to know to clearCache().
+      val tf = graft.Caches.register(
+        tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")).persist())
       val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))

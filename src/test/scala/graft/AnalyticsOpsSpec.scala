@@ -125,6 +125,31 @@ class AnalyticsOpsSpec extends GraftSuite {
     assert(got.toSeq == expected, "top-25 edge must be deterministic")
   }
 
+  test("event_anomaly: zero-variance types emit NULL z, not NaN/Inf") {
+    // one type with a single observed day (nd=1) and one with constant
+    // daily counts (nd·s2 = s1²) — both discriminants are exactly 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_zvar").toString
+    val day = 86400000L
+    val rows = Seq(
+      (1L, 0L * day, 100L, "single", 1.0, "{}"),
+      (2L, 0L * day, 101L, "const", 1.0, "{}"),
+      (3L, 1L * day, 102L, "const", 1.0, "{}"),
+      (4L, 2L * day, 103L, "const", 1.0, "{}"),
+      (5L, 0L * day, 104L, "vary", 1.0, "{}"),
+      (6L, 0L * day, 105L, "vary", 1.0, "{}"),
+      (7L, 1L * day, 106L, "vary", 1.0, "{}"))
+    import spark.implicits._
+    rows.toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("event_anomaly")(spark, dir).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.filter(_._1 != "vary").forall(_._2.isEmpty),
+      "degenerate distributions must yield NULL z")
+    assert(got.filter(_._1 == "vary").forall(_._2.exists(z => !z.isNaN && !z.isInfinite)),
+      "well-defined distributions must yield finite z")
+  }
+
   test("event_anomaly: z-scores standardize each type's daily counts (mean 0, var 1)") {
     val rows = q("event_anomaly").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -194,7 +219,7 @@ class AnalyticsOpsSpec extends GraftSuite {
     }
     // content equality beyond counts: the compacted lake re-aggregates to
     // the same exact totals as the fragmented one
-    val root = s"${sys.props("java.io.tmpdir")}/graft_lake_compact"
+    val root = graft.Scratch.dir("lake_compact", sf)
     val schema = T.orders(spark, sf)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")).schema
     def tot(p: String) = spark.read.schema(schema).parquet(p)
@@ -203,12 +228,16 @@ class AnalyticsOpsSpec extends GraftSuite {
   }
 
   test("emb_quantize_int8: range, max-element saturation, and dequantization error bound") {
-    val rows = q("emb_quantize_int8").collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
+    // output is exploded (vec_id, scale, pos, q_val) rows — reassemble per vec
+    val byVec = q("emb_quantize_int8").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
     val vecs = T.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
-    assert(rows.length == vecs.size)
-    for ((id, scale, qs) <- rows) {
+    assert(byVec.size == vecs.size)
+    for ((id, rs) <- byVec) {
+      val scale = rs.head._2
+      val qs = rs.sortBy(_._3).map(_._4).toSeq
       val xs = vecs(id)
       assert(qs.length == xs.length)
       assert(scale == xs.map(math.abs).max, s"vec $id scale")

@@ -49,8 +49,9 @@ class PlanSpec extends GraftSuite {
   test("join_bucketed: bucket-aligned sort-merge join with zero Exchange") {
     // force materialization so the bucketed tables exist, then re-plan
     SparkEntry.queries("join_bucketed")(spark, sf).count()
-    val o = spark.table("graft_bkt_orders").hint("merge")
-    val p = o.join(spark.table("graft_bkt_customer"),
+    val sfx = math.abs(sf.hashCode).toHexString
+    val o = spark.table(s"graft_bkt_orders_$sfx").hint("merge")
+    val p = o.join(spark.table(s"graft_bkt_customer_$sfx"),
                    org.apache.spark.sql.functions.col("o_custkey") ===
                      org.apache.spark.sql.functions.col("c_custkey"))
       .queryExecution.executedPlan.toString()
