@@ -289,38 +289,55 @@ object OsmKernels {
       s"""WITH $duckRingsCte,
          |rel AS (
          |  SELECT o_custkey AS relation_id, way_id, len(clons) AS n, shoe,
+         |         CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+         |              THEN 'outer' ELSE 'inner' END AS role,
          |         row_number() OVER (PARTITION BY o_custkey
-         |                            ORDER BY abs(shoe) DESC, way_id) AS rk
+         |                            ORDER BY (CASE WHEN o_orderpriority LIKE '1%'
+         |                                        OR o_orderpriority LIKE '2%'
+         |                                      THEN 0 ELSE 1 END),
+         |                                     abs(shoe) DESC, way_id) AS rk
          |  FROM orders JOIN rings ON o_orderkey = way_id)
          |SELECT relation_id,
          |       count(*) AS n_rings,
          |       count(*) - 1 AS n_holes,
          |       CAST(sum(n) AS BIGINT) AS n_points,
          |       max(CASE WHEN rk = 1 THEN way_id END) AS outer_way,
+         |       max(CASE WHEN rk = 1 THEN role END) AS outer_role,
          |       CAST(max(CASE WHEN rk = 1 THEN abs(shoe) END) AS DOUBLE) / 20000.0 AS outer_area,
          |       CAST(18 + sum(4 + 16 * n) AS BIGINT) AS wkb_len,
          |       '0106000000' AS wkb_header
          |FROM rel GROUP BY relation_id ORDER BY relation_id""".stripMargin
     ) { (s, d) =>
-      // Relation → OGC WKB MultiPolygon (type 6) with outer/inner role
-      // handling (README.md:80-82): the member ring with the LARGEST
-      // area is the outer shell (the deterministic stand-in for OSM's
-      // role tags — on real data the roles come from the member table),
-      // every other ring a hole. Shell normalized CCW, holes CW, ring 0
-      // first — the OGC layout PostGIS expects. Same two aggregations +
-      // one fact⋈fact join as osm_relation_wkb: the role split and
-      // winding fixes live INSIDE the row (ordered struct sort +
-      // positional transform), so no shuffle is added. Oracle pins ring/
-      // hole/point counts, the outer pick, its exact area, and the byte
-      // length; WkbSpec decodes shell-CCW / holes-CW / closure.
+      // Relation → OGC WKB MultiPolygon (type 6) with ROLE-DRIVEN
+      // outer/inner assembly (README.md:80-82, osm2pgsql semantics): each
+      // member carries a role — derived deterministically from the
+      // fixture's o_orderpriority ('1-URGENT'/'2-HIGH' → outer, rest →
+      // inner), standing in for OSM's member-role tags — and the shell is
+      // the largest-|area| member AMONG THE OUTER-ROLE ONES, so a small
+      // role-outer ring beats a big role-inner one (WkbSpec pins such a
+      // fixture relation). Relations whose members carry no outer role at
+      // all (broken tagging, which real planet data has) fall back to
+      // osm2pgsql's repair: largest |area| overall. Shell normalized CCW,
+      // holes CW, ring 0 first — the OGC layout PostGIS expects. Same two
+      // aggregations + one fact⋈fact join as osm_relation_wkb: the role
+      // split and winding fixes live INSIDE the row (ordered struct sort
+      // + positional transform), so no shuffle is added. Oracle pins
+      // ring/hole/point counts, the role-selected outer pick + its role,
+      // exact area, and the byte length; WkbSpec decodes shell-CCW /
+      // holes-CW / closure.
       val rings = wayRings(s, d).select(col("way_id"), col("ring"), col("shoe"))
       T.orders(s, d)
-        .select(col("o_custkey").as("relation_id"), col("o_orderkey"))
+        .select(col("o_custkey").as("relation_id"), col("o_orderkey"),
+          when(col("o_orderpriority").startsWith("1")
+                 || col("o_orderpriority").startsWith("2"), "outer")
+            .otherwise("inner").as("role"))
         .join(rings, col("o_orderkey") === col("way_id"))
         .groupBy(col("relation_id"))
         .agg(expr(
           """array_sort(collect_list(named_struct(
-            |  'neg_area', -abs(shoe), 'way_id', way_id, 'ring', ring, 'shoe', shoe)))""".stripMargin)
+            |  'rolerank', IF(role = 'outer', 0, 1),
+            |  'neg_area', -abs(shoe), 'way_id', way_id,
+            |  'ring', ring, 'shoe', shoe, 'role', role)))""".stripMargin)
           .as("rs"))
         // shell (position 0) must wind CCW, holes CW: reverse on demand,
         // decided by the exact integer shoelace sign
@@ -333,13 +350,14 @@ object OsmKernels {
           (size(col("rs")) - 1).cast("long").as("n_holes"),
           expr("aggregate(rs, CAST(0 AS BIGINT), (acc, r) -> acc + size(r.ring))").as("n_points"),
           expr("rs[0].way_id").as("outer_way"),
+          expr("rs[0].role").as("outer_role"),
           (abs(expr("rs[0].shoe")).cast("double") / 20000.0).as("outer_area"),
           graft.functions.WkbMultiPolygon(
             expr("transform(norm, ring -> transform(ring, p -> CAST(p.lon_c AS DOUBLE) / 100.0D))"),
             expr("transform(norm, ring -> transform(ring, p -> CAST(p.lat_c AS DOUBLE) / 100.0D))"),
             array(lit(0))).as("wkb"))
         .select(col("relation_id"), col("n_rings"), col("n_holes"), col("n_points"),
-                col("outer_way"), col("outer_area"),
+                col("outer_way"), col("outer_role"), col("outer_area"),
                 octet_length(col("wkb")).cast("long").as("wkb_len"),
                 substring(hex(col("wkb")), 1, 10).as("wkb_header"))
         .orderBy(col("relation_id"))

@@ -117,7 +117,7 @@ class WkbSpec extends GraftSuite {
     }
   }
 
-  test("multipolygon wkb: shell CCW, holes CW, all rings closed, largest-area shell first") {
+  test("multipolygon wkb: shell CCW, holes CW, all rings closed, role-selected shell first") {
     import graft.functions.{WkbMultiPolygon, WkbPolygon}
     val rel = SparkEntry.queries("osm_relation_multipolygon_wkb")(spark, sf)
     assert(rel.count() > 0)
@@ -141,12 +141,16 @@ class WkbSpec extends GraftSuite {
                |           (a, b) -> a.lon_c * b.lat_c - b.lon_c * a.lat_c),
                |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
     val mp = T.orders(spark, sf)
-      .select(col("o_custkey").as("relation_id"), col("o_orderkey"))
+      .select(col("o_custkey").as("relation_id"), col("o_orderkey"),
+        when(col("o_orderpriority").startsWith("1")
+               || col("o_orderpriority").startsWith("2"), "outer")
+          .otherwise("inner").as("role"))
       .join(ways.select(col("way_id"), col("ring"), col("shoe")),
             col("o_orderkey") === col("way_id"))
       .groupBy(col("relation_id"))
       .agg(expr(
         """array_sort(collect_list(named_struct(
+          |  'rolerank', IF(role = 'outer', 0, 1),
           |  'neg_area', -abs(shoe), 'way_id', way_id, 'ring', ring, 'shoe', shoe)))""".stripMargin)
         .as("rs"))
       .withColumn("norm",
@@ -160,6 +164,7 @@ class WkbSpec extends GraftSuite {
           array(lit(0))).as("wkb"))
       .orderBy(col("relation_id")).limit(50).collect()
     assert(mp.nonEmpty)
+    var roleBeatArea = 0
     mp.foreach { r =>
       val polys = WkbMultiPolygon.decode(r.getAs[Array[Byte]]("wkb"))
       assert(polys.size === 1)
@@ -171,9 +176,61 @@ class WkbSpec extends GraftSuite {
       }
       assert(areas.head >= 0, "shell must wind CCW")
       areas.tail.foreach(a => assert(a <= 0, "hole must wind CW"))
-      // the shell is the largest |area| ring
-      assert(areas.map(math.abs).max === math.abs(areas.head))
+      if (math.abs(areas.head) < areas.map(math.abs).max) roleBeatArea += 1
     }
+    // roles, not size, pick the shell: the fixture must contain at least
+    // one decoded relation whose role-selected shell is NOT its largest
+    // ring (85 of the 150 sf0.001 relations diverge; 50 sampled here)
+    assert(roleBeatArea > 0,
+      "expected a role-selected shell smaller than the relation's largest ring")
+  }
+
+  test("multipolygon roles: operator's outer pick matches an independent role computation") {
+    // independent pick: smallest (rolerank, -|shoe|, way_id) per relation,
+    // computed with plain SQL over the raw tables — no operator code
+    val rel = SparkEntry.queries("osm_relation_multipolygon_wkb")(spark, sf)
+      .select(col("relation_id"), col("outer_way"), col("outer_role")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val ways = T.lineitem(spark, sf).select(
+        col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+        col("l_partkey").as("node_ref"))
+      .join(T.part(spark, sf).select(
+        col("p_partkey").as("node_id"),
+        (col("p_size").cast("long") * 100).as("lon_c"),
+        round(col("p_retailprice") * 100).cast("long").as("lat_c")),
+        col("node_ref") === col("node_id"))
+      .groupBy(col("way_id"))
+      .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+      .withColumn("ring",
+        expr("""IF(element_at(pts, 1).lon_c = element_at(pts, -1).lon_c
+               |   AND element_at(pts, 1).lat_c = element_at(pts, -1).lat_c,
+               |   pts, concat(pts, slice(pts, 1, 1)))""".stripMargin))
+      .withColumn("shoe",
+        expr("""aggregate(
+               |  zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1),
+               |           (a, b) -> a.lon_c * b.lat_c - b.lon_c * a.lat_c),
+               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+    val picks = T.orders(spark, sf)
+      .select(col("o_custkey").as("relation_id"), col("o_orderkey"),
+        when(col("o_orderpriority").startsWith("1")
+               || col("o_orderpriority").startsWith("2"), "outer")
+          .otherwise("inner").as("role"))
+      .join(ways.select(col("way_id"), col("shoe")), col("o_orderkey") === col("way_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+      .map { case (rid, ms) =>
+        val best = ms.minBy { case (_, role, wid, shoe) =>
+          (if (role == "outer") 0 else 1, -math.abs(shoe), wid)
+        }
+        rid -> (best._3, best._2)
+      }
+    assert(rel.keySet == picks.keySet)
+    for ((rid, (wid, role)) <- picks)
+      assert(rel(rid) == ((wid, role)), s"relation $rid outer pick mismatch")
+    // relations with NO outer-role member fall back to largest-area repair
+    assert(picks.values.exists(_._2 == "inner"),
+      "fixture should exercise the broken-role fallback path")
   }
 
   test("wkb expression survives whole-stage codegen (no interpreted fallback)") {
