@@ -41,7 +41,9 @@ import org.apache.spark.sql.SparkSession
   * range→sum whose steady-state cost depends only on available CPU, so
   * any drift across the run is the box, never the code under test — and
   * (b) a /proc/loadavg snapshot. The record carries both series plus a
-  * derived `"contended"` flag (sentinel max > 3× sentinel min). A
+  * derived `"contended"` flag (sentinel drift AND absolute slowdown, OR
+  * steady-state sweep totals spreading >30% — first sweep excluded as it
+  * pays one-time layout builds). A
   * contended record is self-labelling: compare `total_min`s across
   * rounds instead of trusting its median.
   */
@@ -161,7 +163,7 @@ object Bench {
     // range (a 0.45 s scheduler blip over a 0.12 s min is 3.7× but means
     // nothing); real contention events measured 2-5 s sentinels, so the
     // flag requires BOTH drift and an absolute slowdown
-    val contended = sentAll.nonEmpty &&
+    val sentContended = sentAll.nonEmpty &&
       sentAll.max > 3 * sentAll.min && sentAll.max > 0.5
     def jnum(v: Double): String = f"$v%.3f"
     // per-query steady-state cost: min over every successful execution
@@ -187,9 +189,18 @@ object Bench {
     val loadJson = loads.map(_.map(jnum).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val sweepWallJson = sweepWall.map(jnum).mkString("[", ",", "]")
+    // Second canary (VERDICT r10: a 55% inter-sweep spread slipped past
+    // the absolute sentinel gate): steady-state sweep totals — the FIRST
+    // sweep is excluded because it legitimately pays the one-time layout
+    // builds (IVF index, bucket tables) and JIT — must agree within 30%
+    // on identical code, or the run self-labels contended.
+    val steady = if (totals.size > 1) totals.drop(1) else totals
+    val steadySpread =
+      if (steady.size > 1 && steady.min > 0) steady.max / steady.min else 1.0
+    val contended = sentContended || steadySpread > 1.3
     val canary =
       s""""sentinels":$sentJson,"loadavg":$loadJson,"sweep_wall":$sweepWallJson,""" +
-        s""""contended":$contended"""
+        s""""steady_spread":${jnum(steadySpread)},"contended":$contended"""
     val full =
       s"""{"metric":"total","value":${jnum(median)},"unit":"sec","queries":$qs,""" +
         s""""errors":$es,"n_queries":${best.size},"runs":$runs,"repeat":$repeat,""" +

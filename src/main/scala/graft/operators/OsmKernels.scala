@@ -136,6 +136,59 @@ object OsmKernels {
     },
 
     Q(
+      "osm_way_length_m",
+      """WITH pts AS (
+        |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref,
+        |         p_size * 100 AS lon_c, CAST(round(p_retailprice * 100) AS BIGINT) AS lat_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ways AS (
+        |  SELECT way_id,
+        |         list(lon_c ORDER BY pos, node_ref) AS lons,
+        |         list(lat_c ORDER BY pos, node_ref) AS lats
+        |  FROM pts GROUP BY way_id)
+        |SELECT way_id,
+        |       len(lons) AS n_points,
+        |       len(lons) - 1 AS n_segments,
+        |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(2, len(lons) + 1), i ->
+        |           sqrt(CAST((lons[i] - lons[i-1]) * (lons[i] - lons[i-1])
+        |                   + (lats[i] - lats[i-1]) * (lats[i] - lats[i-1]) AS DOUBLE)))),
+        |         (a, b) -> a + b) * 1113.2, 1) AS length_m
+        |FROM ways
+        |ORDER BY way_id""".stripMargin
+    ) { (s, d) =>
+      // Way length in METERS — the first real-unit geometry measure a
+      // user of the PostGIS layers expects (ST_Length on the way table).
+      // Scaled-plane metric, chosen over haversine DELIBERATELY: each
+      // segment is sqrt(exact-integer Δlon² + Δlat²) — IEEE requires
+      // sqrt to be correctly rounded, so the per-segment doubles are
+      // BIT-IDENTICAL across engines, unlike libm-vs-JVM trig which
+      // drifts in the last ulp and would flip rounding boundaries. The
+      // fold is left-to-right in both engines (emb_normalize's proven
+      // list_reduce mirror), the 1113.2 m-per-centi-unit factor
+      // (0.01° ≈ 1.1132 km at the equator) is one literal multiply, and
+      // only the FINAL value rounds. Same single regroup shuffle as
+      // osm_way_geometry — length is a per-row array fold, codegen'd.
+      T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+                col("l_partkey").as("node_ref"))
+        .join(nodes(s, d), col("node_ref") === col("node_id"))
+        .groupBy(col("way_id"))
+        .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+        .select(
+          col("way_id"),
+          size(col("pts")).cast("long").as("n_points"),
+          (size(col("pts")) - 1).cast("long").as("n_segments"),
+          round(expr("""aggregate(
+                          zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
+                                   (a, b) -> sqrt(CAST((b.lon_c - a.lon_c) * (b.lon_c - a.lon_c)
+                                                     + (b.lat_c - a.lat_c) * (b.lat_c - a.lat_c) AS DOUBLE))),
+                          CAST(0 AS DOUBLE), (acc, x) -> acc + x)""") * 1113.2, 1)
+            .as("length_m"))
+        .orderBy(col("way_id"))
+    },
+
+    Q(
       "osm_way_wkb",
       """WITH pts AS (
         |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref
