@@ -231,6 +231,48 @@ object EventOps {
     },
 
     Q(
+      "event_markov",
+      """WITH o AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS to_type
+        |  FROM o),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       (1000000 * c.n) // t.n_from AS p_ppm
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin
+    ) { (s, d) =>
+      // First-order Markov transition matrix over per-user event streams
+      // — `event_path_topk` surfaces WHICH paths exist; this one gives
+      // the per-step transition probabilities behind them (churn models,
+      // next-action prediction baselines). One lead over the
+      // user-partitioned window forms the (from, to) stream in a single
+      // shuffle; the pair counts collapse to a bounded |types|² key
+      // space, the per-from totals aggregate THAT tiny table, and the
+      // probability is integer-scaled ppm ((10⁶·n) DIV n_from) — exact
+      // BIGINT arithmetic, bit-identical cross-engine, no float division
+      // in either plan. The totals table is |types|-sized → size-gated
+      // broadcast back onto the pair counts.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val c = T.events(s, d)
+        .select(col("user_id"), col("event_type").as("from_type"),
+                unix_millis(col("ts")).as("ms"), col("event_id"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+      c.join(Gate.bcast(t), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+                expr("(1000000 * n) DIV n_from").as("p_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    Q(
       "event_path_topk",
       """WITH o AS (
         |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),

@@ -407,6 +407,59 @@ object LlmOps {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    Q(
+      "dedup_containment",
+      """WITH g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |       unnest(range(1, greatest(len(w) - 1, 2))) AS t(i))),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS com
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, com, sa.n AS n_a, (100 * com) // sa.n AS cont_pct
+        |FROM c JOIN sz sa ON doc_a = sa.doc_id
+        |WHERE 5 * com >= 4 * sa.n
+        |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) =>
+      // EXACT gram-containment detection: C(A,B) = |A∩B|/|A| ≥ 0.8 —
+      // the ASYMMETRIC sibling of Jaccard dedup. Jaccard misses the
+      // doc-inside-doc case (a quote, a scraped article embedded in a
+      // boilerplate page): A ⊂ B with |B| ≫ |A| has low Jaccard but
+      // containment 1.0, and training pipelines drop the contained copy.
+      // Prefix filter, containment flavor: C ≥ τ needs ≥ ⌈τ·na⌉ of A's
+      // grams in B, so in ANY fixed global gram order at least one of
+      // A's first na − ⌈τ·na⌉ + 1 grams must hit B (pigeonhole) — only
+      // A-prefix × B-full joins, frequency-ordered so the joined posting
+      // lists are the rarest. The nb·5 ≥ na·4 prune is implied by
+      // |A∩B| ≤ nb. Exact-integer threshold (5·com ≥ 4·na) — no float τ
+      // on either engine; verification is one codegen'd array_intersect
+      // per surviving candidate over the hashed gram sets.
+      val tau = 0.8
+      val grams = hashGrams(wordNgrams(s, d, 3)).cache()
+      val exN = grams.select(col("doc_id"), size(col("grams")).as("n"),
+                             explode(col("grams")).as("g"))
+      val freq = exN.groupBy(col("g")).agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("f"), col("g"))
+      val prefix = exN.join(freq, "g")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= col("n") - ceil(col("n") * lit(BigDecimal(tau))) + 1)
+        .select(col("doc_id").as("doc_a"), col("n").as("na_"), col("g"))
+      val cand = prefix
+        .join(exN.select(col("doc_id").as("doc_b"), col("n").as("nb_"), col("g")), Seq("g"))
+        .where(col("doc_a") =!= col("doc_b") && col("nb_") * 5 >= col("na_") * 4)
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+                            size(col("grams")).cast("long").as("n_a"))
+      val gb = grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+      cand.join(graft.Gate.bcast(ga), "doc_a").join(graft.Gate.bcast(gb), "doc_b")
+        .withColumn("com", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+        .where(col("com") * 5 >= col("n_a") * 4)
+        .select(col("doc_a"), col("doc_b"), col("com"), col("n_a"),
+                expr("(100 * com) DIV n_a").as("cont_pct"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // SimHash near-dup: 64-bit signature from FREQUENCY-WEIGHTED token
     // hashes (weighting measured essential on this corpus: the shared tiny
     // vocabulary makes distinct-token simhash collapse — planted-pair mean

@@ -701,6 +701,133 @@ object OsmKernels {
         .orderBy(col("r_name"), col("n_name"))
     },
 
+    Q(
+      "osm_nearest_node",
+      """WITH p AS (SELECT s_suppkey AS poi_id, (s_suppkey * 13) % 1000 AS px,
+        |                  (s_suppkey * 29) % 1000 AS py FROM supplier),
+        |n AS (SELECT p_partkey AS node_id, p_partkey % 1000 AS nx,
+        |             (p_partkey * 7) % 1000 AS ny FROM part),
+        |j AS (SELECT poi_id, node_id,
+        |             (px - nx) * (px - nx) + (py - ny) * (py - ny) AS d2,
+        |             row_number() OVER (PARTITION BY poi_id
+        |               ORDER BY (px - nx) * (px - nx) + (py - ny) * (py - ny), node_id) AS rn
+        |      FROM p JOIN n ON (px - nx) * (px - nx) + (py - ny) * (py - ny) <= 3600)
+        |SELECT poi_id, node_id, d2 FROM j WHERE rn = 1
+        |ORDER BY poi_id""".stripMargin
+    ) { (s, d) =>
+      // Radius-bounded nearest node per POI (the ST_DWithin + closest-k
+      // query over the geometry store — "which road node is this address
+      // on"). EXACT by construction: with cell size = radius R, every
+      // node within R of a POI lies in the POI's 3×3 cell neighborhood,
+      // so replicating each POI over 9 cells (the SMALL side fans out,
+      // the node store keys on its single home cell) makes the grid
+      // equi-join a complete candidate set — the distance inequality
+      // only FILTERS, it never drives the join, the scale rule every
+      // spatial operator here obeys. Each (poi, node) pair arises at
+      // most once (a node has one home cell), so no dedup is needed
+      // before the per-POI rank. Distances are exact integer d² — no
+      // sqrt, no float compare — and the nearest pick tie-breaks on
+      // node_id. POIs with no node within R drop out in both engines.
+      val R = 60
+      val pois = T.supplier(s, d).select(col("s_suppkey").as("poi_id"),
+        (col("s_suppkey") * 13 % 1000).as("px"), (col("s_suppkey") * 29 % 1000).as("py"))
+      val nodeCells = T.part(s, d).select(col("p_partkey").as("node_id"),
+          (col("p_partkey") % 1000).as("nx"), (col("p_partkey") * 7 % 1000).as("ny"))
+        .withColumn("cx", floor(col("nx") / R)).withColumn("cy", floor(col("ny") / R))
+      val poiCells = pois
+        .withColumn("dxy", explode(expr(
+          "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(dx, dy))))")))
+        .withColumn("cx", floor(col("px") / R) + col("dxy.dx"))
+        .withColumn("cy", floor(col("py") / R) + col("dxy.dy"))
+        .drop("dxy")
+      val d2 = (col("px") - col("nx")) * (col("px") - col("nx")) +
+               (col("py") - col("ny")) * (col("py") - col("ny"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("poi_id")).orderBy(col("d2"), col("node_id"))
+      poiCells.join(nodeCells, Seq("cx", "cy"))
+        .withColumn("d2", d2)
+        .where(col("d2") <= R * R)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("poi_id"), col("node_id"), col("d2"))
+        .orderBy(col("poi_id"))
+    },
+
+    Q(
+      "lake_stats",
+      """WITH m AS (
+        |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders)
+        |SELECT col_name, count(*) AS n_rows, count(v) AS n_nonnull,
+        |       count(DISTINCT v) AS ndv, min(v) AS min_v, max(v) AS max_v
+        |FROM m GROUP BY 1
+        |ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      // ANALYZE-style per-column statistics (count / nulls / exact NDV /
+      // min / max) — the lake-maintenance pass that feeds CBO join
+      // ordering and file-skipping metadata. One scan + an inline
+      // generator melts the columns into (col_name, value) rows, then a
+      // single partial+final aggregate per column computes all five
+      // stats — DuckDB pays four scans for its UNION ALL; Spark reads
+      // the table once. Values travel as strings (BIGINT→string is
+      // exact, and min/max over binary collation agrees cross-engine);
+      // the melt key space is #columns, so the shuffle is tiny.
+      T.orders(s, d)
+        .select(expr("""inline(array(
+          |  named_struct('col_name', 'o_orderkey',      'v', CAST(o_orderkey AS STRING)),
+          |  named_struct('col_name', 'o_custkey',       'v', CAST(o_custkey AS STRING)),
+          |  named_struct('col_name', 'o_orderstatus',   'v', o_orderstatus),
+          |  named_struct('col_name', 'o_orderpriority', 'v', o_orderpriority)))""".stripMargin))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
+             countDistinct(col("v")).as("ndv"),
+             min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("col_name"))
+    },
+
+    // Z-order clustering — multi-dimensional file-skipping layout, the
+    // lake-maintenance answer to "my queries filter on y but the table
+    // is sorted by x". Interleaving the bits of both keys makes every
+    // file's [min,max] box LOCAL in both dimensions, so a filter on
+    // EITHER key prunes most files by footer stats; a linear x-sort
+    // prunes only x-filters. Layout (file counts aren't SQL) → smoke;
+    // AnalyticsOpsSpec asserts the z-layout's hit set for a y-filter is
+    // strictly smaller than the linear layout's, identical row content.
+    // The one-time layout writes are conf-keyed per (session, dataset)
+    // like the bucket tables.
+    Q.smoke("lake_zorder") { (s, d) =>
+      val confKey = s"spark.sql.graft.zorderdir:$d"
+      val root = s.conf.getOption(confKey).getOrElse {
+        val dir = graft.Scratch.dir("zorder", d)
+        val src = T.orders(s, d).select(col("o_orderkey"),
+          (col("o_custkey") % 1024).as("x"), (col("o_orderkey") % 1024).as("y"))
+        // 20-bit Morton code: bit i of x → bit 2i, bit i of y → bit 2i+1
+        val z = (0 until 10).map { i =>
+          shiftright(col("x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+            shiftright(col("y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+        }.reduce(_ + _)
+        src.withColumn("z", z).repartitionByRange(16, col("z"))
+          .write.mode("overwrite").parquet(s"$dir/zorder")
+        src.withColumn("z", col("x")).repartitionByRange(16, col("z"))
+          .write.mode("overwrite").parquet(s"$dir/linear")
+        s.conf.set(confKey, dir)
+        dir
+      }
+      // per-file min(y): which files could a y < 64 filter touch?
+      def hits(path: String, layout: String) =
+        s.read.parquet(path)
+          .select(input_file_name().as("f"), col("y"))
+          .groupBy(col("f")).agg(min(col("y")).as("miny"))
+          .agg(count(lit(1)).as("n_files"),
+               sum(when(col("miny") < 64, 1L).otherwise(0L)).as("n_hit"))
+          .select(lit(layout).as("layout"), col("n_files"), col("n_hit"))
+      hits(s"$root/zorder", "zorder")
+        .unionByName(hits(s"$root/linear", "linear"))
+        .orderBy(col("layout"))
+    },
+
     // Small-file compaction — the weekly lake-maintenance pass every
     // partitioned 100 TB lake needs (each incremental append writes
     // #tasks files per partition; a year of appends makes scans

@@ -108,6 +108,38 @@ object Scans {
     },
 
     Q(
+      "source_orc",
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+         |       ${Det.sqlDsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_quantity < 30
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, d) =>
+      // ORC ingest — the OTHER columnar lake format a migrating user
+      // brings (Hive-era lakes are ORC; interchange means reading both).
+      // Round-trips the fact table through ORC once per (session,
+      // dataset) — conf-keyed like the bucket tables, the write is lake
+      // layout, not query cost — then proves the reader path end-to-end:
+      // the quantity predicate must push into the ORC scan and the
+      // projection must prune the read schema, exactly as on parquet
+      // (ORC carries the same min/max stripe stats for data skipping).
+      // Equality with the parquet-backed oracle proves the bytes.
+      val confKey = s"spark.sql.graft.orcdir:$d"
+      val root = s.conf.getOption(confKey).getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        T.lineitem(s, d).write.mode("overwrite").orc(s"$dir/lineitem")
+        s.conf.set(confKey, dir)
+        dir
+      }
+      s.read.schema(T.lineitem(s, d).schema).orc(s"$root/lineitem")
+        .where(col("l_quantity") < 30)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    Q(
       "source_dsv2",
       """SELECT i AS element_id,
         |       CASE CAST(i % 3 AS INT) WHEN 0 THEN 'node' WHEN 1 THEN 'way' ELSE 'relation' END AS kind,

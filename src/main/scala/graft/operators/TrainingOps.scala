@@ -277,6 +277,54 @@ object TrainingOps {
     },
 
     Q(
+      "sample_domain_mix",
+      s"""WITH t(lang, target_ppm) AS (VALUES
+         |  ('en', 400000), ('de', 150000), ('es', 150000), ('fr', 150000), ('zh', 150000)),
+         |d AS (SELECT doc_id, lang, ${fpSql("text")} % 1000000 AS h FROM documents),
+         |c AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY 1),
+         |n AS (SELECT count(*) AS n_total FROM d),
+         |r AS (SELECT c.lang, c.n_docs,
+         |             least(1000000, (t.target_ppm * n.n_total) // c.n_docs) AS rate_ppm
+         |      FROM c JOIN t USING (lang) CROSS JOIN n),
+         |sm AS (SELECT d.lang, count(*) AS n_sampled
+         |       FROM d JOIN r ON d.lang = r.lang AND d.h < r.rate_ppm GROUP BY 1)
+         |SELECT r.lang, r.n_docs, r.rate_ppm, coalesce(sm.n_sampled, 0) AS n_sampled
+         |FROM r LEFT JOIN sm ON r.lang = sm.lang
+         |ORDER BY r.lang""".stripMargin
+    ) { (s, d) =>
+      // Mixture reweighting to a TARGET distribution (the DoReMi-style
+      // data-mixing step every pretraining corpus goes through):
+      // sample_temperature rebalances relative to observed shares; this
+      // one hits declared per-domain token budgets (here: en 40%, others
+      // 15% each). rate_ppm = min(10⁶, ⌊target·N/n_d⌋) — exact BIGINT
+      // arithmetic end to end — and the admit decision keys on the
+      // content rolling hash mod 10⁶ (never rand()): the SAME docs are
+      // admitted on any engine, any partitioning, any retry. Cost shape:
+      // one collapsed per-domain count, one scalar total, the rate table
+      // is |domains|-sized → broadcast back onto the scan — the corpus
+      // itself never shuffles, the final roll-up aggregates the
+      // domain-keyed survivors.
+      import s.implicits._
+      val targets = Seq(("en", 400000L), ("de", 150000L), ("es", 150000L),
+                        ("fr", 150000L), ("zh", 150000L)).toDF("lang", "target_ppm")
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), (fpSpark("text") % 1000000).as("h"))
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val rates = counts
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+        .join(broadcast(targets), "lang")
+        .select(col("lang"), col("n_docs"),
+          least(lit(1000000L), expr("(target_ppm * n_total) DIV n_docs")).as("rate_ppm"))
+      val sampled = docs.join(Gate.bcast(rates), "lang")
+        .where(col("h") < col("rate_ppm"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      rates.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("rate_ppm"),
+                coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
+    },
+
+    Q(
       "text_heavy_hitters",
       """SELECT t AS token, count(*) AS f
         |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -304,6 +304,30 @@ class PlanSpec extends GraftSuite {
       "only the count/moment aggregates may shuffle — never the raw log twice")
   }
 
+  test("osm_nearest_node: grid equi-join drives the plan, never the distance inequality") {
+    val (_, ns) = execNodes("osm_nearest_node")
+    assert(!ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "candidate pairing must be the (cx, cy) equi-join, not an NLJ on d2")
+    assert(ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "the grid join must exist")
+  }
+
+  test("lake_stats: one scan melts all columns — no per-column rescan") {
+    val (_, ns) = execNodes("lake_stats")
+    assert(ns.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) == 1,
+      "the melt must read orders exactly once; DuckDB's UNION ALL shape pays 4 scans")
+  }
+
+  test("event_markov: pair counts aggregate once; per-from totals broadcast back") {
+    val p = plan("event_markov")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |types|-sized totals table must broadcast under the gate")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      "transitions must come from one windowed lead, not a self-join")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
