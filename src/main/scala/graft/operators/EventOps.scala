@@ -241,9 +241,9 @@ object EventOps {
         |c AS (
         |  SELECT from_type, to_type, count(*) AS n FROM p
         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, c.n,
-        |       (1000000 * c.n) // t.n_from AS p_ppm
+        |       CAST((1000000 * c.n) // t.n_from AS BIGINT) AS p_ppm
         |FROM c JOIN t ON c.from_type = t.from_type
         |ORDER BY c.from_type, c.to_type""".stripMargin
     ) { (s, d) =>

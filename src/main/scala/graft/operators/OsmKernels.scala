@@ -189,6 +189,36 @@ object OsmKernels {
     },
 
     Q(
+      "osm_way_area_m2",
+      s"""WITH $duckRingsCte
+         |SELECT way_id,
+         |       len(clons) AS n_ring_points,
+         |       CASE WHEN shoe > 0 THEN 'CCW' WHEN shoe < 0 THEN 'CW'
+         |            ELSE 'DEGENERATE' END AS winding,
+         |       round(CAST(abs(shoe) AS DOUBLE) * 619667.12, 1) AS area_m2
+         |FROM rings
+         |ORDER BY way_id""".stripMargin
+    ) { (s, d) =>
+      // Polygon area in SQUARE METERS — the ST_Area twin of
+      // `osm_way_length_m`, the real-unit measure the building/water/
+      // landuse area layers get queried with (README.md:80-82). The
+      // signed shoelace sum `shoe` is already EXACT BIGINT centi-unit²
+      // (wayRings — the same regroup the WKB area ops ride; no new
+      // shuffle), so the whole conversion is ONE IEEE multiply of an
+      // exact integer by the literal m²-per-centi-unit² factor
+      // (1113.2² / 2 = 619667.12, shoe = 2·area) — bit-identical
+      // cross-engine, final-only rounding. No trig, no per-segment
+      // float accumulation: the only double ever formed is the answer.
+      wayRings(s, d)
+        .select(col("way_id"),
+          size(col("ring")).cast("long").as("n_ring_points"),
+          when(col("shoe") > 0, "CCW").when(col("shoe") < 0, "CW")
+            .otherwise("DEGENERATE").as("winding"),
+          round(abs(col("shoe")).cast("double") * 619667.12, 1).as("area_m2"))
+        .orderBy(col("way_id"))
+    },
+
+    Q(
       "osm_way_wkb",
       """WITH pts AS (
         |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref

@@ -65,6 +65,31 @@ def cells_equal(a, b) -> bool:
     return a == b or str(a) == str(b)
 
 
+def shape_lint(name: str, spark_raw: pd.DataFrame, duck_raw: pd.DataFrame) -> int:
+    """Oracle-SHAPE lint (VERDICT r11 item 2). The driver's hash compare is
+    dtype-sensitive: a numerically identical result still fails when the
+    oracle SQL returns a wider type pandas renders differently (r10:
+    emb_quantize_int8 array column; r11: event_markov — DuckDB sum() is
+    HUGEINT, so integer division reached pandas as float64 against Spark's
+    int64). Flag any shared column where one engine yields an integral
+    dtype and the other does not — the fix is always a CAST in the oracle
+    SQL (or an explicit .cast in the Spark plan), never a value change.
+    Returns the number of flagged columns (counted as structural failures).
+    """
+    n = 0
+    for c in spark_raw.columns:
+        if c not in duck_raw.columns:
+            continue  # column-set mismatch is reported by the main compare
+        s, d = str(spark_raw[c].dtype), str(duck_raw[c].dtype)
+        s_int = s.startswith(("int", "uint", "Int", "UInt"))
+        d_int = d.startswith(("int", "uint", "Int", "UInt"))
+        if s_int != d_int:
+            print(f"SHAPE {name}: col={c} spark dtype={s} oracle dtype={d} "
+                  f"- dtype-sensitive driver hash WILL diverge; add a CAST")
+            n += 1
+    return n
+
+
 def structural_checks(out_dir: str, oracle: dict) -> int:
     """Doc-drift + deployment-artifact lint (VERDICT r8 items 2 and 7).
 
@@ -122,19 +147,21 @@ def main():
     fails = []
     for name, sql in sorted(oracle.items()):
         try:
-            spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
+            spark_raw = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: no spark result ({e})")
             n_fail += 1
             fails.append(name)
             continue
         try:
-            duck_df = canon(con.execute(sql).fetchdf())
+            duck_raw = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e)[:200]}")
             n_fail += 1
             fails.append(name)
             continue
+        n_structural += shape_lint(name, spark_raw, duck_raw)
+        spark_df, duck_df = canon(spark_raw), canon(duck_raw)
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
             n_fail += 1
