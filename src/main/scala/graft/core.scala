@@ -71,6 +71,32 @@ object Gate {
 object Scratch {
   private val runNonce = java.lang.Long.toHexString(
     java.util.concurrent.ThreadLocalRandom.current().nextLong())
+
+  private def rmTree(root: java.io.File): Unit = {
+    val kids = root.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    root.delete()
+  }
+
+  // Leak control (ADVICE r11): without cleanup every bench/verify/test
+  // run leaves full fact-table copies under java.io.tmpdir. Own dirs go
+  // at JVM exit; dirs from DEAD runs (crashed JVMs never reach their
+  // hook) are swept once at startup — but only when stale by mtime, so
+  // a concurrently running bench/test on the same box is never touched.
+  private val staleMs = 6L * 3600 * 1000
+  locally {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val old = tmp.listFiles()
+    if (old != null) old.filter(f => f.isDirectory && f.getName.startsWith("graft_")
+        && System.currentTimeMillis() - f.lastModified() > staleMs)
+      .foreach(rmTree)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val now = tmp.listFiles()
+      if (now != null) now.filter(f => f.isDirectory
+          && f.getName.contains(s"_${runNonce}_")).foreach(rmTree)
+    }))
+  }
+
   def dir(tag: String, d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_${runNonce}_${math.abs(d.hashCode).toHexString}"
 }
@@ -82,7 +108,15 @@ object Scratch {
   */
 object Caches {
   private val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-  def register[A <: Dataset[_]](df: A): A = synchronized { live += df.toDF(); df }
+  // Bounded (ADVICE r11): a long-lived session that never calls drain()
+  // must not grow the registry without limit — past the cap the OLDEST
+  // entry is unpersisted and dropped (storage freed AND the plan object
+  // released; sweeping callers still drain to zero between queries).
+  private val cap = 32
+  def register[A <: Dataset[_]](df: A): A = synchronized {
+    while (live.length >= cap) live.remove(0).unpersist()
+    live += df.toDF(); df
+  }
   def drain(): Unit = synchronized { live.foreach(_.unpersist()); live.clear() }
 }
 

@@ -137,10 +137,17 @@ object LlmOps {
 
   /** doc_id → distinct word 3-grams (space-tokenized). */
   private def wordNgrams(s: SparkSession, d: String, n: Int): DataFrame =
-    T.documents(s, d).select(
-      col("doc_id"),
-      expr(s"""array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 1)),
-              |  i -> array_join(slice(split(text, ' '), i, $n), ' ')))""".stripMargin).as("grams"))
+    // Docs shorter than n tokens form no full n-gram and are DROPPED —
+    // mirrored by `len(w) >= n` in the oracles (ADVICE r11: the engines
+    // otherwise diverge on tiny docs — DuckDB's out-of-bounds w[i+k] made
+    // a NULL gram that never joins, while a slice-built short gram CAN
+    // match another short doc; neither is the n-gram the operator claims).
+    T.documents(s, d)
+      .where(size(split(col("text"), " ")) >= n)
+      .select(
+        col("doc_id"),
+        expr(s"""array_distinct(transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+                |  i -> array_join(slice(split(text, ' '), i, $n), ' ')))""".stripMargin).as("grams"))
 
   /** Gram strings → distinct xxhash64 longs. All candidate joins and
     * intersections then run on 8-byte longs instead of variable-length
@@ -371,8 +378,9 @@ object LlmOps {
       "dedup_ngram_jaccard",
       duckJaccardSql(
         """SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
-          |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-          |     unnest(range(1, greatest(len(w) - 1, 2))) AS t(i)""".stripMargin,
+          |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |      WHERE len(string_split(text, ' ')) >= 3),
+          |     unnest(range(1, len(w) - 1)) AS t(i)""".stripMargin,
         0.8)
     ) { (s, d) =>
       // EXACT word-3-gram Jaccard dedup via prefix filtering (PPJoin
@@ -411,8 +419,9 @@ object LlmOps {
       "dedup_containment",
       """WITH g AS (SELECT DISTINCT doc_id, gram FROM (
         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |       unnest(range(1, greatest(len(w) - 1, 2))) AS t(i))),
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 3),
+        |       unnest(range(1, len(w) - 1)) AS t(i))),
         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
         |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS com
         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id GROUP BY 1, 2)

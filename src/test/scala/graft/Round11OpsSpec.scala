@@ -18,10 +18,16 @@ class Round11OpsSpec extends GraftSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val (zFiles, zHit) = rows("zorder")
     val (lFiles, lHit) = rows("linear")
-    assert(zFiles == 16 && lFiles == 16, "both layouts must write 16 files")
-    assert(zHit < lHit,
-      s"z-order must prune the y-filter better than the x-sort: $zHit vs $lHit")
-    assert(zHit <= zFiles / 2,
+    // repartitionByRange emits no file for an empty range partition, so
+    // 16 is a CAP, not a guarantee (ADVICE r11: a small/skewed fixture
+    // under-produces files and exact-16 fails spuriously). The pruning
+    // claim is about FRACTIONS of whatever files each layout wrote.
+    assert(zFiles > 1 && zFiles <= 16 && lFiles > 1 && lFiles <= 16,
+      s"both layouts must write a multi-file bounded layout: z=$zFiles lin=$lFiles")
+    assert(zHit.toDouble / zFiles < lHit.toDouble / lFiles,
+      s"z-order must prune the y-filter better than the x-sort: " +
+        s"$zHit/$zFiles vs $lHit/$lFiles")
+    assert(zHit * 2 <= zFiles,
       s"z-order should localize y into a minority of files, got $zHit/$zFiles")
   }
 
