@@ -52,7 +52,7 @@ object Bench {
   /** Constant-shape CPU sentinel: ~0.1–0.3 s of pure codegen'd arithmetic
     * on an unloaded local[32]; no IO, no shuffle, no caching — its only
     * variable is how much CPU the box is actually giving this JVM. */
-  private def sentinelSec(spark: SparkSession): Double = {
+  private[graft] def sentinelSec(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(200L * 1000 * 1000)
       .selectExpr("sum(cast(id as double) * 2654435761.0)").collect()
@@ -60,7 +60,7 @@ object Bench {
   }
 
   /** 1/5/15-min load averages, best-effort (empty off-Linux). */
-  private def loadavg(): Seq[Double] =
+  private[graft] def loadavg(): Seq[Double] =
     try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
       .trim.split(" ").take(3).toSeq.map(_.toDouble)
@@ -207,8 +207,13 @@ object Bench {
         s""""run_totals":$totalsJson,"total_median":${jnum(median)},"total_min":${jnum(minTotal)},""" +
         s""""sum_of_query_mins":${jnum(best.map(_._2).sum)},$canary,""" +
         s""""wall_sec":${jnum(wall)},"sf":"$sfDir"}"""
+    // A SPARK_GRAFT_ONLY-filtered profiling run must NEVER overwrite the
+    // committed full-inventory artifact (ADVICE r11: an 11-query filtered
+    // record shipped as BENCH_FULL.json while the docs described the full
+    // sweep) — filtered runs land in BENCH_FILTERED.json instead.
+    val artifact = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_FILTERED.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort; stdout is the contract
     println(full)
@@ -217,7 +222,7 @@ object Bench {
       s"""{"metric":"total","value":${jnum(median)},"unit":"sec","queries":{},""" +
         s""""n_queries":${best.size},"n_errors":${errors.size},"runs":$runs,""" +
         s""""run_totals":$totalsJson,"total_min":${jnum(minTotal)},$canary,""" +
-        s""""wall_sec":${jnum(wall)},"sf":"$sfDir","full_record":"BENCH_FULL.json"}""")
+        s""""wall_sec":${jnum(wall)},"sf":"$sfDir","full_record":"$artifact"}""")
     spark.stop()
   }
 }

@@ -30,14 +30,24 @@ object PipelineChain {
     val lake = java.nio.file.Files.createTempDirectory("graft_chain_lake").toString
     val url = graft.operators.JdbcIO.freshEmbeddedDerby("graft_chain_pg")
 
+    // Contention context (VERDICT r11 items 3+8): the r11 chain number
+    // slid 1.7× with ZERO code change under plans/ — box weather the
+    // artifact could not show. The same sentinel + loadavg the bench
+    // canary records now brackets the chain, so a future slide is
+    // attributable: sentinel drift = box, per-stage drift = code.
+    graft.Bench.sentinelSec(spark) // warm-up: first run pays one-time codegen
+    val sentinelBefore = graft.Bench.sentinelSec(spark)
+    val loadBefore = graft.Bench.loadavg()
+
     val t0 = System.nanoTime()
-    val etlCounts = OsmEtlJob.run(spark, sfDir, lake, "2024-07-25")
+    val (etlCounts, etlStages) = OsmEtlJob.runTimed(spark, sfDir, lake, "2024-07-25")
     val t1 = System.nanoTime()
     // unified serving tables, slice-replace idempotent load (region mode)
     val loadCounts = PostgisLoadJob.load(spark, lake, url, region = Some("chain"))
     val t2 = System.nanoTime()
     require(loadCounts.toMap == etlCounts.toMap,
       s"load rows ${loadCounts.toMap} != lake rows ${etlCounts.toMap}")
+    val sentinelAfter = graft.Bench.sentinelSec(spark)
 
     def sec(a: Long, b: Long): String = f"${(b - a) / 1e9}%.3f"
     val rows = etlCounts.map { case (t, n) => s""""$t":$n""" }.mkString("{", ",", "}")
@@ -46,10 +56,15 @@ object PipelineChain {
     // deterministic per sf, so rows/sec moves only with the box/code).
     val totalRows = etlCounts.map(_._2).sum
     def rps(a: Long, b: Long): String = f"${totalRows / ((b - a) / 1e9)}%.0f"
+    val stagesJson = (etlStages :+ ("load" -> (t2 - t1) / 1e9))
+      .map { case (n, s) => f""""$n":$s%.3f""" }.mkString("{", ",", "}")
     val line =
       s"""{"job":"pipeline_chain","sec":${sec(t0, t2)},"etl_sec":${sec(t0, t1)},""" +
         s""""load_sec":${sec(t1, t2)},"etl_rows_per_sec":${rps(t0, t1)},""" +
-        s""""load_rows_per_sec":${rps(t1, t2)},"rows":$rows,"sf":"$sfDir"}"""
+        s""""load_rows_per_sec":${rps(t1, t2)},"stages_sec":$stagesJson,""" +
+        f""""sentinel_sec":[$sentinelBefore%.3f,$sentinelAfter%.3f],""" +
+        s""""loadavg":[${loadBefore.mkString(",")}],""" +
+        s""""rows":$rows,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("PIPELINE_CHAIN.json"),
       line.getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort; the return value is the contract

@@ -75,25 +75,28 @@ object StreamingOps {
 
   final case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
 
-  /** Run `body` with a small shuffle-partition count. The in-process demos
+  /** Run `body` with a single shuffle partition. The in-process demos
     * feed a handful of rows through real micro-batches; at the session
     * default (32) every batch instantiates 32 HDFS-backed state stores,
     * which is pure fixed cost here (measured 12.8s → ~1s for the watermark
-    * demo). A real cluster job sizes this to its state volume instead.
-    * Streaming queries capture the conf at start, so scoping the override
-    * around query start + processAllAvailable is sound.
+    * demo; 2 → 1 partition shaves the remaining per-batch store
+    * commit+snapshot in half). A real cluster job sizes this to its state
+    * volume instead. Streaming queries capture the conf at start, so
+    * scoping the override around query start + processAllAvailable is
+    * sound.
     */
   private def withFewPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "2")
+    spark.conf.set(key, "1")
     try body finally spark.conf.set(key, prev)
   }
 
   /** Additionally disables no-data micro-batches. ONLY for demos whose
     * emitted set does not depend on watermark-driven window closure: the
-    * inner stream-stream join emits on match, so the empty batch fired
-    * after each watermark advance is pure fixed cost there. The
+    * inner stream-stream join emits on match, and the stateful counter
+    * (NoTimeout, update mode) emits on data, so the empty batch fired
+    * after each watermark advance is pure fixed cost for both. The
     * watermark-late demo must NOT use this — its append-mode emission and
     * the late-drop both require the no-data batch that closes the window
     * (verified: disabling it leaks the late event).
@@ -109,9 +112,9 @@ object StreamingOps {
   private def ts(minute: Int): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
 
-  /** Watermark semantics demo (`stream_watermark_late`): three batches; the
-    * last contains an event older than the advanced watermark, which append
-    * mode must drop from the emitted windows.
+  /** Watermark semantics demo (`stream_watermark_late`): two batches; the
+    * second contains an event older than the advanced watermark, which
+    * append mode must drop from the emitted windows.
     */
   def runWatermarkLateDemo(spark: SparkSession): DataFrame = withFewPartitions(spark) {
     import spark.implicits._
@@ -125,15 +128,19 @@ object StreamingOps {
     val q = agg.writeStream.format("memory").queryName("wm_late")
       .outputMode(OutputMode.Append).start()
     try {
-      // batch 1: two users in the 10:00 window
-      mem.addData(Ev(ts(0), 1L, 1.0), Ev(ts(5), 2L, 1.0))
+      // batch 1: two users in the 10:00 window PLUS the 10:40 event that
+      // advances the watermark to 10:30 — closing the 10:00–10:15 window
+      // (append emits it in the trailing no-data batch). One drain fewer
+      // than the original three-batch staging: the late-drop only needs
+      // the watermark to be PAST the event before it arrives, not a
+      // separate advancing batch.
+      mem.addData(Ev(ts(0), 1L, 1.0), Ev(ts(5), 2L, 1.0), Ev(ts(40), 1L, 1.0))
       q.processAllAvailable()
-      // batch 2: event at 10:40 → watermark advances to 10:30, closing the
-      // 10:00–10:15 window (append emits it)
-      mem.addData(Ev(ts(40), 1L, 1.0))
-      q.processAllAvailable()
-      // batch 3: LATE event at 10:05 — behind the watermark, dropped
-      mem.addData(Ev(ts(5), 1L, 99.0), Ev(ts(55), 2L, 1.0))
+      // batch 2: LATE event at 10:05 — behind the 10:30 watermark, dropped.
+      // (No watermark-advancing companion: closure-on-advance is already
+      // shown by batch 1's emission, and a stationary watermark skips the
+      // trailing no-data batch — one less micro-batch of fixed cost.)
+      mem.addData(Ev(ts(5), 1L, 99.0))
       q.processAllAvailable()
     } finally q.stop()
     spark.table("wm_late")
@@ -145,7 +152,7 @@ object StreamingOps {
     * per-user counters via flatMapGroupsWithState (the
     * mapGroupsWithState/flatMapGroupsWithState surface of §2.I).
     */
-  def runStatefulCounterDemo(spark: SparkSession): DataFrame = withFewPartitions(spark) {
+  def runStatefulCounterDemo(spark: SparkSession): DataFrame = withFewPartitionsNoIdleBatches(spark) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
