@@ -447,6 +447,60 @@ object OsmKernels {
     },
 
     Q(
+      "osm_relation_area_m2",
+      s"""WITH $duckRingsCte,
+         |rel AS (
+         |  SELECT o_custkey AS relation_id,
+         |         CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+         |              THEN 'outer' ELSE 'inner' END AS role,
+         |         abs(shoe) AS a
+         |  FROM orders JOIN rings ON o_orderkey = way_id)
+         |SELECT relation_id,
+         |       CAST(sum(CASE WHEN role = 'outer' THEN 1 ELSE 0 END) AS BIGINT) AS n_outer,
+         |       CAST(sum(CASE WHEN role = 'inner' THEN 1 ELSE 0 END) AS BIGINT) AS n_inner,
+         |       round(CAST(CAST(sum(CASE WHEN role = 'outer' THEN a ELSE 0 END) AS BIGINT) AS DOUBLE) * 619667.12, 1) AS outer_m2,
+         |       round(CAST(CAST(sum(CASE WHEN role = 'inner' THEN a ELSE 0 END) AS BIGINT) AS DOUBLE) * 619667.12, 1) AS inner_m2,
+         |       round(CAST(CAST(sum(CASE WHEN role = 'outer' THEN a ELSE -a END) AS BIGINT) AS DOUBLE) * 619667.12, 1) AS area_m2
+         |FROM rel GROUP BY relation_id
+         |ORDER BY relation_id""".stripMargin
+    ) { (s, d) =>
+      // MultiPolygon ST_Area in m² — the relation-level twin of
+      // `osm_way_area_m2`, and the number a PostGIS user reads off the
+      // area layers for multipolygon relations: Σ outer-role ring areas
+      // MINUS Σ inner-role (hole) areas, roles as in
+      // `osm_relation_multipolygon_wkb`. Where the WKB op REPAIRS broken
+      // tagging (no outer role → largest ring promoted to shell), this
+      // op deliberately REPORTS it: a relation whose hole area exceeds
+      // its shell area nets NEGATIVE — exactly the QA signal a pipeline
+      // flags before serving (the two ops are complementary views of the
+      // same role data). All accumulation is exact BIGINT |shoe| — the
+      // per-relation sums are partition-order invariant and bit-identical
+      // cross-engine; each m² figure is ONE IEEE multiply of an exact
+      // integer by the literal 1113.2²/2 factor, final-only rounding.
+      // Plan: the same single fact⋈fact join + one partial+final agg as
+      // osm_relation_wkb — no window, no second shuffle.
+      val rings = wayRings(s, d).select(col("way_id"), abs(col("shoe")).as("a"))
+      val k = 619667.12
+      T.orders(s, d)
+        .select(col("o_custkey").as("relation_id"), col("o_orderkey"),
+          when(col("o_orderpriority").startsWith("1")
+                 || col("o_orderpriority").startsWith("2"), "outer")
+            .otherwise("inner").as("role"))
+        .join(rings, col("o_orderkey") === col("way_id"))
+        .groupBy(col("relation_id"))
+        .agg(
+          sum(when(col("role") === "outer", 1L).otherwise(0L)).as("n_outer"),
+          sum(when(col("role") === "inner", 1L).otherwise(0L)).as("n_inner"),
+          round(sum(when(col("role") === "outer", col("a")).otherwise(0L))
+            .cast("double") * k, 1).as("outer_m2"),
+          round(sum(when(col("role") === "inner", col("a")).otherwise(0L))
+            .cast("double") * k, 1).as("inner_m2"),
+          round(sum(when(col("role") === "outer", col("a")).otherwise(-col("a")))
+            .cast("double") * k, 1).as("area_m2"))
+        .orderBy(col("relation_id"))
+    },
+
+    Q(
       "osm_point_in_polygon",
       s"""WITH $duckRingsCte,
          |pois AS (

@@ -138,6 +138,56 @@ object TrainingOps {
     },
 
     Q(
+      "text_bigram_lm",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM w, unnest(range(1, len(w))) AS t(i)),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+        |cu AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(CAST(sum((1000000 * cb.c12) // cu.c1) AS BIGINT) // count(*) AS BIGINT) AS score_ppm
+        |FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // In-corpus bigram language-model score — the next rung up from
+      // `text_rarity` on the perplexity-filter ladder (CCNet/Gopher-style
+      // quality gates rank docs by LM fit; an in-corpus bigram MLE is the
+      // engine-native proxy): score = mean over the doc's bigram STREAM
+      // (multiset, not set — repeats weigh) of P(w2|w1) in ppm, where
+      // P = c(w1,w2)/c(w1,·) over the whole corpus. Predictable running
+      // text scores high; token salad scores low. Same two-pass shape as
+      // text_rarity at scale: pass 1 collapses the corpus to the bigram
+      // count table (one narrow groupBy, O(vocab²)-bounded but
+      // corpus-proportional in the limit → both model joins are
+      // size-GATED broadcasts degrading to shuffle); the unigram table
+      // aggregates the ALREADY-COLLAPSED bigram table (tfidf's df trick
+      // — never a second pass over the corpus). Probabilities are exact
+      // integer ppm ((10⁶·c12) DIV c1) and the doc mean is integer DIV —
+      // no float anywhere, bit-identical cross-engine.
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 2)
+      val b = toks.select(col("doc_id"),
+          explode(expr("""transform(sequence(1, size(w) - 1),
+                         |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""".stripMargin))
+            .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cb = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val cu = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      b.join(graft.Gate.bcast(cb), Seq("w1", "w2"))
+        .join(graft.Gate.bcast(cu), Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             expr("sum((1000000 * c12) DIV c1) DIV count(1)").cast("long").as("score_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "text_pii_redact",
       """SELECT doc_id,
         |       regexp_replace(regexp_replace(regexp_replace(pii,
