@@ -273,6 +273,59 @@ object EventOps {
     },
 
     Q(
+      "event_rfm",
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_ms(ts)) AS last_ms, count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, n_events, monetary,
+        |         ntile(5) OVER (ORDER BY last_ms, user_id) AS r_score,
+        |         ntile(5) OVER (ORDER BY n_events, user_id) AS f_score,
+        |         ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+        |  FROM u)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |       round(CAST(monetary AS DOUBLE), 2) AS monetary,
+        |       CAST(r_score AS BIGINT) AS r_score,
+        |       CAST(f_score AS BIGINT) AS f_score,
+        |       CAST(m_score AS BIGINT) AS m_score,
+        |       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+        |FROM r ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      // RFM segmentation — the classic lifecycle-marketing cut of an
+      // event log: per user, Recency (last activity), Frequency (event
+      // count), Monetary (exact-decimal spend), each quintile-scored 1-5,
+      // composed into the 3-digit segment code (555 = recent, frequent,
+      // big spender). One shuffle collapses the log to the per-user table
+      // — ntile then runs over USERS, not events (a 10⁴× smaller table).
+      // Every ranking is deterministic: last_ms is integer, n_events is a
+      // count, monetary orders by the EXACT DECIMAL sum (never the
+      // rounded double — equal-to-2dp users must not swap quintiles on
+      // float noise), and user_id breaks all ties. At 100 TB the global
+      // ntile becomes approx-percentile boundary assignment (one pass,
+      // no global sort); the fixture-scale exact window is what the
+      // oracle can pin.
+      val u = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(unix_millis(col("ts"))).as("last_ms"),
+             count(lit(1)).as("n_events"),
+             sum(graft.Det.dec2(col("value"))).as("monetary"))
+      def sc(c: String) = ntile(5).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(c), col("user_id")))
+      u.withColumn("r_score", sc("last_ms"))
+        .withColumn("f_score", sc("n_events"))
+        .withColumn("m_score", sc("monetary"))
+        .select(col("user_id"), col("n_events"),
+                round(col("monetary").cast("double"), 2).as("monetary"),
+                col("r_score").cast("long").as("r_score"),
+                col("f_score").cast("long").as("f_score"),
+                col("m_score").cast("long").as("m_score"),
+                (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+                  .cast("long").as("rfm"))
+        .orderBy(col("user_id"))
+    },
+
+    Q(
       "event_path_topk",
       """WITH o AS (
         |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),

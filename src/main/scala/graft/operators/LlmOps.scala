@@ -612,6 +612,47 @@ object LlmOps {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    Q(
+      "sim_knn_graph",
+      s"""WITH $duckVecs,
+         |p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+         |      FROM x a JOIN x b ON a.i = b.i AND a.label = b.label AND a.vec_id <> b.vec_id
+         |      GROUP BY 1, 2, 3),
+         |sc AS (SELECT label, vec_a, vec_b, round(dot / (na.n * nb.n), 6) AS cosine
+         |       FROM p JOIN nrm na ON vec_a = na.vec_id JOIN nrm nb ON vec_b = nb.vec_id),
+         |r AS (SELECT label, vec_a, vec_b, cosine,
+         |             row_number() OVER (PARTITION BY vec_a
+         |                                ORDER BY cosine DESC, vec_b) AS rank
+         |      FROM sc)
+         |SELECT vec_a, CAST(rank AS BIGINT) AS rank, vec_b, cosine
+         |FROM r WHERE rank <= 3
+         |ORDER BY vec_a, rank""".stripMargin
+    ) { (s, d) =>
+      // k-nearest-neighbor GRAPH: top-k (k=3) cosine neighbors for EVERY
+      // vector — the input SemDeDup-style semantic dedup and
+      // graph-clustering curation passes consume (where `sim_cosine_topk`
+      // answers one query, this materializes the whole graph). Blocked
+      // like `sim_pairwise_threshold`: the self-join runs inside label
+      // blocks (the fixture's stand-in for an LSH/IVF bucketing at
+      // 100 TB), so cost is O(Σ block²·d), never corpus², and the per-
+      // vector top-k collapses in the same shuffle as the window. Ranking
+      // compares the 6-dp-ROUNDED cosine (the resolution the oracle hash
+      // already proves cross-engine-stable) with vec_id tie-break — raw
+      // last-ulp float noise can never reorder ranks. Scale path for the
+      // window: per-partition partial top-k (topk_per_group's shape).
+      val e = T.embeddings(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_a")).orderBy(col("cosine").desc, col("vec_b"))
+      e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .join(e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("label"))
+        .where(col("vec_a") =!= col("vec_b"))
+        .withColumn("cosine", round(cosine("ea", "eb"), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("vec_a"), col("rank").cast("long").as("rank"), col("vec_b"), col("cosine"))
+        .orderBy(col("vec_a"), col("rank"))
+    },
+
     // LSH-bucketed approximate nearest neighbour — the 100 TB path:
     // 8 sign-random-projection bits (codegen'd full-dimension ±1
     // hyperplanes, [[graft.functions.SignProjection]]) coarse-quantize
@@ -789,6 +830,57 @@ object LlmOps {
     },
 
     Q(
+      "text_span_dedup",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10),
+        |s AS (
+        |  SELECT doc_id, list_aggregate(w[i:i+9], 'string_agg', ' ') AS span
+        |  FROM w, unnest(range(1, len(w) - 8)) AS t(i)),
+        |c AS (SELECT span, count(DISTINCT doc_id) AS nd FROM s GROUP BY span)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |       CAST((1000000 * CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS BIGINT) AS dup_ppm
+        |FROM s JOIN c USING (span)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Duplicate-SPAN detection — the token-window approximation of
+      // suffix-array substring dedup (Lee et al., "Deduplicating Training
+      // Data Makes Language Models Better"): doc-level dedup keeps two
+      // docs that merely SHARE a boilerplate paragraph; this op flags
+      // every sliding 10-token span that recurs across ≥2 distinct docs
+      // and scores each doc by its duplicated-span fraction (exact
+      // integer ppm) — the signal a curation pipeline uses to TRIM spans
+      // rather than drop whole docs. Shape at 100 TB: the span table is
+      // corpus-sized (≈ one span per token), so this is text_rarity's
+      // two-pass dictionary pattern at its degrade point — the count
+      // table rides the size-gated broadcast and falls back to a
+      // hash-shuffle join on the span key (both passes shuffle the same
+      // key → co-partitioned). Spans travel as xxhash64 longs Spark-side
+      // (8 bytes vs ~60-char strings, same 2^-64 collision argument as
+      // hashGrams); the oracle keeps raw strings — only counts are
+      // compared, so the engines need not agree on representation.
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 10)
+      val spans = toks.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 9), i -> xxhash64(array_join(slice(w, i, 10), ' ')))"))
+          .as("h"))
+      val counts = spans.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      spans.join(graft.Gate.bcast(counts), "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+             sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
+             expr("(1000000 * sum(IF(nd >= 2, 1L, 0L))) DIV count(1)").cast("long")
+               .as("dup_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "text_pack_sequences",
       """WITH t AS (
         |  SELECT doc_id, lang,
@@ -844,6 +936,46 @@ object LlmOps {
       // no image libs in this container; the Spark-side schema,
       // partitioning and batch shape are the real thing.
       graft.functions.Multimodal.pipeline(T.documents(s, d))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "multimodal_resize_plan",
+      """SELECT doc_id, src_w, src_h, scale_ppm,
+        |       (src_w * scale_ppm) // 1000000 AS out_w,
+        |       (src_h * scale_ppm) // 1000000 AS out_h,
+        |       (224 - (src_w * scale_ppm) // 1000000) // 2 AS pad_x,
+        |       (224 - (src_h * scale_ppm) // 1000000) // 2 AS pad_y
+        |FROM (
+        |  SELECT doc_id, src_w, src_h,
+        |         least((224 * 1000000) // greatest(src_w, 1),
+        |               (224 * 1000000) // greatest(src_h, 1)) AS scale_ppm
+        |  FROM (SELECT doc_id, n_chars % 640 AS src_w, (n_chars * 7) % 480 AS src_h
+        |        FROM documents) t) p
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Resize/letterbox PLAN over the multimodal metadata — the
+      // metadata half of an image-resize stage (aspect-preserving fit
+      // into 224×224 + centered padding), computed declaratively per row
+      // so the byte-side decode+resample (Multimodal.pipeline's
+      // per-partition stage, deterministic-fake in this container) only
+      // executes a precomputed geometry. Everything is exact integer
+      // ppm arithmetic — scale = min(224e6 DIV w, 224e6 DIV h), output
+      // dims and pads by integer DIV — bit-identical cross-engine, no
+      // float resize factor to drift. Pure projection: no shuffle, no
+      // join; scales with splits like any map.
+      val srcW = (col("n_chars") % 640).as("src_w")
+      val srcH = ((col("n_chars") * 7) % 480).as("src_h")
+      T.documents(s, d)
+        .select(col("doc_id"), srcW, srcH)
+        .withColumn("scale_ppm",
+          least(expr("(224 * 1000000) DIV greatest(src_w, 1)"),
+                expr("(224 * 1000000) DIV greatest(src_h, 1)")))
+        .select(col("doc_id"), col("src_w"), col("src_h"), col("scale_ppm"),
+                expr("(src_w * scale_ppm) DIV 1000000").as("out_w"),
+                expr("(src_h * scale_ppm) DIV 1000000").as("out_h"),
+                expr("(224 - (src_w * scale_ppm) DIV 1000000) DIV 2").as("pad_x"),
+                expr("(224 - (src_h * scale_ppm) DIV 1000000) DIV 2").as("pad_y"))
         .orderBy(col("doc_id"))
     },
 

@@ -79,4 +79,87 @@ class Round12OpsSpec extends GraftSuite {
     assert(got(2L) == ((7L, (4L * 125000L + 3L * 1000000L) / 7L)), s"doc2: ${got(2L)}")
     assert(got(1L)._2 > got(2L)._2, "predictable text must outscore salad")
   }
+
+  test("sim_knn_graph: planted blocks rank by cosine with id tie-break; singleton blocks emit nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn").toString
+    import spark.implicits._
+    // label 1: two axis-aligned pairs — vec 2 is vec 1's perfect match,
+    // vecs 3/4 are orthogonal to it (cosine 0, a TIE broken by vec_b).
+    // label 2: a singleton block — no neighbors, must be absent.
+    Seq((1L, Array(1f, 0f), 1), (2L, Array(1f, 0f), 1),
+        (3L, Array(0f, 1f), 1), (4L, Array(0f, 1f), 1),
+        (9L, Array(1f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("sim_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.size == 12, s"4 block-1 vecs x 3 neighbors, got ${rows.size}")
+    assert(!rows.keys.exists(_._1 == 9L), "singleton block must emit no edges")
+    assert(rows((1L, 1L)) == ((2L, 1.0)), s"vec 1 rank 1: ${rows((1L, 1L))}")
+    assert(rows((1L, 2L)) == ((3L, 0.0)) && rows((1L, 3L)) == ((4L, 0.0)),
+      "cosine tie must break by ascending vec_b")
+    assert(rows((3L, 1L)) == ((4L, 1.0)) && rows((3L, 2L)) == ((1L, 0.0)),
+      "orthogonal pair ranks mirror-symmetrically")
+  }
+
+  test("text_span_dedup: cross-doc spans flag, within-doc repeats don't, short docs drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_span").toString
+    import spark.implicits._
+    val w10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val q10 = (1 to 10).map(i => s"q$i").mkString(" ")
+    Seq((1L, w10, "en", "s", 10L),                                // 1 span, shared with doc 2
+        (2L, s"$w10 x1 x2", "en", "s", 12L),                      // 3 spans, first shared
+        (3L, (1 to 10).map(i => s"z$i").mkString(" "), "en", "s", 10L), // all unique
+        (4L, s"$q10 $q10", "en", "s", 20L),                       // self-repeat only: nd=1
+        (5L, (1 to 9).map(i => s"s$i").mkString(" "), "en", "s", 9L))   // <10 tokens: dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_span_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"doc 5 (<10 tokens) must drop: ${got.keySet}")
+    assert(got(1L) == ((1L, 1L, 1000000L)), s"doc1 fully duplicated: ${got(1L)}")
+    assert(got(2L) == ((3L, 1L, 333333L)), s"doc2 1-of-3 spans shared: ${got(2L)}")
+    assert(got(3L) == ((1L, 0L, 0L)), s"doc3 clean: ${got(3L)}")
+    assert(got(4L) == ((11L, 0L, 0L)),
+      s"within-doc repetition is NOT cross-doc duplication (count DISTINCT doc): ${got(4L)}")
+  }
+
+  test("event_rfm: monotone users land one per quintile; rfm code composes the scores") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfm").toString
+    import spark.implicits._
+    // user u: u events, last event at day u, value 2.5 each — recency,
+    // frequency, and monetary all strictly increase with u, so ntile(5)
+    // over 5 users gives user u exactly score u on all three axes.
+    val rows = for { u <- 1 to 5; i <- 1 to u } yield
+      (u * 100L + i, java.sql.Timestamp.valueOf(f"2024-01-0$u%d 10:0$i%d:00"),
+       u.toLong, "click", 2.5, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("event_rfm")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+                                  r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    (1 to 5).foreach { u =>
+      assert(got(u.toLong) == ((u.toLong, 2.5 * u, u.toLong, u.toLong, u.toLong, 111L * u)),
+        s"user $u: ${got(u.toLong)}")
+    }
+  }
+
+  test("multimodal_resize_plan: hand-computed letterbox geometry, including the w=0 guard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_resize").toString
+    import spark.implicits._
+    // n_chars=100 -> 100x220 (portrait): scale bound by height.
+    // n_chars=640 -> src_w = 640%640 = 0: greatest(w,1) keeps the DIV legal.
+    Seq((1L, "t", "en", "s", 100L), (2L, "t", "en", "s", 640L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("multimodal_resize_plan")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+                                  r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    // 224e6 DIV 220 = 1018181; 100*1018181 DIV 1e6 = 101; 220*1018181 DIV 1e6 = 223
+    assert(got(1L) == ((100L, 220L, 1018181L, 101L, 223L, 61L, 0L)), s"doc1: ${got(1L)}")
+    // w=0 -> scale bound by h=160: 224e6 DIV 160 = 14e5; out 0x224, pad 112/0
+    assert(got(2L) == ((0L, 160L, 1400000L, 0L, 224L, 112L, 0L)), s"doc2: ${got(2L)}")
+  }
 }
