@@ -653,6 +653,49 @@ object LlmOps {
         .orderBy(col("vec_a"), col("rank"))
     },
 
+    Q(
+      "dedup_semantic",
+      s"""WITH $duckVecs,
+         |p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+         |      FROM x a JOIN x b ON a.i = b.i AND a.label = b.label AND b.vec_id < a.vec_id
+         |      GROUP BY 1, 2, 3),
+         |d AS (SELECT vec_a AS vec_id, round(max(dot / (na.n * nb.n)), 6) AS dup_cos
+         |      FROM p JOIN nrm na ON vec_a = na.vec_id JOIN nrm nb ON vec_b = nb.vec_id
+         |      WHERE dot / (na.n * nb.n) >= $cosTau
+         |      GROUP BY 1)
+         |SELECT e.vec_id, e.label, d.vec_id IS NULL AS kept, d.dup_cos
+         |FROM embeddings e LEFT JOIN d USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin
+    ) { (s, d) =>
+      // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): where MinHash
+      // catches lexical copies, this drops embedding-space near-clones
+      // (same content re-phrased / re-templated). Rule: a vector is
+      // dropped iff some LOWER-id vector in its block sits at cosine ≥ τ
+      // — the deterministic one-hop keep-lowest-id cut of the τ-graph
+      // (the transitive component version is `dedup_clusters`; SemDeDup
+      // itself uses the one-hop rule inside k-means cells). Blocked like
+      // all the sim_* ops: the self-join runs inside label blocks (the
+      // LSH/IVF-cell stand-in — at 100 TB the blocks come from
+      // `emb_kmeans`, exactly as the paper partitions by cluster), so
+      // cost is O(Σ block²·d), never corpus². The threshold compares the
+      // RAW cosine on both engines inside the measured empty band
+      // (cosTau); only the reported dup_cos is rounded. The dropped-id
+      // table is |dups|-sized and size-gate-broadcasts back onto the
+      // corpus scan — the corpus itself never shuffles.
+      val e = T.embeddings(s, d)
+      val dups = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .join(e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("label"))
+        .where(col("vec_b") < col("vec_a"))
+        .where(cosine("ea", "eb") >= cosTau)
+        .groupBy(col("vec_a").as("vec_id"))
+        .agg(round(max(cosine("ea", "eb")), 6).as("dup_cos"))
+      e.select(col("vec_id"), col("label"))
+        .join(graft.Gate.bcast(dups), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+                col("dup_cos").isNull.as("kept"), col("dup_cos"))
+        .orderBy(col("vec_id"))
+    },
+
     // LSH-bucketed approximate nearest neighbour — the 100 TB path:
     // 8 sign-random-projection bits (codegen'd full-dimension ±1
     // hyperplanes, [[graft.functions.SignProjection]]) coarse-quantize

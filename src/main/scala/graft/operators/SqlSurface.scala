@@ -41,6 +41,28 @@ object SqlSurface {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    // TPC-H Q3 shape (shipping priority): the canonical 3-way
+    // join→agg→top-k OLAP probe, run VERBATIM through both engines.
+    // Revenue sums exact decimals (rounded only at output); the ORDER BY
+    // is total (revenue ties broken by the unique l_orderkey) so the
+    // LIMIT 10 cut is deterministic cross-engine. Catalyst plans this as
+    // two broadcast joins (customer/orders both under the size gate at
+    // fixture scale; sort-merge beyond) + partial agg + TakeOrdered.
+    "sql_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
     "subquery_correlated" ->
       """SELECT c_custkey,
         |       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,

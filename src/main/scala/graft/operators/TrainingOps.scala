@@ -584,6 +584,79 @@ object TrainingOps {
         .where(col("rn") <= 3)
         .select(col("doc_id"), col("token"), col("tf"), col("score"))
         .orderBy(col("doc_id"), col("score").desc, col("token"))
+    },
+
+    Q(
+      "graph_pagerank",
+      """WITH e0 AS (
+        |  SELECT source || '.example.com' AS src, lang || '.example.com' AS dst FROM documents
+        |  UNION ALL
+        |  SELECT lang || '.example.com', 'src' || CAST(n_chars % 20 AS VARCHAR) || '.example.com'
+        |  FROM documents),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY 1, 2),
+        |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+        |h AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM h),
+        |r1 AS (SELECT h.host,
+        |              CAST(150000 + (850000 * coalesce(s.cs, 0)) // 1000000 AS BIGINT) AS rank
+        |       FROM h LEFT JOIN (
+        |         SELECT e.dst AS host, CAST(sum((r0.rank * e.w) // o.outw) AS BIGINT) AS cs
+        |         FROM e JOIN o USING (src) JOIN r0 ON r0.host = e.src GROUP BY e.dst) s
+        |       USING (host)),
+        |r2 AS (SELECT h.host,
+        |              CAST(150000 + (850000 * coalesce(s.cs, 0)) // 1000000 AS BIGINT) AS rank
+        |       FROM h LEFT JOIN (
+        |         SELECT e.dst AS host, CAST(sum((r1.rank * e.w) // o.outw) AS BIGINT) AS cs
+        |         FROM e JOIN o USING (src) JOIN r1 ON r1.host = e.src GROUP BY e.dst) s
+        |       USING (host)),
+        |r3 AS (SELECT h.host,
+        |              CAST(150000 + (850000 * coalesce(s.cs, 0)) // 1000000 AS BIGINT) AS rank
+        |       FROM h LEFT JOIN (
+        |         SELECT e.dst AS host, CAST(sum((r2.rank * e.w) // o.outw) AS BIGINT) AS cs
+        |         FROM e JOIN o USING (src) JOIN r2 ON r2.host = e.src GROUP BY e.dst) s
+        |       USING (host))
+        |SELECT host, rank AS rank_ppm FROM r3 ORDER BY host""".stripMargin
+    ) { (s, d) =>
+      // Host-graph PageRank — the crawl-frontier/source-weighting
+      // centrality every web-corpus curation stack keeps next to its
+      // quality scores (Common Crawl publishes exactly this per host).
+      // The synthetic link graph mirrors `text_url_extract`'s URL
+      // scheme: each doc links its source host → its language host and
+      // its language host → a content-derived host, weighted by
+      // multiplicity. Three power iterations, UNROLLED into the plan
+      // (fixed-depth, deterministic) with damping 0.85 in exact integer
+      // ppm: contribution = (rank·w) DIV out-weight, next rank =
+      // 150000 + (850000·Σ) DIV 1e6 — pure BIGINT on both engines (all
+      // values non-negative, so Spark's truncating DIV ≡ DuckDB's
+      // flooring //). Scale shape per iteration: the rank and out-degree
+      // tables are |hosts|-sized (crawl hosts ~10⁷ rows — broadcastable
+      // via the size gate, shuffle-join fallback beyond it) joined onto
+      // the |edges| fact, then ONE shuffle collapsing contributions on
+      // dst; the edge fact is re-read per iteration but never re-keyed —
+      // at a real 100 TB deployment you'd persist edges bucketed by src
+      // once and every iteration's join is then co-located.
+      val docs = T.documents(s, d)
+      val e1 = docs.select(concat(col("source"), lit(".example.com")).as("src"),
+                           concat(col("lang"), lit(".example.com")).as("dst"))
+      val e2 = docs.select(concat(col("lang"), lit(".example.com")).as("src"),
+                           concat(lit("src"), (col("n_chars") % 20).cast("string"),
+                                  lit(".example.com")).as("dst"))
+      val edges = e1.union(e2).groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val outd = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+      val hosts = edges.select(col("src").as("host"))
+        .union(edges.select(col("dst").as("host"))).distinct()
+      var r = hosts.select(col("host"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(Gate.bcast(outd), Seq("src"))
+          .join(Gate.bcast(r.select(col("host").as("src"), col("rank"))), Seq("src"))
+          .select(col("dst").as("host"), expr("(rank * w) DIV outw").as("c"))
+          .groupBy(col("host")).agg(sum(col("c")).as("cs"))
+        r = hosts.join(contrib, Seq("host"), "left")
+          .select(col("host"),
+                  expr("150000L + (850000L * coalesce(cs, 0L)) DIV 1000000L").as("rank"))
+      }
+      r.select(col("host"), col("rank").as("rank_ppm")).orderBy(col("host"))
     }
   )
 }

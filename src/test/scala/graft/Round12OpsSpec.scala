@@ -162,4 +162,40 @@ class Round12OpsSpec extends GraftSuite {
     // w=0 -> scale bound by h=160: 224e6 DIV 160 = 14e5; out 0x224, pad 112/0
     assert(got(2L) == ((0L, 160L, 1400000L, 0L, 224L, 112L, 0L)), s"doc2: ${got(2L)}")
   }
+
+  test("graph_pagerank: hand-computed 3-iteration ranks on a planted 3-host chain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr").toString
+    import spark.implicits._
+    // one doc -> chain s.example.com -> a.example.com -> src0.example.com
+    // (the last hop from lang host to the n_chars%20 content host).
+    Seq((1L, "t", "a", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("graph_pagerank")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r0 = 1e6 each. s never receives: 150000 from iter 1 on.
+    // a: iter2 on: 150000 + 850000*150000 DIV 1e6 = 277500.
+    // src0 (dangling sink): iter3 = 150000 + 850000*277500 DIV 1e6 = 385875.
+    assert(got == Map("s.example.com" -> 150000L,
+                      "a.example.com" -> 277500L,
+                      "src0.example.com" -> 385875L), s"got $got")
+  }
+
+  test("dedup_semantic: lower-id tau-neighbor drops, blocks isolate, survivors carry null dup_cos") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    import spark.implicits._
+    // label 1: vec 2 duplicates vec 1 (cos 1.0 >= tau), vec 3 orthogonal;
+    // label 2: vec 4 is IDENTICAL to vec 1 but in another block -> kept.
+    Seq((1L, Array(1f, 0f), 1), (2L, Array(1f, 0f), 1),
+        (3L, Array(0f, 1f), 1), (4L, Array(1f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("dedup_semantic")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2),
+                                  if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(rows(1L) == ((1, true, None)), s"lowest id survives: ${rows(1L)}")
+    assert(rows(2L) == ((1, false, Some(1.0))), s"clone of a lower id drops: ${rows(2L)}")
+    assert(rows(3L) == ((1, true, None)), s"orthogonal vec survives: ${rows(3L)}")
+    assert(rows(4L) == ((2, true, None)), s"identical vec in ANOTHER block survives: ${rows(4L)}")
+  }
 }
