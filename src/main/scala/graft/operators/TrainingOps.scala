@@ -657,6 +657,46 @@ object TrainingOps {
                   expr("150000L + (850000L * coalesce(cs, 0L)) DIV 1000000L").as("rank"))
       }
       r.select(col("host"), col("rank").as("rank_ppm")).orderBy(col("host"))
+    },
+
+    Q(
+      "graph_triangle_count",
+      """WITH e0 AS (
+        |  SELECT doc_id % 50 AS a, (doc_id // 50) % 50 AS b FROM documents
+        |  WHERE doc_id % 50 <> (doc_id // 50) % 50),
+        |e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e0),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM (SELECT unnest([x, y, z]) AS node FROM t) u
+        |GROUP BY node ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      // Per-node triangle counting — the local-clustering-coefficient
+      // numerator used to find tightly-knit communities (mirror rings,
+      // template farms) in a provenance/co-occurrence graph. The planted
+      // entity graph is doc-derived (node = doc_id residue class); real
+      // input is any edge list. Exact and deterministic: canonicalize to
+      // undirected a<b edges, count each triangle once as a<b<c via two
+      // equi-joins (edge e1=(a,b) extends to c iff (b,c) and (a,c) are
+      // edges), then one explode+groupBy spreads each triangle to its 3
+      // corners. Scale shape: both joins are equi-joins on node keys —
+      // shuffle-partitionable, never all-pairs; the classic skew guard
+      // (orient each edge from its lower-degree endpoint before joining,
+      // bounding per-key fanout by sqrt(|E|)) drops in as a degree-table
+      // broadcast + re-orientation without changing the count.
+      val und = T.documents(s, d)
+        .select(expr("doc_id % 50").as("a"), expr("(doc_id DIV 50) % 50").as("b"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      val tri = und.as("e1")
+        .join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .join(und.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("node"))
     }
   )
 }

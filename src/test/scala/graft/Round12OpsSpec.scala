@@ -198,4 +198,17 @@ class Round12OpsSpec extends GraftSuite {
     assert(rows(3L) == ((1, true, None)), s"orthogonal vec survives: ${rows(3L)}")
     assert(rows(4L) == ((2, true, None)), s"identical vec in ANOTHER block survives: ${rows(4L)}")
   }
+
+  test("graph_triangle_count: planted triangle counts once per corner; dangling edge contributes nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri").toString
+    import spark.implicits._
+    // edge (a,b) <- doc_id = a + 50*b: triangle 1-2-3 plus dangling 3-4
+    Seq(101L, 152L, 151L, 203L).map((_, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("graph_triangle_count")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"one triangle, one count per corner, node 4 absent: $got")
+  }
 }
