@@ -328,6 +328,25 @@ class PlanSpec extends GraftSuite {
       "transitions must come from one windowed lead, not a self-join")
   }
 
+  test("sim_knn_graph: rank cut is a group-limit under a vec_a-partitioned window") {
+    val p = plan("sim_knn_graph")
+    assert(p.contains("WindowGroupLimit"),
+      "rank <= 3 must push into WindowGroupLimit (per-partition top-k, no full rank materialization)")
+  }
+
+  test("dedup_semantic: the drop list broadcasts back onto the corpus scan") {
+    val (_, ns) = execNodes("dedup_semantic")
+    assert(ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "|dups|-sized drop table must ride the size-gated broadcast, not shuffle the corpus")
+  }
+
+  test("graph_pagerank: every iteration's rank and out-degree joins broadcast") {
+    val (_, ns) = execNodes("graph_pagerank")
+    val bhj = ns.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj >= 6,
+      s"3 unrolled iterations x (rank + outdeg) joins must all broadcast, got $bhj BroadcastHashJoin nodes")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
