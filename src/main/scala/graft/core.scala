@@ -132,16 +132,28 @@ object T {
   def part(s: SparkSession, d: String)       = apply(s, d, "part")
   def orders(s: SparkSession, d: String)     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String)   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright; read it as nanos-since-epoch long and downcast to Spark's
-    * native microsecond timestamp (lossless here: fixture values are µs).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    * reader rejects outright — read as nanos-long and downcast) and as
+    * TIMESTAMP(MICROS) without zone info (which Spark reads as
+    * TIMESTAMP_NTZ — cast to the session-zone instant; sessions here pin
+    * UTC, so the wall-clock values are unchanged and unix_millis/window
+    * functions work). [[normalizeEventTs]] handles both plus the
+    * already-normalized case, schema-driven, so the loader keeps working
+    * whichever physical type a fixture generation used.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else raw // already micros (e.g. test fixtures written by Spark itself)
+    normalizeEventTs(apply(s, d, "events"))
+  }
+
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw // already session-zoned micros
+    }
   }
   def documents(s: SparkSession, d: String)  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = apply(s, d, "embeddings")

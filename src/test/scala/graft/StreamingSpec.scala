@@ -44,12 +44,12 @@ class StreamingSpec extends GraftSuite {
     val src = base.resolve("src"); java.nio.file.Files.createDirectories(src)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(sf, "events.parquet"), src.resolve("events.parquet"))
-    // events.ts is TIMESTAMP(NANOS) parquet → same nanosAsLong + downcast
-    // as the batch loader (T.events)
+    // events.ts physical type varies by fixture generation (nanos-long /
+    // NTZ micros) → same schema-driven normalization as the batch loader
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(src.toString).schema
-    val stream = spark.readStream.schema(rawSchema).parquet(src.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = T.normalizeEventTs(
+      spark.readStream.schema(rawSchema).parquet(src.toString))
     val q = StreamingOps.tumbling(stream)
       .writeStream.format("memory").queryName("twin_tumbling")
       .outputMode("complete").start()
