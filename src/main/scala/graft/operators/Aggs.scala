@@ -398,6 +398,29 @@ object Aggs {
           round((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
             / (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
              * sqrt(dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))), 6).as("corr"))
+    },
+
+    Q.smoke("agg_count_min") { (s, d) =>
+      // Count–min sketch point-frequency estimates — the mergeable
+      // sublinear sibling of agg_approx_distinct_hll (HLL answers "how
+      // many distinct", CMS answers "how often is THIS one"), and the
+      // backbone of one-pass heavy-hitter screens at 100 TB (the exact
+      // text_heavy_hitters pays a full shuffle; a CMS pre-pass doesn't).
+      // Spark's CountMinSketchAggregate runs as a partial+final
+      // aggregate: each task folds its split into a d×w counter grid
+      // (d = ⌈ln 1/δ⌉ = 5 rows × w = ⌈e/ε⌉ ≈ 2719 columns here — ~106 KB
+      // FIXED, not data-proportional), merges are cell-wise adds
+      // (associative+commutative ⇒ partition-order invariant), and with
+      // a pinned seed the estimates are bit-deterministic — the sketch's
+      // one-sided error (est ≥ true, ≤ true + ε·N w.p. 1−δ) is pinned
+      // by Round12bOpsSpec against the exact counts; no DuckDB
+      // equivalent exists, so the key is spec-covered, not oracled.
+      val probes = (1L to 20L)
+      val sk = T.lineitem(s, d).select(col("l_partkey"))
+        .stat.countMinSketch("l_partkey", 0.001, 0.99, 42)
+      import s.implicits._
+      probes.map(k => (k, sk.estimateCount(java.lang.Long.valueOf(k))))
+        .toDF("l_partkey", "est_n").orderBy(col("l_partkey"))
     }
   )
 }

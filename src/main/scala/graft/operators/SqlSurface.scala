@@ -23,6 +23,9 @@ object SqlSurface {
     T.lineitem(s, d).createOrReplaceTempView("lineitem")
     T.orders(s, d).createOrReplaceTempView("orders")
     T.customer(s, d).createOrReplaceTempView("customer")
+    T.supplier(s, d).createOrReplaceTempView("supplier")
+    T.nation(s, d).createOrReplaceTempView("nation")
+    T.region(s, d).createOrReplaceTempView("region")
   }
 
   /** key → SQL run verbatim on both engines. */
@@ -62,6 +65,54 @@ object SqlSurface {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    // TPC-H Q5 shape (local supplier volume): the canonical join-REORDER
+    // probe — six tables, and only the region→nation→supplier dimension
+    // chain prunes the fact scan. Written as an unordered conjunctive
+    // WHERE precisely so the optimizer (not the author) must pick the
+    // order: Catalyst reorders, broadcasts the three dims under the size
+    // gate, and leaves one shuffle join pair (orders⋈lineitem) carrying
+    // the facts. The c_nationkey = s_nationkey closure edge is the
+    // classic cyclic-join-graph twist — it turns the star into a cycle,
+    // which join-reorder must detect to avoid a blowup. Revenue in exact
+    // decimals; ties broken by n_name.
+    "sql_local_supplier_volume" ->
+      """SELECT n_name,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // TPC-H Q10 shape (returned-item reporting): fact-fact join (orders
+    // ⋈ lineitem, both filtered) + two broadcast dims, grouped on a WIDE
+    // key (customer attributes ride the group-by instead of a post-agg
+    // join-back), deterministic top-20 by exact-decimal revenue with the
+    // unique c_custkey breaking ties → TakeOrderedAndProject.
+    "sql_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+        |       round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |  AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "subquery_correlated" ->
       """SELECT c_custkey,

@@ -294,6 +294,54 @@ object TrainingOps {
     },
 
     Q(
+      "text_bloom_contamination",
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+        |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')))) AS g
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(*) AS n_hit_grams
+        |FROM grams JOIN bench USING (g)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // text_contamination's 100 TB path: a Bloom filter over the
+      // benchmark gram set pre-screens the corpus BEFORE any join. The
+      // bloom is aggregated distributed + merged to a fixed ~1.2 MB
+      // bitmap (memory is (n, fpp)-bounded, NOT corpus-bounded),
+      // broadcast once, and probed in a tight per-row JVM call — at
+      // 100 TB the ~99% of grams that hit nothing never reach the
+      // exchange, which is the difference between shuffling the corpus'
+      // gram stream and shuffling only candidate hits. Bloom FPs are
+      // killed by the exact semi-join behind it (no false NEGATIVES is
+      // the bloom guarantee), so the result — and the oracle — is
+      // bit-identical to text_contamination's exact join. The probe is
+      // a Scala UDF by necessity (Spark's BloomFilter has no public
+      // expression); it wraps two xxHash probes of a broadcast bitmap,
+      // and the candidate rate it admits is what keeps the hot path off
+      // the shuffle, which dominates the codegen loss.
+      val grams = T.documents(s, d).select(col("doc_id"),
+        explode(expr(
+          """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),
+            |  i -> array_join(slice(split(text, ' '), i, 5), ' ')))""".stripMargin)).as("g"))
+      val bench = grams.where(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      // overfull bloom only raises FP rate (more exact-verify work,
+      // same answer), so the capacity is a fixed budget, not a count()
+      val bloom = bench.stat.bloomFilter("g", 1L << 20, 0.01)
+      val bbc = s.sparkContext.broadcast(bloom)
+      val mightHit = udf((g: String) => bbc.value.mightContainString(g))
+      grams.where(col("doc_id") % 97 =!= 0)
+        .where(mightHit(col("g")))
+        .join(graft.Gate.bcast(bench), "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_grams"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "sample_temperature",
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          |m AS (SELECT min(n) AS mn FROM c),
@@ -697,6 +745,51 @@ object TrainingOps {
       tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
         .orderBy(col("node"))
+    },
+
+    Q(
+      "graph_shortest_path",
+      """WITH RECURSIVE e0 AS (
+        |  SELECT doc_id % 50 AS a, (doc_id // 50) % 50 AS b FROM documents
+        |  WHERE doc_id % 50 <> (doc_id // 50) % 50),
+        |eu AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e0),
+        |e AS (SELECT a AS src, b AS dst FROM eu UNION ALL SELECT b, a FROM eu),
+        |bfs(node, d) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+        |  WHERE bfs.d < 6)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      // Single-source BFS shortest path (hop count), depth-bounded at 6 —
+      // the reachability/radius primitive behind link-graph diagnostics
+      // (how far does a crawl frontier or a dedup-cluster contagion
+      // spread?). Same planted entity graph as graph_triangle_count,
+      // symmetrized. Iterative-join BFS, UNROLLED at fixed depth: each
+      // round joins the |V|-sized distance table onto the edge fact and
+      // re-minimizes — the oracle is DuckDB's WITH RECURSIVE UNION
+      // (duplicate-eliminating, so each (node, d) expands once; the d<6
+      // bound makes the two fixed-point shapes provably identical). Scale
+      // shape per round: dist is |V|-sized (size-gate-broadcast, shuffle
+      // fallback) onto shuffle-partitioned edges, ONE collapse on dst;
+      // at real diameter you'd iterate frontier-delta-only with a
+      // localCheckpoint per round (the dedup_clusters pattern) instead of
+      // unrolling — the per-round plan is what this key pins.
+      val und = T.documents(s, d)
+        .select(expr("doc_id % 50").as("a"), expr("(doc_id DIV 50) % 50").as("b"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      val edges = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+      var dist = s.range(1).select(lit(0L).as("node"), lit(0L).as("d"))
+      for (_ <- 1 to 6) {
+        val next = edges.join(Gate.bcast(dist.withColumnRenamed("node", "src")), Seq("src"))
+          .select(col("dst").as("node"), (col("d") + 1).as("d"))
+        dist = dist.union(next).groupBy(col("node")).agg(min(col("d")).as("d"))
+      }
+      dist.select(col("node"), col("d").as("dist")).orderBy(col("node"))
     }
   )
 }

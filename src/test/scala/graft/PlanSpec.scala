@@ -347,6 +347,22 @@ class PlanSpec extends GraftSuite {
       s"3 unrolled iterations x (rank + outdeg) joins must all broadcast, got $bhj BroadcastHashJoin nodes")
   }
 
+  test("sql_returned_items: deterministic top-20 fuses to TakeOrderedAndProject") {
+    val (_, ns) = execNodes("sql_returned_items")
+    assert(ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "LIMIT 20 over ORDER BY must fuse, never global-sort")
+  }
+
+  test("sql_local_supplier_volume: the cyclic 6-way join reorders into equi-joins only") {
+    // the c_nationkey = s_nationkey closure edge turns the star into a
+    // cycle; Catalyst must plan it as a join-graph traversal (every join
+    // an equi-join — the global CartesianProduct sweep below also covers
+    // this) with the dimension chain broadcast under the size gate.
+    val p = plan("sql_local_supplier_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"region/nation/supplier dims must broadcast at fixture scale:\n$p")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
