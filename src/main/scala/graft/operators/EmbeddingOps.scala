@@ -153,6 +153,41 @@ object EmbeddingOps {
     },
 
     Q(
+      "emb_truncate_renorm",
+      """SELECT vec_id, i - 1 AS pos,
+        |       CAST(round(CAST(v AS DOUBLE) / sqrt(n2) * 1000000) AS BIGINT) AS unit_micro
+        |FROM (
+        |  SELECT vec_id,
+        |         unnest(list_slice(embedding, 1, 16)) AS v,
+        |         generate_subscripts(list_slice(embedding, 1, 16), 1) AS i,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(list_slice(embedding, 1, 16), y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+        |           (a, b) -> a + b) AS n2
+        |  FROM embeddings) t
+        |ORDER BY vec_id, pos""".stripMargin
+    ) { (s, d) =>
+      // Matryoshka (MRL) truncation: keep the first 16 of 64 dims and
+      // re-L2-normalize — the 4× index-shrink knob every MRL-trained
+      // embedding stack exposes (coarse candidate retrieval on the
+      // truncated prefix, full-dim re-rank behind it; pairs with
+      // sim_cosine_ivf exactly as in the paper). Same cross-engine
+      // determinism contract as emb_normalize: the norm fold is a
+      // left-to-right double fold over the PREFIX in both engines,
+      // output in rounded integer micro-units, exploded to scalar rows
+      // for the hash compare. Pure per-row projection — zero shuffle,
+      // codegen'd, scales with splits.
+      T.embeddings(s, d)
+        .withColumn("head", expr("slice(embedding, 1, 16)"))
+        .withColumn("n2",
+          expr("aggregate(head, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))"))
+        .select(col("vec_id"),
+          posexplode(expr(
+            "transform(head, x -> CAST(round(CAST(x AS DOUBLE) / sqrt(n2) * 1000000) AS BIGINT))"))
+            .as(Seq("pos", "unit_micro")))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+
+    Q(
       "emb_centroid",
       """SELECT label, i - 1 AS pos,
         |       CAST(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE)

@@ -114,6 +114,53 @@ object SqlSurface {
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
 
+    // TPC-H Q8 shape (national market share): the SAME dimension table in
+    // TWO join roles (nation as the customer's region anchor AND as the
+    // supplier's identity) — the self-alias resolution + reorder probe.
+    // Share = conditional-sum / sum over the identical exact-decimal
+    // revenue term; both sums come out of ONE aggregate, divided only at
+    // the end in IEEE doubles both engines evaluate identically.
+    "sql_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+        |                           THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+        |WHERE l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey
+        |  AND c_nationkey = n1.n_nationkey
+        |  AND n1.n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n2.n_nationkey
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    // TPC-H Q15 shape (top supplier): one CTE referenced TWICE — once as
+    // a join input, once under a scalar-subquery max — pinning CTE
+    // resolution + the argmax-by-equality idiom. The equality compares
+    // the UNROUNDED exact-decimal revenue (bit-stable on any engine or
+    // partitioning; a rounded-double compare here would be the classic
+    // boundary-flip bug); ORDER BY the unique s_suppkey keeps the
+    // (possibly tied) result set deterministic.
+    "sql_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
     "subquery_correlated" ->
       """SELECT c_custkey,
         |       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,

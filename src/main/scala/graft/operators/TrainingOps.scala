@@ -328,13 +328,22 @@ object TrainingOps {
           """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),
             |  i -> array_join(slice(split(text, ' '), i, 5), ' ')))""".stripMargin)).as("g"))
       val bench = grams.where(col("doc_id") % 97 === 0).select(col("g")).distinct()
-      // overfull bloom only raises FP rate (more exact-verify work,
-      // same answer), so the capacity is a fixed budget, not a count()
-      val bloom = bench.stat.bloomFilter("g", 1L << 20, 0.01)
-      val bbc = s.sparkContext.broadcast(bloom)
-      val mightHit = udf((g: String) => bbc.value.mightContainString(g))
-      grams.where(col("doc_id") % 97 =!= 0)
-        .where(mightHit(col("g")))
+      val corpus = grams.where(col("doc_id") % 97 =!= 0)
+      // zero-row aggregation leaves the bloom's internal buffer null
+      // (probing it NPEs), and an empty bench set screens nothing anyway
+      // — so only interpose the bloom stage when there is one to build.
+      // isEmpty is a limit-1 probe, trivial next to the bloom fold.
+      val screened =
+        if (bench.isEmpty) corpus
+        else {
+          // overfull bloom only raises FP rate (more exact-verify work,
+          // same answer), so the capacity is a fixed budget, not a count()
+          val bloom = bench.stat.bloomFilter("g", 1L << 20, 0.01)
+          val bbc = s.sparkContext.broadcast(bloom)
+          val mightHit = udf((g: String) => bbc.value.mightContainString(g))
+          corpus.where(mightHit(col("g")))
+        }
+      screened
         .join(graft.Gate.bcast(bench), "g")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hit_grams"))
