@@ -153,6 +153,65 @@ object EmbeddingOps {
     },
 
     Q(
+      "emb_outlier_filter",
+      """WITH m AS (
+        |  SELECT vec_id, label, i AS pos, CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS xm
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |               generate_subscripts(embedding, 1) AS i FROM embeddings) t),
+        |c AS (SELECT label, pos, CAST(round(CAST(sum(xm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+        |      FROM m GROUP BY label, pos),
+        |dd AS (SELECT vec_id, m.label, CAST(sum((xm - cm) * (xm - cm)) AS BIGINT) AS d2
+        |       FROM m JOIN c ON m.label = c.label AND m.pos = c.pos
+        |       GROUP BY vec_id, m.label),
+        |r AS (SELECT vec_id, label, d2,
+        |             row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rn,
+        |             count(*) OVER (PARTITION BY label) AS nl
+        |      FROM dd)
+        |SELECT vec_id, label, d2, rn <= (nl + 19) // 20 AS is_outlier
+        |FROM r ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      // Embedding-space outlier pruning — the prototypicality screen that
+      // rides next to SemDeDup in curation stacks (drop the farthest
+      // ⌈5%⌉ of each class/cluster from its centroid; distance-based
+      // pruning à la SSL-prototypes). Everything that crosses engines is
+      // exact: per-dim micro-unit BIGINT coordinates, a rounded BIGINT
+      // centroid, d2 as an integer sum (order-free — no float summation
+      // hazard), and the cut ranks (d2 DESC, vec_id) so ties can never
+      // flip membership. Scale shape: the centroid build's shuffle
+      // carries |labels|×64 partial rows per map partition (map-side
+      // combine collapses the explode), the |labels|-sized centroid
+      // ARRAY table broadcasts back onto the corpus scan — d2 is then a
+      // zero-shuffle codegen'd zip_with fold per row — and the only
+      // corpus-sized movement is the ONE label-partitioned window
+      // shuffle for the rank cut. At real scale the exact window becomes
+      // an approx-percentile d2 boundary broadcast (event_rfm's
+      // argument); the fixture-scale exact cut is what the oracle pins.
+      import org.apache.spark.sql.expressions.Window
+      val e = T.embeddings(s, d)
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("m", expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+        .withColumn("cm", expr("CAST(round(CAST(sm AS DOUBLE) / n) AS BIGINT)"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), p -> p.cm)").as("cvec"))
+      val scored = e.join(broadcast(cent), "label")
+        .withColumn("d2", expr(
+          """aggregate(zip_with(embedding, cvec,
+            |  (x, c) -> (CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) - c)
+            |          * (CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) - c)),
+            |  CAST(0 AS BIGINT), (a, t) -> a + t)""".stripMargin))
+      val w = Window.partitionBy(col("label"))
+      scored
+        .withColumn("rn", row_number().over(w.orderBy(col("d2").desc, col("vec_id"))))
+        .withColumn("nl", count(lit(1)).over(w))
+        .select(col("vec_id"), col("label"), col("d2"),
+                (col("rn") <= expr("(nl + 19) DIV 20")).as("is_outlier"))
+        .orderBy(col("vec_id"))
+    },
+
+    Q(
       "emb_truncate_renorm",
       """SELECT vec_id, i - 1 AS pos,
         |       CAST(round(CAST(v AS DOUBLE) / sqrt(n2) * 1000000) AS BIGINT) AS unit_micro

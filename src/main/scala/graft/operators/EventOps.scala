@@ -446,6 +446,53 @@ object EventOps {
              max(when(col("rn") === 1, col("value"))).as("open"),
              max(when(col("rn") === col("cnt"), col("value"))).as("close"))
         .orderBy(col("event_type"), col("hour"))
+    },
+
+    Q(
+      "event_ab_test",
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+        |              THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM u)
+        |SELECT n_a, c_a, n_b, c_b,
+        |       round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+        |         / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |                * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |                * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+        |FROM a""".stripMargin
+    ) { (s, d) =>
+      // Two-proportion z-test over the event log — the experimentation
+      // readout every serving stack runs (variant = the user-id hash
+      // bucket, here % 2; conversion = a per-user behavioral predicate,
+      // here ≥15 purchase events so the synthetic log actually splits).
+      // ONE shuffle on user_id collapses the log to per-user (variant,
+      // conv); the 4 cohort counters then come from a single global
+      // conditional aggregate (map-side partials ⇒ the reduce sees
+      // #partitions rows) and the z statistic is a 1-row double formula
+      // over exact BIGINTs, written as the IDENTICAL expression text on
+      // both engines so the IEEE evaluation matches bit-for-bit.
+      val u = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 15)
+               .cast("int").as("conv"))
+        .withColumn("variant", col("user_id") % 2)
+      u.agg(
+          sum(when(col("variant") === 0, 1).otherwise(0)).cast("long").as("n_a"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(0)).cast("long").as("c_a"),
+          sum(when(col("variant") === 1, 1).otherwise(0)).cast("long").as("n_b"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(0)).cast("long").as("c_b"))
+        .selectExpr("n_a", "c_a", "n_b", "c_b",
+          """round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+            |  / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+            |         * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+            |         * (1.0 / n_a + 1.0 / n_b)), 6) AS z""".stripMargin)
     }
   )
 }
