@@ -400,6 +400,36 @@ object Aggs {
              * sqrt(dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))), 6).as("corr"))
     },
 
+    Q(
+      "agg_multi_distinct",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      // MULTIPLE distinct aggregates over DIFFERENT columns in one query
+      // — the report shape that forces Catalyst's RewriteDistinctAggregates:
+      // one Expand replicates each row once per distinct column (tagged
+      // with a group id), a first aggregate dedups (key, tag, value), a
+      // second computes the counts — so three distincts cost ONE
+      // 3×-expanded shuffle, not three scans (plan-pinned: exactly one
+      // Expand, no union of per-column subplans). count(*) piggybacks on
+      // the same pass. At 100 TB the 3× expansion is the knob to watch:
+      // map-side partial dedup keeps the exchange bounded by
+      // distinct-values × partitions, not by expanded rows.
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             countDistinct(col("l_orderkey")).as("n_orders"),
+             count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
     Q.smoke("agg_count_min") { (s, d) =>
       // Count–min sketch point-frequency estimates — the mergeable
       // sublinear sibling of agg_approx_distinct_hll (HLL answers "how

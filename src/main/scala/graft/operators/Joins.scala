@@ -190,6 +190,37 @@ object Joins {
     },
 
     Q(
+      "join_null_safe",
+      """WITH c AS (SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer),
+        |s AS (SELECT s_suppkey, nullif(s_nationkey, 3) AS nk FROM supplier)
+        |SELECT c.nk, count(*) AS n_pairs,
+        |       min(c_custkey) AS min_cust, min(s_suppkey) AS min_supp
+        |FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+        |GROUP BY c.nk
+        |ORDER BY c.nk NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      // Null-safe equi-join (`<=>` ≡ SQL IS NOT DISTINCT FROM): the
+      // "unknown bucket joins unknown bucket" semantics every entity-
+      // resolution pipeline needs (a plain `=` silently DROPS all
+      // null-keyed rows — the classic lost-partition bug). Catalyst
+      // plans EqualNullSafe as a HASH join key (null hashes like any
+      // value), NOT a nested-loop theta — so this stays a broadcast/
+      // shuffle hash join, shuffle-partitionable at any scale, and the
+      // null bucket is subject to the same skew remedies (salting)
+      // as any hot key. nullif plants a real null cohort on both sides.
+      val c = T.customer(s, d)
+        .select(col("c_custkey"), nullif(col("c_nationkey"), lit(3)).as("nk"))
+      val sup = T.supplier(s, d)
+        .select(col("s_suppkey"), nullif(col("s_nationkey"), lit(3)).as("snk"))
+      c.join(graft.Gate.bcast(sup), col("nk") <=> col("snk"))
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_pairs"),
+             min(col("c_custkey")).as("min_cust"),
+             min(col("s_suppkey")).as("min_supp"))
+        .orderBy(col("nk").asc_nulls_first)
+    },
+
+    Q(
       "join_range",
       s"""SELECT b.band, count(*) AS n_items, ${Det.sqlDsum("l_extendedprice")} AS total_price
          |FROM lineitem

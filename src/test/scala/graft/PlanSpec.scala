@@ -363,6 +363,26 @@ class PlanSpec extends GraftSuite {
       s"region/nation/supplier dims must broadcast at fixture scale:\n$p")
   }
 
+  test("agg_multi_distinct: three distincts ride ONE Expand, not three scans") {
+    val p = plan("agg_multi_distinct")
+    assert("Expand".r.findAllIn(p).size == 1,
+      s"RewriteDistinctAggregates must plan exactly one Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"multiple distincts must not rescan the input:\n$p")
+  }
+
+  test("join_null_safe: EqualNullSafe stays a HASH join, never a nested loop") {
+    val (_, ns) = execNodes("join_null_safe")
+    assert(ns.exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "<=> must plan as a hash-able equi-join key")
+    assert(!ns.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "<=> must not degrade to a nested loop")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
