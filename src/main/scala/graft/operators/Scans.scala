@@ -239,6 +239,79 @@ object Scans {
       JdbcIO.readTable(s, url, "customer_src",
         partitionColumn = Some(("c_custkey", 0L, 150000L, 8)))
         .orderBy(col("c_custkey"))
+    },
+
+    Q(
+      "scan_merge_schema",
+      """SELECT o_orderkey, o_totalprice,
+        |       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      // Schema evolution on read: a lake accumulates file generations as
+      // columns are added, and a scan must reconcile them without a
+      // rewrite. Generation 1 (even keys) lacks o_orderpriority;
+      // generation 2 (odd keys) carries it; `mergeSchema` unions the
+      // footers and older files surface the new column as NULL — exactly
+      // the CASE the oracle states. Merging is footer-metadata work at
+      // planning time (per-file schemas union on the driver; data pages
+      // are untouched), so the scan itself stays an ordinary columnar
+      // read — at 100 TB you pay footer listing, not data rewrite.
+      val out = graft.Scratch.dir("mergeschema", d)
+      val o = T.orders(s, d)
+      if (o.isEmpty) {
+        // zero generations ⇒ nothing to infer from; the merged shape is
+        // still well-defined — state it
+        o.selectExpr("o_orderkey", "o_totalprice", "o_orderpriority").limit(0)
+      } else {
+        o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$out/gen1")
+        o.where(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$out/gen2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/gen1", s"$out/gen2")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+      }
+    },
+
+    Q(
+      "sink_dynamic_overwrite",
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      // Dynamic partition overwrite — THE idempotent-load primitive
+      // behind the reference's weekly re-runs (osm_etl.py's per-region
+      // reload): overwrite mode replaces ONLY the partitions present in
+      // the incoming batch, leaving every other slice byte-untouched.
+      // Here the full lake is laid down partitioned by status, then a
+      // re-run ships only the F slice restricted to ≥1998 — after which
+      // F reflects the re-run and O/P still hold the original rows (the
+      // oracle's NOT(...) predicate). Static overwrite mode would have
+      // dropped O and P entirely — the classic lost-data reload bug.
+      // Set per-write via option (no session-conf mutation); at scale a
+      // re-run's write cost is proportional to its own slice, never the
+      // lake.
+      val out = graft.Scratch.dir("dynover", d)
+      val o = T.orders(s, d)
+      o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      o.where(col("o_orderstatus") === "F" &&
+              col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus").parquet(out)
+      s.read.schema(
+          org.apache.spark.sql.types.StructType(o.schema.filter(f => f.name != "o_orderstatus"))
+            .add("o_orderstatus", org.apache.spark.sql.types.StringType))
+        .parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 }

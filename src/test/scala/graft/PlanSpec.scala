@@ -393,7 +393,8 @@ class PlanSpec extends GraftSuite {
             q.key != "sink_stream_foreachbatch" && q.key != "sink_parquet" &&
             q.key != "sort_partitioned" && q.key != "osm_region_partition_write" &&
             q.key != "emb_kmeans" && q.key != "sink_jdbc" && q.key != "source_jdbc" &&
-            q.key != "sim_ivf_partitioned") {
+            q.key != "sim_ivf_partitioned" && q.key != "scan_merge_schema" &&
+            q.key != "sink_dynamic_overwrite") {
       val p = q.run(spark, sf).queryExecution.executedPlan.toString()
       assert(!p.contains("CartesianProduct"),
              s"${q.key} has an accidental cartesian product")

@@ -64,6 +64,30 @@ class Round12bOpsSpec extends GraftSuite {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L), s"got $got")
   }
 
+  test("sink_dynamic_overwrite: static mode would drop untouched slices; dynamic keeps them") {
+    // the oracled key asserts dynamic KEEPS O/P; this pins the contrast —
+    // the same reload under default static overwrite loses every slice
+    // not present in the incoming batch (the bug the key exists to avoid)
+    val dir = java.nio.file.Files.createTempDirectory("graft_staticover").toString
+    val o = T.orders(spark, sf)
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    o.where(col("o_orderstatus") === "F")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val left = spark.read.parquet(dir).select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(left == Set("F"), s"static overwrite must keep only the incoming slice, got $left")
+    val dyn = SparkEntry.queries("sink_dynamic_overwrite")(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(dyn == Set("F", "O", "P"), s"dynamic overwrite must keep all slices, got $dyn")
+  }
+
+  test("scan_merge_schema: evolved column is NULL exactly on the old generation") {
+    val rows = SparkEntry.queries("scan_merge_schema")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => (r.getLong(0) % 2 == 1) == !r.isNullAt(2)),
+      "gen1 (even keys) must surface o_orderpriority as NULL, gen2 must carry it")
+  }
+
   test("text_bloom_contamination: bit-identical to the exact join (no false negatives survive)") {
     val exact = SparkEntry.queries("text_contamination")(spark, sf).collect().toSeq
     val bloom = SparkEntry.queries("text_bloom_contamination")(spark, sf).collect().toSeq
