@@ -210,6 +210,47 @@ object Windows {
                 percent_rank().over(w).as("bal_pct_rank"),
                 cume_dist().over(w).as("bal_cume_dist"))
         .orderBy(col("c_custkey"))
+    },
+
+    Q(
+      "win_session_window",
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ms,
+        |         CASE WHEN lag(ms) OVER w IS NULL
+        |              OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (
+        |  SELECT user_id, ms,
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin
+    ) { (s, d) =>
+      // Spark's NATIVE session_window aggregate in batch — the builtin
+      // twin of event_sessionize's first-principles lag+cumsum build,
+      // and the oracle cross-validates the two constructions against
+      // each other. One boundary subtlety the oracle states exactly:
+      // session_window's end is EXCLUSIVE (end = last event + gap), so
+      // an event arriving at exactly prev + gap starts a NEW session —
+      // the break predicate is >= gap, where event_sessionize's is
+      // > gap. Plan shape: one shuffle on user_id, then Spark's
+      // UpdatingSessionsExec merges islands in-partition — same
+      // one-exchange contract as the manual build, and the same
+      // operator Structured Streaming uses for stream_session, so
+      // batch and stream sessions provably share semantics.
+      T.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+                unix_millis(col("session_window.start")).as("start_ms"),
+                unix_millis(col("session_window.end")).as("end_ms"),
+                col("n_events"))
+        .orderBy(col("user_id"), col("start_ms"))
     }
   )
 }
