@@ -181,5 +181,61 @@ object SqlSurface {
 
   val all: Seq[Q] = shared.map { case (key, sql) =>
     Q(key, sql) { (s, d) => views(s, d); s.sql(sql) }
+  } :+ Q(
+    "sql_recursive_cte",
+    // the one dialect split in this file: DuckDB spells the epoch
+    // accessor epoch_ms and integer division //, Spark unix_millis and
+    // DIV — the recursion, join, and aggregate text are otherwise
+    // identical (and the recursive spine itself is engine-checked
+    // against DuckDB's reference semantics row for row)
+    """WITH RECURSIVE wk(n) AS (
+      |  SELECT 0
+      |  UNION ALL
+      |  SELECT n + 1 FROM wk WHERE n < 350),
+      |o AS (
+      |  SELECT CAST((epoch_ms(o_orderdate) - epoch_ms(TIMESTAMP '1995-01-01'))
+      |              // 604800000 AS BIGINT) AS n,
+      |         o_totalprice
+      |  FROM orders)
+      |SELECT CAST(wk.n AS BIGINT) AS week_no,
+      |       count(o.n) AS n_orders,
+      |       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      |FROM wk LEFT JOIN o ON o.n = wk.n
+      |GROUP BY wk.n
+      |ORDER BY week_no""".stripMargin
+  ) { (s, d) =>
+    // Recursive CTE through Catalyst (Spark 4's WITH RECURSIVE /
+    // UnionLoop): the calendar-spine idiom — the recursion generates
+    // the complete weekly axis INCLUDING order-free weeks (rows an
+    // aggregation of the fact table alone can never produce; the LEFT
+    // JOIN keeps them as zero/NULL rows). Scale shape: the spine is
+    // axis-sized (351 rows — driver-trivial, broadcast), the fact side
+    // buckets arithmetically in the scan projection and the join is a
+    // broadcast equi-join; the recursion never touches fact data. The
+    // week bucket is exact integer millis DIV — both engines floor
+    // identically on non-negatives.
+    views(s, d)
+    // MAX RECURSION LEVEL: Spark guards runaway recursion at 100 levels
+    // by default — the 351-step spine declares its own bound (DuckDB
+    // needs no clause; its recursion is bounded by the WHERE alone)
+    s.sql(
+      """WITH RECURSIVE wk(n) MAX RECURSION LEVEL 400 AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT n + 1 FROM wk WHERE n < 350),
+        |o AS (
+        |  -- CAST: the fixture ships o_orderdate as TIMESTAMP_NTZ; sessions
+        |  -- pin UTC, so the session-zone reinterpretation is value-exact
+        |  SELECT CAST((unix_millis(CAST(o_orderdate AS TIMESTAMP))
+        |               - unix_millis(TIMESTAMP '1995-01-01'))
+        |              DIV 604800000 AS BIGINT) AS n,
+        |         o_totalprice
+        |  FROM orders)
+        |SELECT CAST(wk.n AS BIGINT) AS week_no,
+        |       count(o.n) AS n_orders,
+        |       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        |FROM wk LEFT JOIN o ON o.n = wk.n
+        |GROUP BY wk.n
+        |ORDER BY week_no""".stripMargin)
   }
 }
