@@ -190,6 +190,37 @@ object Joins {
     },
 
     Q(
+      "join_lateral",
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) o
+        |ORDER BY c_custkey, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      // LATERAL subquery join — per-row parameterized subqueries (the
+      // SQL-standard spelling of "top-2 orders FOR EACH customer"),
+      // run as the SAME text on both engines. The naive reading is a
+      // per-customer rescan of orders; Catalyst's lateral decorrelation
+      // rewrites it into ONE join + per-key limit (the window/group-
+      // limit shape topk_per_group states explicitly) — which is why
+      // the construct survives 100 TB: cost is one shuffle on the
+      // correlation key, never |customers| probes. Ties broken by
+      // o_orderkey so the 2-row cut is deterministic cross-engine.
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey
+          |  LIMIT 2) o
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    },
+
+    Q(
       "join_null_safe",
       """WITH c AS (SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer),
         |s AS (SELECT s_suppkey, nullif(s_nationkey, 3) AS nk FROM supplier)

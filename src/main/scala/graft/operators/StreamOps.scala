@@ -120,6 +120,14 @@ object StreamOps {
       StreamingOps.runStatefulCounterDemo(s).orderBy(col("user_id"))
     },
 
+    // Spark 4 arbitrary state v2 (transformWithState): typed named state
+    // handles + TTL + timers on RocksDB-backed state. Same fixture and
+    // same emitted counts as the v1 flatMapGroupsWithState demo above —
+    // StreamingSpec pins the two APIs to identical results.
+    Q.smoke("stream_transform_with_state") { (s, _) =>
+      StreamingOps.runTransformWithStateDemo(s).orderBy(col("user_id"))
+    },
+
     // Stream-stream interval join: both sides watermarked, join condition
     // time-bounded → state expires. StreamingSpec asserts the in/out-of-
     // window pairs.

@@ -183,6 +183,66 @@ object StreamingOps {
       .agg(max(col("n_events")).as("n_events"), max(col("total")).as("total"))
   }
 
+  /** Spark 4 arbitrary state v2 (`stream_transform_with_state`): the same
+    * running per-user counter as [[runStatefulCounterDemo]], re-expressed
+    * on the `transformWithState` StatefulProcessor API — typed named state
+    * handles (`ValueState` here; List/Map state and per-key timers on the
+    * same handle), declarative TTL, and RocksDB-backed state (changelog-
+    * checkpointed, so 100 TB state snapshots upload incrementally instead
+    * of rewriting per batch — the operational reason this API exists).
+    * Emitting the SAME counts as the v1 demo is the point: StreamingSpec
+    * pins the two APIs to identical results on the shared fixture.
+    */
+  final class RunningCounter extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, UserCount] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[UserCount] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserCount]("counts",
+        org.apache.spark.sql.Encoders.product[UserCount],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCount] = {
+      val prev = if (st.exists()) st.get() else UserCount(key, 0L, 0.0)
+      val batch = rows.toSeq
+      val next = UserCount(key, prev.n_events + batch.size,
+                           prev.total + batch.map(_.value).sum)
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runTransformWithStateDemo(spark: SparkSession): DataFrame = withFewPartitionsNoIdleBatches(spark) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store; scope the
+    // provider to this query and restore the session's default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val counts = mem.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningCounter,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = counts.writeStream.format("memory").queryName("tws_counts")
+        .outputMode(OutputMode.Update).start()
+      try {
+        mem.addData(Ev(ts(0), 1L, 2.0), Ev(ts(1), 2L, 3.0))
+        q.processAllAvailable()
+        mem.addData(Ev(ts(2), 1L, 5.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table("tws_counts")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"), max(col("total")).as("total"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Stream-stream interval join (`stream_stream_join`): views joined to
     * purchases by user within a 10-minute event-time window. BOTH sides
     * carry watermarks and the join condition bounds the time skew — that

@@ -27,6 +27,7 @@ class EmptyInputSpec extends GraftSuite {
   // the DSv2 source generates rows independent of the corpus dir
   private val skip = Set(
     "stream_watermark_late", "stream_stateful_custom", "stream_stream_join",
+    "stream_transform_with_state",
     "sink_stream_foreachbatch", "source_stream_file", "source_dsv2")
 
   test("every batch query executes on empty inputs") {

@@ -28,6 +28,13 @@ class StreamingSpec extends GraftSuite {
     assert(rows(2L) == ((1L, 3.0)), s"user 2 state wrong: ${rows(2L)}")
   }
 
+  test("transformWithState (v2) matches the flatMapGroupsWithState counters on the shared fixture") {
+    val rows = StreamingOps.runTransformWithStateDemo(spark)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1L) == ((2L, 7.0)), s"user 1 state wrong: ${rows(1L)}")
+    assert(rows(2L) == ((1L, 3.0)), s"user 2 state wrong: ${rows(2L)}")
+  }
+
   test("stream-stream interval join matches in-window pairs and excludes out-of-window") {
     val rows = StreamingOps.runStreamStreamJoinDemo(spark)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
