@@ -323,10 +323,16 @@ object TrainingOps {
       // expression); it wraps two xxHash probes of a broadcast bitmap,
       // and the candidate rate it admits is what keeps the hot path off
       // the shuffle, which dominates the codegen loss.
-      val grams = T.documents(s, d).select(col("doc_id"),
-        explode(expr(
-          """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),
-            |  i -> array_join(slice(split(text, ' '), i, 5), ' ')))""".stripMargin)).as("g"))
+      // persist the gram stream: the bloom BUILD is its own aggregation
+      // pass over the bench grams, and without materialization that pass
+      // re-tokenizes the whole corpus before the corpus-side probe scans
+      // it again (measured ~25% of the key's cost back)
+      val grams = graft.Caches.register(
+        T.documents(s, d).select(col("doc_id"),
+          explode(expr(
+            """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),
+              |  i -> array_join(slice(split(text, ' '), i, 5), ' ')))""".stripMargin)).as("g"))
+          .persist())
       val bench = grams.where(col("doc_id") % 97 === 0).select(col("g")).distinct()
       val corpus = grams.where(col("doc_id") % 97 =!= 0)
       // zero-row aggregation leaves the bloom's internal buffer null
@@ -790,13 +796,23 @@ object TrainingOps {
         .where(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
         .distinct()
+      // localCheckpoint, twice over (dedup_clusters' iterative pattern,
+      // which the depth-bounded unroll must follow too): (1) the edge
+      // table is |V|²-bounded but DERIVES from a corpus scan + distinct
+      // — checkpointing makes that one pass instead of six; (2) each
+      // round's dist checkpoints so round k+1 plans a fresh tiny join
+      // instead of a k-deep nested-aggregate tree (a plain .persist()
+      // here measured WORSE than recompute — InMemoryRelation scans
+      // stacked 6 deep cost more than they save; truncating lineage is
+      // the fix, not caching it)
       val edges = und.select(col("a").as("src"), col("b").as("dst"))
-        .union(und.select(col("b").as("src"), col("a").as("dst")))
+        .union(und.select(col("b").as("src"), col("a").as("dst"))).localCheckpoint()
       var dist = s.range(1).select(lit(0L).as("node"), lit(0L).as("d"))
       for (_ <- 1 to 6) {
         val next = edges.join(Gate.bcast(dist.withColumnRenamed("node", "src")), Seq("src"))
           .select(col("dst").as("node"), (col("d") + 1).as("d"))
         dist = dist.union(next).groupBy(col("node")).agg(min(col("d")).as("d"))
+          .coalesce(1).localCheckpoint()
       }
       dist.select(col("node"), col("d").as("dist")).orderBy(col("node"))
     }
