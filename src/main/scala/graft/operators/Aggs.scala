@@ -430,6 +430,30 @@ object Aggs {
         .orderBy(col("l_returnflag"))
     },
 
+    Q.smoke("agg_hll_union") { (s, d) =>
+      // MERGEABLE HLL (Apache DataSketches, Spark ≥3.5): unlike
+      // agg_approx_distinct_hll (one-shot estimate), the sketch itself
+      // is a first-class value — build per slice, STORE next to the
+      // slice, union any subset later without rescanning. That is the
+      // 100 TB workflow: per-partition/per-day sketches live in the
+      // lake (~10 KB each at lgK=14), and "distinct users last quarter"
+      // is a union over 90 sketch rows, not a 100 TB rescan. Union is
+      // associative+commutative ⇒ partition-order invariant; the
+      // estimate is deterministic for a given sketch state.
+      // Round12cOpsSpec pins per-slice and unioned estimates within
+      // HLL's error envelope of the exact counts, and the union ≥ any
+      // single slice. No SQL oracle — DuckDB has no sketch type.
+      T.lineitem(s, d).createOrReplaceTempView("lineitem_hll")
+      s.sql(
+        """WITH per AS (
+          |  SELECT l_returnflag AS scope, hll_sketch_agg(l_partkey, 14) AS sk
+          |  FROM lineitem_hll GROUP BY l_returnflag)
+          |SELECT scope, CAST(hll_sketch_estimate(sk) AS BIGINT) AS est FROM per
+          |UNION ALL
+          |SELECT 'ALL', CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT) FROM per
+          |ORDER BY scope""".stripMargin)
+    },
+
     Q.smoke("agg_count_min") { (s, d) =>
       // Count–min sketch point-frequency estimates — the mergeable
       // sublinear sibling of agg_approx_distinct_hll (HLL answers "how

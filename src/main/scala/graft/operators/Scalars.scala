@@ -252,6 +252,33 @@ object Scalars {
     },
 
     Q(
+      "fn_try",
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_linenumber - 1 = 0 THEN NULL
+        |            ELSE round(100.0 / (l_linenumber - 1), 6) END AS price_per,
+        |       TRY_CAST(l_returnflag AS INT) AS flag_int,
+        |       TRY_CAST(CAST(l_partkey AS VARCHAR) AS INT) AS part_int
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, d) =>
+      // ANSI-safe error lanes (try_divide / try_cast): under ANSI SQL a
+      // single malformed row KILLS a 100 TB job hours in — the try_*
+      // family turns row-level failures into NULLs the pipeline can
+      // quarantine and count, keeping "one bad row" a data-quality
+      // metric instead of a 3-hour retry. Three lanes: division whose
+      // denominator legitimately hits zero, a cast that always fails
+      // (alpha flag → INT), and a cast that always succeeds (numeric
+      // string round-trip) — the oracle states each as its explicit
+      // CASE/TRY_CAST equivalent.
+      T.lineitem(s, d).selectExpr(
+        "l_orderkey", "l_linenumber",
+        "round(try_divide(100, l_linenumber - 1), 6) AS price_per",
+        "try_cast(l_returnflag AS INT) AS flag_int",
+        "try_cast(CAST(l_partkey AS STRING) AS INT) AS part_int"
+      ).orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    Q(
       "fn_variant",
       """SELECT event_id,
         |       CAST(json_extract(props, '$.k') AS INT) AS k_int,
