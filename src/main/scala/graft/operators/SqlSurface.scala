@@ -161,6 +161,29 @@ object SqlSurface {
         |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
 
+    // TPC-H Q22 shape (global sales opportunity): a scalar-subquery
+    // threshold AND an anti-join in one probe — customers richer than
+    // the positive-balance average with no large (>300k) order — the
+    // untapped-wealth segment report. The average is
+    // computed as exact-decimal-sum / count (one IEEE division on
+    // identical inputs), never avg() over doubles — a float summation
+    // order difference at the threshold would silently flip membership
+    // of boundary customers between engines (and between partitionings
+    // at 100 TB). Catalyst: scalar subquery → 1-row broadcast filter;
+    // NOT EXISTS → broadcast/shuffle anti join on o_custkey.
+    "sql_global_sales_opportunity" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ab
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     "subquery_correlated" ->
       """SELECT c_custkey,
         |       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
