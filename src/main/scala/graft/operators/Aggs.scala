@@ -462,8 +462,9 @@ object Aggs {
       // text_heavy_hitters pays a full shuffle; a CMS pre-pass doesn't).
       // Spark's CountMinSketchAggregate runs as a partial+final
       // aggregate: each task folds its split into a d×w counter grid
-      // (d = ⌈ln 1/δ⌉ = 5 rows × w = ⌈e/ε⌉ ≈ 2719 columns here — ~106 KB
-      // FIXED, not data-proportional), merges are cell-wise adds
+      // (Spark's stream-lib geometry: w = ⌈2/ε⌉ = 2000 columns ×
+      // d = ⌈−log₂(1−confidence)⌉ = 7 rows here — ~112 KB FIXED, not
+      // data-proportional), merges are cell-wise adds
       // (associative+commutative ⇒ partition-order invariant), and with
       // a pinned seed the estimates are bit-deterministic — the sketch's
       // one-sided error (est ≥ true, ≤ true + ε·N w.p. 1−δ) is pinned
