@@ -65,6 +65,36 @@ object OsmKernels {
                |           (a, b) -> a.lon_c * b.lat_c - b.lon_c * a.lat_c),
                |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
 
+  /** cos(x) as an 8th-order Maclaurin polynomial — the geodesic keys'
+    * latitude scale factor, deliberately NOT the engine's `cos`:
+    * libm (DuckDB) and JVM trig differ in the last ulp, which would
+    * flip rounding boundaries in the oracle hash. A polynomial over
+    * IEEE multiply/add with identical literal coefficients and
+    * identical association is bit-deterministic in BOTH engines.
+    * |error| ≤ x¹⁰/10! ≈ 2.5e-5 on |x| ≤ π/2 (≈ 2.8 m per 100 km at
+    * the worst latitude — SCALE.md documents the bound); the Horner
+    * tail ends on the +x⁸ term, so the value stays ≥ 0 on the domain.
+    */
+  private def cosPoly(x: String): String = {
+    val x2 = s"(($x) * ($x))"
+    s"(1.0 + $x2 * (-0.5 + $x2 * (0.041666666666666664 + $x2 * " +
+      s"(-0.001388888888888889 + $x2 * 2.48015873015873e-5))))"
+  }
+
+  /** Equirectangular segment length in centi-units, with the Δlon leg
+    * scaled by cos(mid-latitude) — same TEMPLATE rendered for both
+    * engines (only the array/field accessors differ), so the expression
+    * trees and therefore every IEEE intermediate agree bit-for-bit.
+    * 8.726646259971648e-5 = (π/180) / 100 / 2: centi-unit lat SUM →
+    * mid-latitude in radians in one multiply.
+    */
+  private def geoSeg(dlon: String, dlat: String, latSum: String): String = {
+    val x = s"(CAST($latSum AS DOUBLE) * 8.726646259971648e-5)"
+    val dx = s"(CAST($dlon AS DOUBLE) * ${cosPoly(x)})"
+    val dy = s"CAST($dlat AS DOUBLE)"
+    s"sqrt($dx * $dx + $dy * $dy)"
+  }
+
   /** DuckDB mirror of [[wayRings]]: closed per-way coordinate lists +
     * the same exact integer shoelace sum, shared by both area oracles.
     */
@@ -186,6 +216,209 @@ object OsmKernels {
                           CAST(0 AS DOUBLE), (acc, x) -> acc + x)""") * 1113.2, 1)
             .as("length_m"))
         .orderBy(col("way_id"))
+    },
+
+    Q(
+      "osm_way_length_geodesic",
+      s"""WITH pts AS (
+         |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref,
+         |         p_size * 100 AS lon_c,
+         |         CAST(round(p_retailprice * 100) AS BIGINT) % 18000 - 9000 AS vlat_c
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |ways AS (
+         |  SELECT way_id,
+         |         list(lon_c ORDER BY pos, node_ref) AS lons,
+         |         list(vlat_c ORDER BY pos, node_ref) AS vlats
+         |  FROM pts GROUP BY way_id)
+         |SELECT way_id,
+         |       len(lons) AS n_points,
+         |       len(lons) - 1 AS n_segments,
+         |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |         list_transform(range(2, len(lons) + 1), i ->
+         |           ${geoSeg("(lons[i] - lons[i-1])", "(vlats[i] - vlats[i-1])",
+                              "(vlats[i-1] + vlats[i])")})),
+         |         (a, b) -> a + b) * 1113.2, 1) AS length_m
+         |FROM ways
+         |ORDER BY way_id""".stripMargin
+    ) { (s, d) =>
+      // GEODESIC way length — the SRID-aware measure VERDICT r12 item 3
+      // asked for. The planar osm_way_length_m treats 0.01° of longitude
+      // as 1113.2 m everywhere; real parallels shrink by cos(lat), so at
+      // 60°N the planar number is 2× too long (PostGIS's geography
+      // measures get this right, README.md:80-82). Equirectangular-with-
+      // cos(mid-latitude) per segment: Δlon scaled by [[cosPoly]] at the
+      // segment's mid-latitude, Δlat unscaled, one sqrt per segment —
+      // honest to ~0.5% at mid-latitudes for OSM-scale segments, and
+      // bit-deterministic cross-engine because the trig is a shared
+      // Maclaurin polynomial, never libm (SCALE.md documents both error
+      // bounds). The fixture's synthetic lat_c overflows ±90°, so the
+      // key folds it into the valid band ([lat_c % 18000] - 9000) BEFORE
+      // measuring — same exact integer map in both engines. Same single
+      // regroup shuffle as osm_way_length_m; the per-segment polynomial
+      // is codegen'd arithmetic inside one whole-stage span.
+      val seg = geoSeg("(b.lon_c - a.lon_c)", "(b.vlat_c - a.vlat_c)",
+                       "(a.vlat_c + b.vlat_c)")
+      T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+                col("l_partkey").as("node_ref"))
+        .join(nodes(s, d), col("node_ref") === col("node_id"))
+        .withColumn("vlat_c", col("lat_c") % 18000 - 9000)
+        .groupBy(col("way_id"))
+        .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, vlat_c)))").as("pts"))
+        .select(
+          col("way_id"),
+          size(col("pts")).cast("long").as("n_points"),
+          (size(col("pts")) - 1).cast("long").as("n_segments"),
+          round(expr(
+            s"""aggregate(
+               |  zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
+               |           (a, b) -> $seg),
+               |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin) * 1113.2, 1)
+            .as("length_m"))
+        .orderBy(col("way_id"))
+    },
+
+    Q(
+      "osm_way_area_geodesic",
+      s"""WITH pts AS (
+         |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref,
+         |         p_size * 100 AS lon_c,
+         |         CAST(round(p_retailprice * 100) AS BIGINT) % 18000 - 9000 AS vlat_c
+         |  FROM pts_src),
+         |ways AS (
+         |  SELECT way_id,
+         |         list(lon_c ORDER BY pos, node_ref) AS lons,
+         |         list(vlat_c ORDER BY pos, node_ref) AS vlats
+         |  FROM pts GROUP BY way_id),
+         |closed AS (
+         |  SELECT way_id, vlats,
+         |         CASE WHEN lons[1] = lons[-1] AND vlats[1] = vlats[-1]
+         |              THEN lons ELSE list_append(lons, lons[1]) END AS clons,
+         |         CASE WHEN lons[1] = lons[-1] AND vlats[1] = vlats[-1]
+         |              THEN vlats ELSE list_append(vlats, vlats[1]) END AS clats
+         |  FROM ways),
+         |rings AS (
+         |  SELECT way_id, vlats, len(clons) AS nrp,
+         |         CAST(coalesce(list_sum(list_transform(range(2, len(clons) + 1),
+         |                i -> clons[i-1] * clats[i] - clons[i] * clats[i-1])), 0) AS BIGINT) AS shoe
+         |  FROM closed)
+         |SELECT way_id,
+         |       nrp AS n_ring_points,
+         |       round((CAST(list_sum(vlats) AS DOUBLE) / CAST(len(vlats) AS DOUBLE)) * 0.01, 4) AS lat_ref,
+         |       round(CAST(abs(shoe) AS DOUBLE) * 619667.12 * ${cosPoly(
+             "((CAST(list_sum(vlats) AS DOUBLE) / CAST(len(vlats) AS DOUBLE)) * 1.7453292519943295e-4)")}, 1) AS area_m2
+         |FROM rings
+         |ORDER BY way_id""".stripMargin
+        .replace("FROM pts_src",
+          "FROM lineitem JOIN part ON l_partkey = p_partkey")
+    ) { (s, d) =>
+      // GEODESIC ring area: the exact integer shoelace (same fold as
+      // osm_way_area_m2, but over the ±90°-folded latitude) scaled by
+      // cos(mean ring latitude) — the equirectangular area correction
+      // (parallels shrink by cos(lat), so a planar cell's true area
+      // does too). The reference latitude is the ring's vertex MEAN:
+      // an exact integer sum divided by an exact count, one IEEE
+      // division — deterministic, unlike any centroid needing its own
+      // rounding. Shoelace stays exact-integer; ONE double product
+      // chain at the end (abs(shoe) → ×619667.12 → ×cosPoly), so the
+      // oracle hash can't drift. lat_ref (mean vertex latitude, 4dp)
+      // rides along for interpretability.
+      val latBar = "(CAST(aggregate(vlats, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) " +
+        "/ CAST(size(vlats) AS DOUBLE))"
+      T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+                col("l_partkey").as("node_ref"))
+        .join(nodes(s, d), col("node_ref") === col("node_id"))
+        .withColumn("vlat_c", col("lat_c") % 18000 - 9000)
+        .groupBy(col("way_id"))
+        .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, vlat_c)))").as("pts"))
+        .withColumn("vlats", expr("transform(pts, p -> p.vlat_c)"))
+        .withColumn("ring",
+          expr("""IF(element_at(pts, 1).lon_c = element_at(pts, -1).lon_c
+                 |   AND element_at(pts, 1).vlat_c = element_at(pts, -1).vlat_c,
+                 |   pts, concat(pts, slice(pts, 1, 1)))""".stripMargin))
+        .withColumn("shoe",
+          expr("""aggregate(
+                 |  zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1),
+                 |           (a, b) -> a.lon_c * b.vlat_c - b.lon_c * a.vlat_c),
+                 |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+        .select(
+          col("way_id"),
+          size(col("ring")).cast("long").as("n_ring_points"),
+          round(expr(latBar) * 0.01, 4).as("lat_ref"),
+          round(expr(s"CAST(abs(shoe) AS DOUBLE)") * 619667.12 *
+            expr(cosPoly(s"($latBar * 1.7453292519943295e-4)")), 1).as("area_m2"))
+        .orderBy(col("way_id"))
+    },
+
+    Q(
+      "osm_bbox_intersection_area",
+      """WITH pts AS (
+        |  SELECT l_orderkey AS way_id, p_size * 100 AS lon_c,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS lat_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |bb AS (
+        |  SELECT way_id, min(lon_c) AS xmin, max(lon_c) AS xmax,
+        |         min(lat_c) AS ymin, max(lat_c) AS ymax
+        |  FROM pts GROUP BY way_id),
+        |tx_exp AS (
+        |  SELECT way_id, xmin, xmax, ymin, ymax,
+        |         unnest(range(xmin // 500, xmax // 500 + 1)) AS tx
+        |  FROM bb),
+        |ty_exp AS (
+        |  SELECT way_id, xmin, xmax, ymin, ymax, tx,
+        |         unnest(range(ymin // 4000, ymax // 4000 + 1)) AS ty
+        |  FROM tx_exp),
+        |clipped AS (
+        |  SELECT tx, ty, way_id,
+        |         greatest(CAST(0 AS BIGINT),
+        |                  least(xmax, (tx + 1) * 500) - greatest(xmin, tx * 500)) *
+        |         greatest(CAST(0 AS BIGINT),
+        |                  least(ymax, (ty + 1) * 4000) - greatest(ymin, ty * 4000)) AS ia
+        |  FROM ty_exp
+        |  WHERE tx BETWEEN 2 AND 5 AND ty BETWEEN 23 AND 24)
+        |SELECT tx, ty, count(*) AS n_ways,
+        |       CAST(sum(ia) AS BIGINT) AS inter_area,
+        |       CAST((1000000 * sum(ia)) // 2000000 AS BIGINT) AS density_ppm
+        |FROM clipped
+        |GROUP BY tx, ty
+        |ORDER BY tx, ty""".stripMargin
+    ) { (s, d) =>
+      // BBox-clip density per tile — the polygon-intersection kernel of
+      // VERDICT r12 item 4 in its exact-integer-oracle-able form: each
+      // way's bbox (exact min/max from the same membership join the
+      // geometry ops pay) is clipped against every 500×4000-centi-unit
+      // tile it touches inside the query window (tx∈[2,5], ty∈[6,8] —
+      // the [1000,3000]×[92000,100000] box; density_ppm = 1e6·covered/tile-area, tile = 2e6 sq-centi-units); the rectangle∩rectangle
+      // area is pure integer max/min arithmetic (the same
+      // exact-both-engines recipe as PointInRing), and the per-tile
+      // rollup is the "POI density per tile" serving query. Scale shape:
+      // min/max bboxes are a partial+final agg (map-side combine — the
+      // regroup never carries point lists); the tile explosion is
+      // bounded by bbox extent (≤ ~70 tiles/way here, typically 1-4 for
+      // real OSM ways), and the final groupBy runs over the BOUNDED tile
+      // key space, not the data. At planet scale this is the standard
+      // tile-pyramid materialization: same plan, tile ids as the
+      // partition key of the written layer.
+      T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_partkey").as("node_ref"))
+        .join(nodes(s, d), col("node_ref") === col("node_id"))
+        .groupBy(col("way_id"))
+        .agg(min(col("lon_c")).as("xmin"), max(col("lon_c")).as("xmax"),
+             min(col("lat_c")).as("ymin"), max(col("lat_c")).as("ymax"))
+        .withColumn("tx", explode(expr("sequence(xmin DIV 500, xmax DIV 500)")))
+        .withColumn("ty", explode(expr("sequence(ymin DIV 4000, ymax DIV 4000)")))
+        .where(col("tx").between(2, 5) && col("ty").between(23, 24))
+        .withColumn("ia",
+          greatest(lit(0L), least(col("xmax"), (col("tx") + 1) * 500) -
+                            greatest(col("xmin"), col("tx") * 500)) *
+          greatest(lit(0L), least(col("ymax"), (col("ty") + 1) * 4000) -
+                            greatest(col("ymin"), col("ty") * 4000)))
+        .groupBy(col("tx"), col("ty"))
+        .agg(count(lit(1)).as("n_ways"),
+             sum(col("ia")).cast("long").as("inter_area"))
+        .withColumn("density_ppm", expr("(1000000 * inter_area) DIV 2000000"))
+        .orderBy(col("tx"), col("ty"))
     },
 
     Q(

@@ -165,35 +165,47 @@ object Scans {
       """SELECT i AS element_id,
         |       CASE CAST(i % 3 AS INT) WHEN 0 THEN 'node' WHEN 1 THEN 'way' ELSE 'relation' END AS kind,
         |       'n' || CAST(i % 97 AS VARCHAR) AS name,
-        |       (i * 37) % 360000 - 180000 AS lon_c
+        |       CASE WHEN i % 3 = 0 THEN (i * 37) % 360000 - 180000 END AS lon_c,
+        |       CASE CAST(i % 3 AS INT) WHEN 0 THEN 0 WHEN 1 THEN i % 5 + 2 ELSE i % 4 + 1 END AS n_refs
         |FROM range(0, 10000) t(i)
         |WHERE i BETWEEN 2500 AND 7499
         |ORDER BY element_id""".stripMargin
     ) { (s, _) =>
-      // PBF-shaped blockwise binary ingest (graft.sources.OsmPbfLikeSource
-      // over GraftBlockFormat): length-prefixed blocks, per-block string
-      // table, delta/varint-packed elements — real byte decoding behind
-      // the DSv2 extension point (the reference's true input is PBF,
-      // osm_etl.py:54-55). The id BETWEEN predicate is pushed into the
-      // scan and skips whole blocks via the per-block [minId, maxId]
-      // index before any payload I/O; dropping lat_c exercises the
-      // pruned decode path. File staged once per session (conf-keyed,
-      // deterministic contents shared with the oracle's formulas).
-      val file = s.conf.getOption("spark.sql.graft.blkfile").getOrElse {
-        val f = java.nio.file.Files.createTempDirectory("graft_blk")
-          .resolve("elements.graftblk").toString
-        graft.sources.GraftBlockFormat.write(f,
-          (0L until 10000L).iterator.map(i => graft.sources.GraftBlockFormat.Elem(
-            i, graft.sources.OsmSyntheticSource.kindOf(i), s"n${i % 97}",
-            graft.sources.OsmSyntheticSource.lonOf(i),
-            graft.sources.OsmSyntheticSource.latOf(i))),
-          blockSize = 1000)
-        s.conf.set("spark.sql.graft.blkfile", f)
+      // REAL `.osm.pbf` ingest (graft.sources.OsmPbfSource over the
+      // OsmPbf wire codec): BlobHeader/Blob framing, zlib-deflated
+      // PrimitiveBlocks, per-blob string tables, delta/zigzag-packed
+      // DenseNodes, Way refs, Relation memids — the reference's true
+      // input format (osm_etl.py:54-55) decoded from actual protobuf
+      // bytes behind the DSv2 extension point. The id BETWEEN predicate
+      // is pushed into the scan and skips whole blobs via the
+      // BlobHeader.indexdata [minId, maxId] ranges before any payload
+      // I/O; leaving lat_c and the relation roles unprojected exercises
+      // the O(1) length-prefix skip lanes of the protobuf decode. File
+      // staged once per session (conf-keyed, deterministic contents
+      // shared with the oracle's formulas): nodes, then ways, then
+      // relations, ids ascending within each kind — a real extract's
+      // layout.
+      import graft.sources.{OsmPbf, OsmSyntheticSource => Syn}
+      val file = s.conf.getOption("spark.sql.graft.pbffile").getOrElse {
+        val f = java.nio.file.Files.createTempDirectory("graft_pbf")
+          .resolve("elements.osm.pbf").toString
+        def tags(i: Long) = Array("name" -> s"n${i % 97}")
+        val nodes = (0L until 10000L).filter(_ % 3 == 0).iterator.map(i =>
+          OsmPbf.Element.node(i, Syn.lonOf(i) * 1000000L, Syn.latOf(i) * 1000000L, tags(i)))
+        val ways = (0L until 10000L).filter(_ % 3 == 1).iterator.map(i =>
+          OsmPbf.Element.way(i, (1L to i % 5 + 2).map(j => i * 31 + j * 7).toArray, tags(i)))
+        val rels = (0L until 10000L).filter(_ % 3 == 2).iterator.map(i =>
+          OsmPbf.Element.relation(i, (1L to i % 4 + 1).map(j => i * 17 + j * 3).toArray, tags(i)))
+        OsmPbf.write(f, nodes ++ ways ++ rels, blockSize = 1000)
+        s.conf.set("spark.sql.graft.pbffile", f)
         f
       }
-      s.read.format("graft.sources.OsmPbfLikeSource").option("path", file).load()
+      s.read.format("graft.sources.OsmPbfSource").option("path", file).load()
         .where(col("element_id").between(2500L, 7499L))
-        .select(col("element_id"), col("kind"), col("name"), col("lon_c"))
+        .select(col("element_id"), col("kind"),
+                element_at(col("tags"), "name").as("name"),
+                col("lon_c"),
+                size(col("refs")).cast("long").as("n_refs"))
         .orderBy(col("element_id"))
     },
 

@@ -21,7 +21,10 @@ class Round13OpsSpec extends GraftSuite {
       .agg(max(unix_millis(col("ts"))).as("last_ms"),
            count(lit(1)).as("n_events"),
            sum(Det.dec2(col("value"))).as("monetary"))
-    def sc(c: String) = ntile(5).over(Window.orderBy(col(c), col("user_id")))
+    // partitionBy(lit(0)) = the same single global partition as the bare
+    // Window.orderBy (one group), without tripping the WindowExec
+    // "No Partition Defined" warning this suite asserts is gone.
+    def sc(c: String) = ntile(5).over(Window.partitionBy(lit(0)).orderBy(col(c), col("user_id")))
     val want = u.withColumn("r", sc("last_ms"))
       .withColumn("f", sc("n_events"))
       .withColumn("m", sc("monetary"))
