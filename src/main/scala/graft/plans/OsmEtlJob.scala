@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   * stage graph. The reference's per-region TaskGroup fan-out becomes
   * partition parallelism over one region-partitioned dataset.
   *
-  * Usage: OsmEtlJob <sfDir> <outDir> [pgosmDate]
+  * Usage: OsmEtlJob <sfDir> <outDir> [pgosmDate] [--layer-spec=<style.json>]
+  *                  [--incremental=<prevSfDir>,<prevLakeDir>]
   */
 object OsmEtlJob {
 
@@ -119,8 +120,8 @@ object OsmEtlJob {
     * and chains PostgisLoadJob behind it — the full reference pipeline
     * shape, `osm_etl.py:57-91`). Returns per-lake-table row counts. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          pgosmDate: String): Seq[(String, Long)] =
-    runTimed(spark, sfDir, outDir, pgosmDate)._1
+          pgosmDate: String, layerSpecPath: Option[String] = None): Seq[(String, Long)] =
+    runTimed(spark, sfDir, outDir, pgosmDate, layerSpecPath)._1
 
   /** [[run]] plus wall-clock per lake-table write (VERDICT r11 item 3:
     * the chain artifact reported one ETL number, so a slide could not be
@@ -128,9 +129,11 @@ object OsmEtlJob {
     * materializes that lake table — so the stage seconds sum to the ETL
     * wall (± the count readback, reported as its own stage).
     */
-  def runTimed(spark: SparkSession, sfDir: String, outDir: String,
-               pgosmDate: String): (Seq[(String, Long)], Seq[(String, Double)]) = {
-    // --- scan: star-schema stand-ins for the OSM element stores (FIXTURES.md)
+  /** The OSM element stores for one snapshot dir — star-schema stand-ins
+    * (FIXTURES.md): refs(way_id,pos,node_ref), tagged nodes, raw orders
+    * (the relation-membership + region-routing store). */
+  private def stores(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val refs = T.lineitem(spark, sfDir).select(
       col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
       col("l_partkey").as("node_ref"))
@@ -139,7 +142,14 @@ object OsmEtlJob {
       (col("p_size").cast("long") * 100).as("lon_c"),
       round(col("p_retailprice") * 100).cast("long").as("lat_c"),
       col("p_brand"), col("p_type"))
-    val orders = T.orders(spark, sfDir)
+    (refs, nodes, T.orders(spark, sfDir))
+  }
+
+  def runTimed(spark: SparkSession, sfDir: String, outDir: String,
+               pgosmDate: String, layerSpecPath: Option[String] = None)
+      : (Seq[(String, Long)], Seq[(String, Double)]) = {
+    // --- scan: star-schema stand-ins for the OSM element stores (FIXTURES.md)
+    val (refs, nodes, orders) = stores(spark, sfDir)
 
     // --- way + relation assembly
     val ways = assembleWays(refs, nodes)
@@ -147,11 +157,22 @@ object OsmEtlJob {
                                 col("o_orderkey").as("member_way"))
     val relations = assembleRelations(members, ways)
 
-    // --- layer extraction over the tagged node store
+    // --- layer extraction over the tagged node store. The rules come
+    // from the declarative JSON style (graft.config.LayerSpecs — PgOSM
+    // Flex's layer sets are configuration, README.md:93): the job maps
+    // its element attributes into the spec's `tags` vocabulary once,
+    // then any style file routes without a code change. The helper map
+    // is dropped before the lake write, so the lake schema is unchanged
+    // whichever style ran. Default style ⇔ the former hardcoded rules:
+    // size>=25 ⇔ lon_c>=2500, price>1500 ⇔ lat_c>150000.
+    val layerSpec = layerSpecPath.map(graft.config.LayerSpecs.fromFile)
+      .getOrElse(graft.config.LayerSpecs.default)
     val layers = extractLayers(
-      nodes,
-      Seq("heavy" -> (col("lon_c") >= 2500), // p_size >= 25
-          "premium" -> (col("lat_c") > 150000))) // retailprice > 1500
+      nodes.withColumn("tags",
+        map(lit("brand"), col("p_brand"),
+            lit("size"), (col("lon_c") / 100).cast("long").cast("string"),
+            lit("price"), (col("lat_c").cast("double") / 100.0).cast("string"))),
+      layerSpec.rules).drop("tags")
 
     // --- region/date-partitioned lake write (the dump artifact, osm_etl.py:88-91)
     val wayRegions = regionOfWay(orders, T.customer(spark, sfDir),
@@ -191,10 +212,138 @@ object OsmEtlJob {
     (counts, stages.toSeq)
   }
 
+  /** Incremental (replication-diff) mode — VERDICT r12 item 6: apply only
+    * the delta between two element-store snapshots to the previous lake,
+    * instead of the reference's weekly full reload (`osm_etl.py:13,45,
+    * 88-91` always rebuilds; OSM's own minutely/weekly `.osc` feeds are
+    * the real-world analog of the snapshot diff computed here).
+    *
+    * Dataflow:
+    *   1. Element deltas via full-row `exceptAll` both ways (adds, drops,
+    *      and attribute edits all surface; with a real `.osc` feed this
+    *      stage is free — the feed IS the delta).
+    *   2. Dirty-way closure: a way is dirty iff its ref composition
+    *      changed, any node it references changed, or its membership/
+    *      routing row changed. The dirty-id set is delta-sized, so every
+    *      join against it goes through the size-gated broadcast
+    *      ([[graft.Gate.bcast]]): the full corpus is never shuffled —
+    *      carried rows move scan→filter→write with no exchange.
+    *   3. Rebuild ONLY dirty ways/areas/layer-rows/relations from the
+    *      current snapshot (the expensive assembly joins touch the delta,
+    *      not the corpus); carry everything else forward from the prev
+    *      lake by broadcast anti-join. Deletions fall out for free: a
+    *      deleted element is dirty (its prev rows have no current match)
+    *      and its rebuild-from-current is empty.
+    *   4. Write the merged snapshot under the new `pgosm_date` with the
+    *      full run's exact partitioning — downstream readers cannot tell
+    *      which mode produced it (OsmEtlJobSpec pins incremental ≡ full
+    *      rebuild, table by table).
+    *
+    * Scope: element-store deltas (nodes, way refs, membership/routing
+    * rows). Dimension drift (customer/nation/region reshaping) changes
+    * region routing globally — that is a full-rebuild event, documented
+    * rather than diffed, matching how region extracts work in the
+    * reference (a region re-cut is a new extract, not a diff).
+    */
+  def runIncremental(spark: SparkSession, prevSfDir: String, currSfDir: String,
+                     prevLakeDir: String, outDir: String, pgosmDate: String,
+                     layerSpecPath: Option[String] = None): Seq[(String, Long)] = {
+    val (pRefs, pNodes, pOrders) = stores(spark, prevSfDir)
+    val (cRefs, cNodes, cOrders) = stores(spark, currSfDir)
+    def members(o: DataFrame) = o.select(col("o_custkey").as("relation_id"),
+                                         col("o_orderkey").as("member_way"))
+    // routing row: the slice of orders that decides region/date placement
+    def routing(o: DataFrame) = o.select(col("o_orderkey"), col("o_custkey"))
+
+    // --- 1. snapshot deltas (key sets; exceptAll = one hash-agg shuffle
+    // over each store pair — the inherent cost of diffing snapshots)
+    def changed(prev: DataFrame, curr: DataFrame, key: String): DataFrame =
+      curr.exceptAll(prev).union(prev.exceptAll(curr)).select(col(key)).distinct()
+    val changedNodes   = changed(pNodes, cNodes, "node_id")
+    val changedRefWays = changed(pRefs, cRefs, "way_id")
+    val changedRouting = changed(routing(pOrders), routing(cOrders), "o_orderkey")
+      .select(col("o_orderkey").as("way_id"))
+
+    // --- 2. dirty closure (delta-sized sets; broadcast from here on)
+    val dirtyWays = changedRefWays
+      .union(cRefs.union(pRefs)
+        .join(graft.Gate.bcast(changedNodes), col("node_ref") === col("node_id"))
+        .select("way_id"))
+      .union(changedRouting)
+      .distinct()
+    val dirtyRelations = changed(members(pOrders), members(cOrders), "relation_id")
+      .union(members(cOrders).union(members(pOrders))
+        .join(graft.Gate.bcast(dirtyWays), col("member_way") === col("way_id"))
+        .select("relation_id"))
+      .distinct()
+
+    // --- 3. rebuild dirty slices from the CURRENT snapshot only
+    val rebuiltWays = assembleWays(
+      cRefs.join(graft.Gate.bcast(dirtyWays), Seq("way_id"), "left_semi"), cNodes)
+    val rebuiltRegions = regionOfWay(
+      cOrders.join(graft.Gate.bcast(dirtyWays),
+                   col("o_orderkey") === col("way_id"), "left_semi"),
+      T.customer(spark, currSfDir), T.nation(spark, currSfDir), T.region(spark, currSfDir))
+    val rebuiltWayRows = rebuiltWays.join(rebuiltRegions, "way_id")
+      .withColumn("pgosm_date", lit(pgosmDate))
+
+    def carry(table: String, idCol: String, dirty: DataFrame): DataFrame =
+      spark.read.parquet(s"$prevLakeDir/$table")
+        .join(graft.Gate.bcast(dirty), Seq(idCol), "left_anti")
+        .withColumn("pgosm_date", lit(pgosmDate))
+
+    val ways = carry("ways", "way_id", dirtyWays).unionByName(rebuiltWayRows)
+    ways.write.mode("overwrite")
+      .partitionBy("region", "subregion", "pgosm_date").parquet(s"$outDir/ways")
+
+    // relations need n_points+bbox of ALL member ways of a dirty relation
+    // — clean members come from the carried lake rows, not a re-assembly
+    val mergedWayStats = spark.read.parquet(s"$outDir/ways")
+      .select(col("way_id"), col("n_points"), col("bbox"))
+    val rebuiltRelations = assembleRelations(
+      members(cOrders).join(graft.Gate.bcast(dirtyRelations), Seq("relation_id"), "left_semi"),
+      mergedWayStats)
+      .withColumn("pgosm_date", lit(pgosmDate))
+    carry("relations", "relation_id", dirtyRelations).unionByName(rebuiltRelations)
+      .write.mode("overwrite").partitionBy("pgosm_date").parquet(s"$outDir/relations")
+
+    val rebuiltAreas = assembleAreas(rebuiltWays).withColumn("pgosm_date", lit(pgosmDate))
+    carry("areas", "way_id", dirtyWays).unionByName(rebuiltAreas)
+      .write.mode("overwrite").partitionBy("pgosm_date").parquet(s"$outDir/areas")
+
+    val layerSpec = layerSpecPath.map(graft.config.LayerSpecs.fromFile)
+      .getOrElse(graft.config.LayerSpecs.default)
+    val rebuiltLayers = extractLayers(
+      cNodes.join(graft.Gate.bcast(changedNodes), Seq("node_id"), "left_semi")
+        .withColumn("tags",
+          map(lit("brand"), col("p_brand"),
+              lit("size"), (col("lon_c") / 100).cast("long").cast("string"),
+              lit("price"), (col("lat_c").cast("double") / 100.0).cast("string"))),
+      layerSpec.rules).drop("tags")
+      .withColumn("pgosm_date", lit(pgosmDate))
+    carry("layers", "node_id", changedNodes).unionByName(rebuiltLayers)
+      .write.mode("overwrite").partitionBy("layer", "pgosm_date").parquet(s"$outDir/layers")
+
+    Seq("ways", "relations", "areas", "layers")
+      .map(t => t -> spark.read.parquet(s"$outDir/$t").count())
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outDir = args(1)
-    val pgosmDate = if (args.length > 2) args(2) else "2024-07-25" // osm_etl.py:13
+    // --layer-spec=<path>: override the checked-in default layer style
+    // with an operator-supplied JSON file (flex-style configurability).
+    // --incremental=<prevSfDir>,<prevLakeDir>: replication-diff mode —
+    // apply only the snapshot delta against the previous lake.
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    def flag(name: String) = flags.collectFirst {
+      case f if f.startsWith(s"--$name=") => f.stripPrefix(s"--$name=")
+    }
+    val layerSpecPath = flag("layer-spec")
+    val incremental = flag("incremental").map { v =>
+      val Array(prevSf, prevLake) = v.split(",", 2); (prevSf, prevLake)
+    }
+    val sfDir = positional(0)
+    val outDir = positional(1)
+    val pgosmDate = if (positional.length > 2) positional(2) else "2024-07-25" // osm_etl.py:13
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .appName(s"osm-etl-$pgosmDate")
@@ -204,7 +353,12 @@ object OsmEtlJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val counts = run(spark, sfDir, outDir, pgosmDate).toMap
+    val counts = incremental match {
+      case Some((prevSf, prevLake)) =>
+        runIncremental(spark, prevSf, sfDir, prevLake, outDir, pgosmDate, layerSpecPath).toMap
+      case None =>
+        run(spark, sfDir, outDir, pgosmDate, layerSpecPath).toMap
+    }
     println(s"""{"job":"osm_etl","date":"$pgosmDate","ways":${counts("ways")},""" +
             s""""relations":${counts("relations")},""" +
             s""""areas":${counts("areas")},""" +
