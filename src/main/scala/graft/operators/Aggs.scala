@@ -476,6 +476,59 @@ object Aggs {
       import s.implicits._
       probes.map(k => (k, sk.estimateCount(java.lang.Long.valueOf(k))))
         .toDF("l_partkey", "est_n").orderBy(col("l_partkey"))
+    },
+
+    Q(
+      "agg_linear_regr",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+        |                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 8) AS intercept,
+        |       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      // Least-squares regression aggregate (regr_slope / regr_intercept /
+      // regr_r2 — does discount scale with quantity, per return flag):
+      // the moment-sum formulation runs as ONE partial+final hash
+      // aggregate — five sums + a count, map-side combined, O(#groups)
+      // on the wire at any corpus size — never a second centering pass.
+      // Determinism: each moment accumulates in EXACT DECIMAL (the
+      // summands are 2-dp × 2-dp products, so the ×10⁴-scaled integers
+      // stay far under 2⁵³ and the final decimal→double casts are
+      // value-exact on both engines), and slope/intercept/r² are the
+      // IDENTICAL IEEE expression text both sides — Spark's own
+      // regr_slope folds doubles in partition order, which is exactly
+      // the nondeterminism this reformulation removes.
+      import graft.Det.dec2
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec2(col("l_discount"))).cast("double").as("sy"),
+          sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).cast("double").as("sxx"),
+          sum(dec2(col("l_quantity")) * dec2(col("l_discount"))).cast("double").as("sxy"),
+          sum(dec2(col("l_discount")) * dec2(col("l_discount"))).cast("double").as("syy"))
+        .selectExpr(
+          "l_returnflag",
+          "CAST(n AS BIGINT) AS n",
+          "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope",
+          "round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 8) AS intercept",
+          """round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2""".stripMargin)
+        .orderBy(col("l_returnflag"))
     }
   )
 }

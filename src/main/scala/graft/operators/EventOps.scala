@@ -544,6 +544,50 @@ object EventOps {
             |  / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
             |         * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
             |         * (1.0 / n_a + 1.0 / n_b)), 6) AS z""".stripMargin)
+    },
+
+    Q(
+      "event_streaks",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp)
+        |SELECT user_id,
+        |       CAST(max(len) AS BIGINT) AS max_streak,
+        |       count(*) AS n_streaks,
+        |       CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM st GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      // Gaps-and-islands: per-user longest consecutive-active-day streak
+      // — the engagement metric cohort dashboards sit on, and the
+      // canonical island-detection window idiom (day − row_number is
+      // constant exactly inside a gap-free run, so one in-partition
+      // window + two hash aggregates find every island; no self-join,
+      // no recursion). ONE shuffle on user_id serves the distinct, the
+      // window, and both aggregates (same key ⇒ Catalyst reuses the
+      // exchange); the window partition is ≤ calendar-days rows per
+      // user, never fact-sized. Day indices are exact epoch-ms integer
+      // floors and every output is an exact integer — nothing to drift
+      // cross-engine.
+      val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      T.events(s, d)
+        .select(col("user_id"), day.as("day")).distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak"),
+             count(lit(1)).as("n_streaks"),
+             sum(col("len")).cast("long").as("n_active_days"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -1383,6 +1383,105 @@ object OsmKernels {
       stats(s"$root/fragmented", "before")
         .join(stats(s"$root/compacted", "after"), "part")
         .orderBy(col("part"))
+    },
+
+    Q(
+      "osm_road_graph",
+      """WITH memb AS (
+        |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref
+        |  FROM lineitem),
+        |junc AS (
+        |  SELECT node_ref AS jnode
+        |  FROM (SELECT node_ref, count(DISTINCT way_id) AS c FROM memb GROUP BY node_ref)
+        |  WHERE c >= 2),
+        |pts AS (
+        |  SELECT m.way_id, m.pos, m.node_ref,
+        |         p_size * 100 AS lon_c, CAST(round(p_retailprice * 100) AS BIGINT) AS lat_c,
+        |         (jnode IS NOT NULL) AS is_junc
+        |  FROM memb m JOIN part ON m.node_ref = p_partkey
+        |  LEFT JOIN junc ON m.node_ref = jnode),
+        |ways AS (
+        |  SELECT way_id,
+        |         list(node_ref ORDER BY pos, node_ref) AS refs,
+        |         list(lon_c ORDER BY pos, node_ref) AS lons,
+        |         list(lat_c ORDER BY pos, node_ref) AS lats,
+        |         list(is_junc ORDER BY pos, node_ref) AS js
+        |  FROM pts GROUP BY way_id),
+        |cuts AS (
+        |  SELECT way_id, refs, lons, lats,
+        |         list_filter(range(1, len(refs) + 1),
+        |                     i -> i = 1 OR i = len(refs) OR js[i]) AS cs
+        |  FROM ways),
+        |edges AS (
+        |  SELECT way_id, refs, lons, lats,
+        |         unnest(list_transform(range(2, len(cs) + 1),
+        |                k -> struct_pack(seq := k - 1, i0 := cs[k-1], i1 := cs[k]))) AS e
+        |  FROM cuts)
+        |SELECT way_id,
+        |       CAST(e['seq'] AS BIGINT) AS edge_seq,
+        |       refs[e['i0']] AS from_node,
+        |       refs[e['i1']] AS to_node,
+        |       CAST(e['i1'] - e['i0'] + 1 AS BIGINT) AS n_pts,
+        |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(range(e['i0'] + 1, e['i1'] + 1), i ->
+        |           sqrt(CAST((lons[i] - lons[i-1]) * (lons[i] - lons[i-1])
+        |                   + (lats[i] - lats[i-1]) * (lats[i] - lats[i-1]) AS DOUBLE)))),
+        |         (a, b) -> a + b) * 1113.2, 1) AS length_m
+        |FROM edges
+        |ORDER BY way_id, edge_seq""".stripMargin
+    ) { (s, d) =>
+      // Routing-graph edge extraction — the osm2po/pgRouting shape the
+      // PostGIS store serves next ("efficient querying", README.md:70):
+      // a node referenced by ≥ 2 distinct ways is a JUNCTION; each way
+      // splits at its interior junctions into routable edges
+      // (from_node → to_node with the traversed vertex count and metric
+      // length). Scale shape: the junction table is a fact-scale degree
+      // aggregate whose OUTPUT is node-store-sized → size-gated
+      // broadcast back onto the membership scan (shuffle join past the
+      // budget); the split itself runs INSIDE the one per-way regroup
+      // row (the same single shuffle `osm_way_geometry` pays) via
+      // higher-order functions — cut indices, pair zip, per-edge exact
+      // integer sqrt fold — so no second shuffle and no explode before
+      // the regroup. Edge length reuses `osm_way_length_m`'s
+      // bit-deterministic recipe (correctly-rounded sqrt over exact
+      // integer deltas, left fold, one literal meter factor, final-only
+      // round). The fixture's dense membership makes every node a
+      // junction (all edges 2-point); RoadGraphSpec plants a sparse
+      // fixture to pin interior-run splitting, edge chaining, and
+      // length additivity.
+      val memb = T.lineitem(s, d).select(
+        col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+        col("l_partkey").as("node_ref"))
+      val junc = memb.groupBy(col("node_ref"))
+        .agg(countDistinct(col("way_id")).as("nways"))
+        .where(col("nways") >= 2).select(col("node_ref").as("jnode"))
+      memb.join(nodes(s, d), col("node_ref") === col("node_id"))
+        .join(graft.Gate.bcast(junc), col("node_ref") === col("jnode"), "left")
+        .withColumn("is_junc", col("jnode").isNotNull)
+        .groupBy(col("way_id"))
+        .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c, is_junc)))")
+          .as("pts"))
+        .withColumn("cs",
+          expr("filter(sequence(1, size(pts)), i -> i = 1 OR i = size(pts) OR element_at(pts, i).is_junc)"))
+        .select(col("way_id"), col("pts"),
+          posexplode(expr(
+            """zip_with(slice(cs, 1, size(cs) - 1), slice(cs, 2, size(cs) - 1),
+              |         (a, b) -> named_struct('i0', a, 'i1', b))""".stripMargin))
+            .as(Seq("seq0", "e")))
+        .select(
+          col("way_id"),
+          (col("seq0") + 1).cast("long").as("edge_seq"),
+          expr("element_at(pts, e.i0).node_ref").as("from_node"),
+          expr("element_at(pts, e.i1).node_ref").as("to_node"),
+          (col("e.i1") - col("e.i0") + 1).cast("long").as("n_pts"),
+          round(expr(
+            """aggregate(
+              |  zip_with(slice(pts, e.i0, e.i1 - e.i0), slice(pts, e.i0 + 1, e.i1 - e.i0),
+              |           (a, b) -> sqrt(CAST((b.lon_c - a.lon_c) * (b.lon_c - a.lon_c)
+              |                             + (b.lat_c - a.lat_c) * (b.lat_c - a.lat_c) AS DOUBLE))),
+              |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin) * 1113.2, 1)
+            .as("length_m"))
+        .orderBy(col("way_id"), col("edge_seq"))
     }
   )
 }

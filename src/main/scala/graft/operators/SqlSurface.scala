@@ -26,6 +26,7 @@ object SqlSurface {
     T.supplier(s, d).createOrReplaceTempView("supplier")
     T.nation(s, d).createOrReplaceTempView("nation")
     T.region(s, d).createOrReplaceTempView("region")
+    T.part(s, d).createOrReplaceTempView("part")
   }
 
   /** key → SQL run verbatim on both engines. */
@@ -183,6 +184,150 @@ object SqlSurface {
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // TPC-H Q4 shape (order priority checking): date-windowed orders
+    // gated by a correlated EXISTS against the fact table — the
+    // canonical semi-join-decorrelation probe (Q4 proper tests
+    // l_commitdate < l_receiptdate; the fixture carries neither, so the
+    // late-line predicate is l_shipdate > o_orderdate + 90 days — same
+    // correlated-comparison shape, columns the corpus has). Catalyst
+    // rewrites the EXISTS to a left-semi join on o_orderkey with the
+    // correlated date comparison as a join-side filter — at 100 TB one
+    // shuffle (or broadcast, post-filter) semi-join, never a per-row
+    // probe. Counts are exact integers; the priority key totals the
+    // ORDER BY.
+    "sql_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // TPC-H Q7 shape (volume shipping): the SAME dimension aliased into
+    // two roles (nation as supplier's and as customer's identity) with a
+    // DISJUNCTIVE pair predicate — (A,B) OR (B,A) — that cannot collapse
+    // to an equi-join key, plus a per-year rollup. The pair predicate
+    // stays a post-join filter on two broadcast-dim joins; the
+    // s/c_nationkey dimension filters reduce the fact rows BEFORE the
+    // fact⋈fact orders join (Catalyst pushes each alias's IN ('NATION_1',
+    // 'NATION_2') residual down its own side). Exact-decimal revenue,
+    // total ORDER BY.
+    "sql_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey
+        |  AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // TPC-H Q14 shape (promo revenue): conditional-share aggregate over
+    // a fact⋈dim join — promo revenue / total revenue in ONE aggregate
+    // pass (two conditional exact-decimal sums, one IEEE division at the
+    // end; never two scans, never avg-of-doubles). The month window
+    // prunes the fact scan before the part join; part is broadcast at
+    // any sane dim size. coalesce pins the empty-window result to 0.0
+    // on both engines rather than NULL.
+    "sql_promo_revenue" ->
+      """SELECT round(coalesce(
+        |         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                   THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |         0.0), 4) AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+
+    // TPC-H Q18 shape (large-volume customer): IN over an AGGREGATED
+    // subquery — the "orders whose total quantity clears a threshold"
+    // gate needs a groupBy-HAVING before the semi-join, so Catalyst
+    // plans agg→semi-join→join→agg (two passes over lineitem, the
+    // second semi-pruned). The HAVING threshold compares the UNROUNDED
+    // exact-decimal sum (a rounded-double compare would flip boundary
+    // orders between engines). Top-100 by (totalprice DESC, o_orderkey)
+    // is a total order → deterministic TakeOrdered cut.
+    "sql_large_volume_customer" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |       round(CAST(o_totalprice AS DOUBLE), 2) AS totalprice,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |  AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    // TPC-H Q19 shape (discounted revenue): the OR-of-conjunctions
+    // predicate — three (brand, size-range, quantity-range) arms over a
+    // fact⋈dim join. The optimizer probe is DISJUNCTIVE pushdown:
+    // Catalyst factors the common l_partkey = p_partkey equi-key out of
+    // the OR (so the join stays a broadcast equi-join, not a theta
+    // join) and pushes the derivable per-side residuals
+    // (p_size BETWEEN 1 AND 35, l_quantity BETWEEN 1 AND 30) into the
+    // scans, leaving the cross-side arms as a post-join filter. One
+    // row out; coalesce pins the no-match result to 0.0 both engines.
+    "sql_disjunctive_revenue" ->
+      """SELECT round(coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 0.0), 2) AS revenue
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
+        |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+
+    // TPC-H Q21 shape (suppliers who kept waiting): TWO correlated
+    // subqueries on the SAME fact table with opposite polarity — EXISTS
+    // (another supplier's line in this order) AND NOT EXISTS (another
+    // supplier's line shipped LATER) — the hardest decorrelation probe
+    // in the TPC-H deck (Q21 proper keys on receipt-vs-commit lateness;
+    // the fixture tracks only l_shipdate, so "blame the supplier whose
+    // line is the strict latest shipment in a finished multi-supplier
+    // order" — identical plan shape). Catalyst turns the pair into a
+    // left-semi + left-anti join chain on l_orderkey, each carrying its
+    // inequality as a join-condition residual — three passes over
+    // lineitem, zero per-row probes. Counts are exact; (numwait DESC,
+    // s_name) totals the ORDER BY before the cut.
+    "sql_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_1'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
 
     "subquery_correlated" ->
       """SELECT c_custkey,
