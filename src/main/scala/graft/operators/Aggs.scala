@@ -529,6 +529,65 @@ object Aggs {
           """round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
             |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2""".stripMargin)
         .orderBy(col("l_returnflag"))
+    },
+
+    Q(
+      "agg_skew_kurtosis",
+      """WITH m AS (
+        |  SELECT l_linestatus, CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+        |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+        |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |                  * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_linestatus)
+        |SELECT l_linestatus, CAST(n AS BIGINT) AS n,
+        |       round(s1 / n, 8) AS mean,
+        |       round(s2 / n - (s1 / n) * (s1 / n), 8) AS variance,
+        |       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+        |             / ((s2 / n - (s1 / n) * (s1 / n)) * sqrt(s2 / n - (s1 / n) * (s1 / n))), 8) AS skewness,
+        |       round((s4 / n - 4 * (s1 / n) * (s3 / n)
+        |              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |             / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3, 8) AS kurtosis
+        |FROM m ORDER BY l_linestatus""".stripMargin
+    ) { (s, d) =>
+      // Population skewness / excess kurtosis — the distribution-shape
+      // aggregates a data-quality pass reports next to mean/variance
+      // (is quantity symmetric? heavy-tailed?). Same scale shape as
+      // agg_linear_regr: FOUR raw power sums + a count in ONE
+      // partial+final hash aggregate (never a second centering pass —
+      // that is the 100 TB difference between one scan and two). The
+      // fixture's quantities are INTEGERS, so the moments accumulate in
+      // exact BIGINT (max Σx⁴ ≈ 4·10¹¹ ≪ 2⁶³, casts to double exactly)
+      // and the central-moment formula is the identical IEEE expression
+      // text on both engines; sigma-cubed is spelled v·sqrt(v), never
+      // pow(v, 1.5), because IEEE sqrt is correctly rounded where libm
+      // pow is not — the whole chain is bit-identical cross-engine.
+      // Built-in skewness()/kurtosis() fold doubles in partition order,
+      // which is exactly the nondeterminism the integer-moment path
+      // removes.
+      val q = col("l_quantity").cast("long")
+      T.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(q).cast("double").as("s1"),
+          sum(q * q).cast("double").as("s2"),
+          sum(q * q * q).cast("double").as("s3"),
+          sum(q * q * q * q).cast("double").as("s4"))
+        .selectExpr(
+          "l_linestatus", "CAST(n AS BIGINT) AS n",
+          "round(s1 / n, 8) AS mean",
+          "round(s2 / n - (s1 / n) * (s1 / n), 8) AS variance",
+          """round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+            |      / ((s2 / n - (s1 / n) * (s1 / n)) * sqrt(s2 / n - (s1 / n) * (s1 / n))), 8) AS skewness""".stripMargin,
+          """round((s4 / n - 4 * (s1 / n) * (s3 / n)
+            |       + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+            |       - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+            |      / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3, 8) AS kurtosis""".stripMargin)
+        .orderBy(col("l_linestatus"))
     }
   )
 }

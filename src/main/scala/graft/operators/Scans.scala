@@ -140,6 +140,33 @@ object Scans {
     },
 
     Q(
+      "source_xml",
+      """SELECT s_suppkey, s_nationkey, s_name
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin
+    ) { (s, d) =>
+      // XML ingest (Spark 4 ships the donated spark-xml as a built-in
+      // format) — the interchange format B2B/enterprise feeds still
+      // arrive in. Same declared-schema round-trip discipline as
+      // source_csv: write the dim as <supplier> rows once per (session,
+      // dataset), read it back with an explicit schema (inference would
+      // be an extra full pass at scale), prove equality against the
+      // parquet-backed oracle. rowTag is the split unit: Spark's XML
+      // reader parallelizes a file set by row element, so a 100 TB feed
+      // lands as many files × many row tags, not one driver parse.
+      val confKey = s"spark.sql.graft.xmldir:$d"
+      val src = T.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"), col("s_name"))
+      val root = s.conf.getOption(confKey).getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
+        src.write.mode("overwrite").option("rowTag", "supplier").xml(s"$dir/supplier")
+        s.conf.set(confKey, dir)
+        dir
+      }
+      s.read.schema(src.schema).option("rowTag", "supplier").xml(s"$root/supplier")
+        .orderBy(col("s_suppkey"))
+    },
+
+    Q(
       "source_dsv2",
       """SELECT i AS element_id,
         |       CASE CAST(i % 3 AS INT) WHEN 0 THEN 'node' WHEN 1 THEN 'way' ELSE 'relation' END AS kind,
