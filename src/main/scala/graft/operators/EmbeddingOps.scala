@@ -159,6 +159,9 @@ object EmbeddingOps {
           s"transform(sequence(0, ${m - 1}), j -> transform(slice(embedding, j * $dsub + 1, $dsub), x -> CAST(x AS DOUBLE)))"))
           .as(Seq("sub", "svec")), col("vec_id").cast("int").as("cid"))
         .select(col("sub"), col("cid"), col("svec")))
+    // empty corpus (fresh region / filtered snapshot): no seed vectors →
+    // no codebook; callers emit their empty-schema lane
+    if (cb.isEmpty) return cb
     for (_ <- 1 to iters) {
       val assigned = e.select(col("vec_id") +:
         (0 until m).map(j => argmin(j, cb).getField("cid").as(s"c$j")): _*)
@@ -498,7 +501,10 @@ object EmbeddingOps {
     Q.smoke("emb_pq_quantize") { (s, d) =>
       val e = T.embeddings(s, d)
       val cb = pqCodebook(e, d)
-      e.select(col("vec_id"),
+      if (cb.isEmpty)
+        e.where(lit(false)).select(col("vec_id"), lit(0).as("sub"),
+          lit(0).as("code"), lit(0.0).as("dist"))
+      else e.select(col("vec_id"),
           posexplode(array((0 until PqM).map(j => pqArgmin(j, PqDsub, cb)): _*)).as(Seq("sub", "a")))
         .select(col("vec_id"), col("sub"),
                 col("a.cid").as("code"), round(col("a.d"), 6).as("dist"))
@@ -519,28 +525,35 @@ object EmbeddingOps {
     Q.smoke("sim_pq_adc") { (s, d) =>
       val e = T.embeddings(s, d)
       val cb = pqCodebook(e, d)
-      val q = e.where(col("vec_id") === 0)
+      val qRow = e.where(col("vec_id") === 0)
         .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .head.getSeq[Double](0).toArray
-      val lut: Map[Int, Seq[Double]] = cb.map { case (j, cells) =>
-        j -> cells.sortBy(_._1).map { case (_, c) =>
-          c.zipWithIndex.map { case (v, i) => val t = q(j * PqDsub + i) - v; t * t }.sum
+        .collect().headOption
+      if (cb.isEmpty || qRow.isEmpty)
+        // empty corpus or absent query vector: empty result, full schema
+        e.where(lit(false)).select(col("vec_id"),
+          lit(0.0).as("adc_dist"), lit(0.0).as("exact_dist"))
+      else {
+        val q = qRow.get.getSeq[Double](0).toArray
+        val lut: Map[Int, Seq[Double]] = cb.map { case (j, cells) =>
+          j -> cells.sortBy(_._1).map { case (_, c) =>
+            c.zipWithIndex.map { case (v, i) => val t = q(j * PqDsub + i) - v; t * t }.sum
+          }
         }
+        val adc = (0 until PqM).map { j =>
+          element_at(typedLit(lut(j)), pqArgmin(j, PqDsub, cb).getField("cid") + 1)
+        }.reduce(_ + _)
+        val exact = aggregate(
+          zip_with(expr("transform(embedding, x -> CAST(x AS DOUBLE))"), typedLit(q.toSeq),
+                   (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        e.where(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"), round(adc, 6).as("adc_dist"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+          .limit(64)
+          .select(col("vec_id"), col("adc_dist"), round(exact, 6).as("exact_dist"))
+          .orderBy(col("exact_dist"), col("vec_id"))
+          .limit(10)
       }
-      val adc = (0 until PqM).map { j =>
-        element_at(typedLit(lut(j)), pqArgmin(j, PqDsub, cb).getField("cid") + 1)
-      }.reduce(_ + _)
-      val exact = aggregate(
-        zip_with(expr("transform(embedding, x -> CAST(x AS DOUBLE))"), typedLit(q.toSeq),
-                 (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-      e.where(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("embedding"), round(adc, 6).as("adc_dist"))
-        .orderBy(col("adc_dist"), col("vec_id"))
-        .limit(64)
-        .select(col("vec_id"), col("adc_dist"), round(exact, 6).as("exact_dist"))
-        .orderBy(col("exact_dist"), col("vec_id"))
-        .limit(10)
     }
   )
 }

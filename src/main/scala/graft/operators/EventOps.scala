@@ -588,6 +588,42 @@ object EventOps {
              count(lit(1)).as("n_streaks"),
              sum(col("len")).cast("long").as("n_active_days"))
         .orderBy(col("user_id"))
+    },
+
+    Q(
+      "event_interarrival",
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_ms(ts) - lag(epoch_ms(ts))
+        |           OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, count(gap) AS n_gaps,
+        |       min(gap) AS min_gap, max(gap) AS max_gap,
+        |       CAST(sum(gap) AS BIGINT) AS total_span,
+        |       round(quantile_cont(gap, 0.5), 4) AS median_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      // Inter-arrival-time profile per user — the cadence statistic
+      // behind churn scoring and bot detection (a human's gaps are
+      // heavy-tailed, a scraper's are flat). One lag over the user
+      // window produces exact integer epoch-ms gaps; min/max/sum stay
+      // integer, and the median interpolates two exact integers the
+      // same way in both engines (the agg_percentile-proven
+      // percentile ≡ quantile_cont recipe). The aggregate reuses the
+      // window's user_id exchange — one shuffle total.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+        .where(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(col("gap")).as("n_gaps"),
+             min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"),
+             sum(col("gap")).cast("long").as("total_span"),
+             round(expr("percentile(gap, 0.5)"), 4).as("median_gap"))
+        .orderBy(col("user_id"))
     }
   )
 }

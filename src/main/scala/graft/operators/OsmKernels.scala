@@ -1482,6 +1482,52 @@ object OsmKernels {
               |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin) * 1113.2, 1)
             .as("length_m"))
         .orderBy(col("way_id"), col("edge_seq"))
+    },
+
+    Q(
+      "osm_tile_pyramid",
+      """WITH z2 AS (
+        |  SELECT CAST((p_size * 100) // 400 AS BIGINT) AS tx,
+        |         CAST(CAST(round(p_retailprice * 100) AS BIGINT) // 1000 AS BIGINT) AS ty,
+        |         count(*) AS n
+        |  FROM part GROUP BY tx, ty),
+        |z1 AS (
+        |  SELECT CAST(tx // 2 AS BIGINT) AS tx, CAST(ty // 2 AS BIGINT) AS ty,
+        |         CAST(sum(n) AS BIGINT) AS n
+        |  FROM z2 GROUP BY 1, 2),
+        |z0 AS (
+        |  SELECT CAST(tx // 2 AS BIGINT) AS tx, CAST(ty // 2 AS BIGINT) AS ty,
+        |         CAST(sum(n) AS BIGINT) AS n
+        |  FROM z1 GROUP BY 1, 2)
+        |SELECT CAST(0 AS BIGINT) AS z, tx, ty, n FROM z0
+        |UNION ALL SELECT CAST(1 AS BIGINT), tx, ty, n FROM z1
+        |UNION ALL SELECT CAST(2 AS BIGINT), tx, ty, n FROM z2
+        |ORDER BY z, tx, ty""".stripMargin
+    ) { (s, d) =>
+      // Tile-pyramid density precompute — what a vector-tile serving
+      // stack materializes per zoom level from the PostGIS store
+      // (README.md:70): element counts per (z, tile_x, tile_y), cell
+      // edges halving each zoom. Built the way a 100 TB pyramid must
+      // be: the fact table is scanned and aggregated ONCE at the
+      // FINEST zoom, and every coarser level rolls up from the
+      // previous LEVEL's tile counts (parent tile = child DIV 2 —
+      // exact on non-negative integer indices), so z1/z0 aggregate
+      // tile-count rows, never elements. Three bounded-key-space
+      // aggregates, exact integer arithmetic throughout.
+      val z2 = T.part(s, d)
+        .select((col("p_size").cast("long") * 100).as("lon_c"),
+                round(col("p_retailprice") * 100).cast("long").as("lat_c"))
+        .select(expr("lon_c DIV 400").as("tx"), expr("lat_c DIV 1000").as("ty"))
+        .groupBy(col("tx"), col("ty")).agg(count(lit(1)).as("n"))
+      def up(df: org.apache.spark.sql.DataFrame) =
+        df.select(expr("tx DIV 2").as("tx"), expr("ty DIV 2").as("ty"), col("n"))
+          .groupBy(col("tx"), col("ty")).agg(sum(col("n")).cast("long").as("n"))
+      val z1 = up(z2)
+      val z0 = up(z1)
+      def lvl(z: Int, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(z.toLong).as("z"), col("tx"), col("ty"), col("n"))
+      lvl(0, z0).unionAll(lvl(1, z1)).unionAll(lvl(2, z2))
+        .orderBy(col("z"), col("tx"), col("ty"))
     }
   )
 }

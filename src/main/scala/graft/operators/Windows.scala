@@ -251,6 +251,36 @@ object Windows {
                 unix_millis(col("session_window.end")).as("end_ms"),
                 col("n_events"))
         .orderBy(col("user_id"), col("start_ms"))
+    },
+
+    Q(
+      "win_fill_forward",
+      """SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |       CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v,
+        |       last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM events
+        |ORDER BY user_id, ms, event_id""".stripMargin
+    ) { (s, d) =>
+      // Forward fill (LOCF) — the telemetry gap-filling idiom: carry the
+      // last observed reading across missing samples ('view' rows stand
+      // in for the sensor's silent ticks). IGNORE NULLS turns the frame
+      // into RUNNING STATE: one pass per partition holding only the most
+      // recent non-null — never a per-row rescan of the preceding frame
+      // — so the cost is one user_id shuffle + an in-partition sort,
+      // the same single-exchange contract as every window key. The
+      // (ts, event_id) order is total, values pass through with zero
+      // arithmetic, and leading nulls stay null on both engines.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+                when(col("event_type") === "view", lit(null).cast("double"))
+                  .otherwise(col("value")).as("v"))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .orderBy(col("user_id"), col("ms"), col("event_id"))
     }
   )
 }

@@ -383,6 +383,37 @@ class PlanSpec extends GraftSuite {
       "<=> must not degrade to a nested loop")
   }
 
+  test("osm_road_graph: one regroup exchange; junction + node tables broadcast; split is in-row") {
+    val (_, ns) = execNodes("osm_road_graph")
+    // hash exchanges on the FACT path only: the junction-degree aggregate
+    // shuffles too, but inside the broadcast BUILD subtree (node-store-
+    // sized output) — the way-membership fact must shuffle exactly once
+    def hashEx(xs: Seq[org.apache.spark.sql.execution.SparkPlan]) = xs.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    val inBroadcast = ns.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => nodes(b)
+    }.flatten
+    val mainline = hashEx(ns).filterNot(hashEx(inBroadcast).contains)
+    assert(mainline.size == 1,
+      s"exactly ONE fact-path hash exchange (the per-way regroup) may exist, found ${mainline.size}")
+    assert(ns.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) == 2,
+      "node resolve and junction mark must both be broadcast hash joins at fixture scale")
+    assert(ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]),
+      "edge fan-out must be a generator (in-row split), not a join")
+  }
+
+  test("sql_disjunctive_revenue: equi-key factored from the OR; residual ranges pushed to both scans") {
+    val p = plan("sql_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("NestedLoop"),
+      "the OR-of-conjunctions must NOT demote the join below a hash equi-join")
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or("),
+      "the derivable quantity-range OR must reach the lineitem scan")
+    assert(p.contains("PushedFilters: [IsNotNull(p_partkey), Or("),
+      "the brand/size arms must reach the part scan")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
