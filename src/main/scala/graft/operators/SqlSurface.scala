@@ -329,6 +329,45 @@ object SqlSurface {
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
 
+    // TPC-H Q6 shape (forecasting revenue change): the pure
+    // scan-predicate probe — no join at all, revenue = Σ price·discount
+    // under a conjunctive date/discount/quantity window. The whole query
+    // is ONE scan whose three range predicates must ALL reach the
+    // parquet reader as PushedFilters (row-group stats skip + late
+    // materialization do the work at 100 TB) and one partial+final
+    // aggregate; exact-decimal product sum, one row out, coalesce pins
+    // the empty window to 0.0.
+    "sql_forecast_revenue" ->
+      """SELECT round(coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 0.0), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // Window functions through the TEXTUAL surface: the DataFrame
+    // window keys (§2.E) prove semantics; this proves the SQL dialect —
+    // rank + per-partition sum + share in one verbatim text. Ranks
+    // compare the UNROUNDED exact-decimal revenue (s_suppkey breaks
+    // ties), the share divides two exact casts in IEEE once, and the
+    // window and the aggregate below it share the (n_name) partitioning.
+    "sql_window_share" ->
+      """WITH rev AS (
+        |  SELECT n_name, s_suppkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  GROUP BY n_name, s_suppkey)
+        |SELECT n_name, s_suppkey,
+        |       round(CAST(r AS DOUBLE), 2) AS revenue,
+        |       CAST(rank() OVER (PARTITION BY n_name ORDER BY r DESC, s_suppkey) AS BIGINT) AS rnk,
+        |       round(CAST(sum(r) OVER (PARTITION BY n_name) AS DOUBLE), 2) AS nation_total,
+        |       round(CAST(r AS DOUBLE) / CAST(sum(r) OVER (PARTITION BY n_name) AS DOUBLE), 6) AS share
+        |FROM rev
+        |ORDER BY n_name, rnk, s_suppkey""".stripMargin,
+
     "subquery_correlated" ->
       """SELECT c_custkey,
         |       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
