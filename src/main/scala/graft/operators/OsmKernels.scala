@@ -438,19 +438,19 @@ object OsmKernels {
         |  WHERE least(xmax, 3000) > greatest(xmin, 1000)
         |    AND least(ymax, 100000) > greatest(ymin, 92000)),
         |cellx AS (
-        |  SELECT way_id, x1, x2, y1, y2, unnest(range(x1 // 100, x2 // 100 + 1)) AS cx
+        |  SELECT way_id, x1, x2, y1, y2, unnest(range(x1 // 250, x2 // 250 + 1)) AS cx
         |  FROM w),
         |celly AS (
         |  SELECT way_id, x1, x2, y1, y2, cx,
-        |         unnest(range(y1 // 800, y2 // 800 + 1)) AS cy
+        |         unnest(range(y1 // 2000, y2 // 2000 + 1)) AS cy
         |  FROM cellx),
         |boxes AS (
         |  SELECT cx, cy, way_id,
-        |         greatest(x1, cx * 100) AS bx1, least(x2, (cx + 1) * 100) AS bx2,
-        |         greatest(y1, cy * 800) AS by1, least(y2, (cy + 1) * 800) AS by2
+        |         greatest(x1, cx * 250) AS bx1, least(x2, (cx + 1) * 250) AS bx2,
+        |         greatest(y1, cy * 2000) AS by1, least(y2, (cy + 1) * 2000) AS by2
         |  FROM celly
-        |  WHERE least(x2, (cx + 1) * 100) > greatest(x1, cx * 100)
-        |    AND least(y2, (cy + 1) * 800) > greatest(y1, cy * 800)),
+        |  WHERE least(x2, (cx + 1) * 250) > greatest(x1, cx * 250)
+        |    AND least(y2, (cy + 1) * 2000) > greatest(y1, cy * 2000)),
         |edges AS (
         |  SELECT cx, cy, bx1 AS xs FROM boxes
         |  UNION SELECT cx, cy, bx2 FROM boxes),
@@ -473,11 +473,11 @@ object OsmKernels {
         |                      by2 - greatest(by1, coalesce(pmax, by1)))) AS ulen
         |  FROM seg GROUP BY cx, cy, xs, xe),
         |tile AS (
-        |  SELECT cx // 5 AS tx, cy // 5 AS ty,
+        |  SELECT cx // 2 AS tx, cy // 2 AS ty,
         |         CAST(sum((xe - xs) * ulen) AS BIGINT) AS union_area
         |  FROM striplen GROUP BY 1, 2),
         |nw AS (
-        |  SELECT cx // 5 AS tx, cy // 5 AS ty, count(DISTINCT way_id) AS n_ways
+        |  SELECT cx // 2 AS tx, cy // 2 AS ty, count(DISTINCT way_id) AS n_ways
         |  FROM boxes GROUP BY 1, 2)
         |SELECT t.tx, t.ty, n.n_ways, t.union_area,
         |       CAST((1000000 * t.union_area) // 2000000 AS BIGINT) AS covered_ppm
@@ -489,7 +489,7 @@ object OsmKernels {
       // once, unlike `osm_bbox_intersection_area`'s per-way density sum.
       // Algorithm: grid-decompose then coordinate-compression sweep.
       // (1) clip each bbox to the query window, shred it over fine
-      // 100×800 centi-unit cells (disjoint cells ⇒ union area is
+      // 2250×2000 centi-unit cells (disjoint cells ⇒ union area is
       // additive over cells); (2) per cell, the distinct box edges cut
       // the x-axis into strips (lead over the sorted edge set); (3) a
       // strip×box cell-local equi-join keeps boxes spanning each strip;
@@ -499,9 +499,13 @@ object OsmKernels {
       // union_len rolls up to the serving 500×4000 tiles. Scale shape:
       // everything is keyed by cell — the sweep is embarrassingly
       // parallel over cells and the quadratic strip×box pairing is
-      // bounded by per-cell occupancy k (Σ 2k² with k = boxes/cell;
-      // finer cells divide total cost linearly), exactly how a planet
-      // tile-pyramid union materializes. All arithmetic is integer and
+      // bounded by per-cell occupancy k (Σ 2k²). Cell size is a MEASURED
+      // knob, not a monotone one: boxes large relative to a cell recur
+      // in every cell they span, so halving the cell multiplies the
+      // shred without shrinking k (100×800 → 4.8 s, 50×400 → 15.6 s at
+      // sf0.1), while a cell at full tile size grows the quadratic
+      // pairing (2.2 s); 250×2000 measured best (2.1 s). A planet-scale
+      // run re-tunes this to its own box-size distribution. All arithmetic is integer and
       // identical in both engines — no epsilon, no float area.
       val bb = T.lineitem(s, d)
         .select(col("l_orderkey").as("way_id"), col("l_partkey").as("node_ref"))
@@ -516,13 +520,13 @@ object OsmKernels {
           least(col("ymax"), lit(100000L)).as("y2"))
         .where(col("x2") > col("x1") && col("y2") > col("y1"))
       val boxes = graft.Caches.register(win
-        .withColumn("cx", explode(expr("sequence(x1 DIV 100, x2 DIV 100)")))
-        .withColumn("cy", explode(expr("sequence(y1 DIV 800, y2 DIV 800)")))
+        .withColumn("cx", explode(expr("sequence(x1 DIV 250, x2 DIV 250)")))
+        .withColumn("cy", explode(expr("sequence(y1 DIV 2000, y2 DIV 2000)")))
         .select(col("cx"), col("cy"), col("way_id"),
-          greatest(col("x1"), col("cx") * 100).as("bx1"),
-          least(col("x2"), (col("cx") + 1) * 100).as("bx2"),
-          greatest(col("y1"), col("cy") * 800).as("by1"),
-          least(col("y2"), (col("cy") + 1) * 800).as("by2"))
+          greatest(col("x1"), col("cx") * 250).as("bx1"),
+          least(col("x2"), (col("cx") + 1) * 250).as("bx2"),
+          greatest(col("y1"), col("cy") * 2000).as("by1"),
+          least(col("y2"), (col("cy") + 1) * 2000).as("by2"))
         .where(col("bx2") > col("bx1") && col("by2") > col("by1"))
         .persist())
       val strips = boxes.select(col("cx"), col("cy"), col("bx1").as("xs"))
@@ -545,10 +549,10 @@ object OsmKernels {
         .groupBy(col("cx"), col("cy"), col("xs"), col("xe"))
         .agg(sum(col("contrib")).as("ulen"))
       val tile = striplen
-        .groupBy(expr("cx DIV 5").as("tx"), expr("cy DIV 5").as("ty"))
+        .groupBy(expr("cx DIV 2").as("tx"), expr("cy DIV 2").as("ty"))
         .agg(sum((col("xe") - col("xs")) * col("ulen")).cast("long").as("union_area"))
       val nw = boxes
-        .groupBy(expr("cx DIV 5").as("tx"), expr("cy DIV 5").as("ty"))
+        .groupBy(expr("cx DIV 2").as("tx"), expr("cy DIV 2").as("ty"))
         .agg(countDistinct(col("way_id")).as("n_ways"))
       tile.join(nw, Seq("tx", "ty"))
         .select(col("tx"), col("ty"), col("n_ways"), col("union_area"),
