@@ -167,6 +167,61 @@ object Scans {
     },
 
     Q(
+      "sink_pbf",
+      """SELECT p_partkey AS element_id, 'node' AS kind,
+        |       CAST(p_size * 100 AS BIGINT) AS lon_c,
+        |       CAST(round(p_retailprice * 100) AS BIGINT) AS lat_c,
+        |       p_brand AS brand, CAST(0 AS BIGINT) AS n_refs
+        |FROM part
+        |UNION ALL
+        |SELECT l_orderkey, 'way', NULL, NULL, NULL, count(*)
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY kind, element_id""".stripMargin
+    ) { (s, d) =>
+      // Distributed `.osm.pbf` WRITE — the sink half of the PBF story
+      // (the DSv2 source reads geofabrik files; this writes them), and
+      // the repo's custom-write-path extension demo: the sink DECLARES
+      // its layout contract via RequiresDistributionAndOrdering
+      // (kind asc, element_id asc), so Catalyst plans the range
+      // exchange + sort and each task streams its ordered slice into
+      // single-kind id-ascending blobs with tight [minId, maxId]
+      // indexdata — N part files, zero cross-task coordination,
+      // attempt-unique temp files renamed at job commit (exactly-once
+      // under speculation; PbfSinkSpec drives abort directly). The
+      // layout write is one-time conf-keyed (join_bucketed's recipe);
+      // the oracled query is the READ-BACK — node coords, a promoted
+      // tag, and way ref counts must round-trip bit-exactly through
+      // the wire format against the parquet-derived oracle.
+      val confKey = s"spark.sql.graft.pbfsinkdir:$d"
+      val root = s.conf.getOption(confKey).getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft_pbf_sink").toString
+        val nodes = T.part(s, d).select(
+          col("p_partkey").as("element_id"), lit("node").as("kind"),
+          (col("p_size").cast("long") * 100).as("lon_c"),
+          round(col("p_retailprice") * 100).cast("long").as("lat_c"),
+          map(lit("brand"), col("p_brand")).as("tags"),
+          expr("CAST(array() AS ARRAY<BIGINT>)").as("refs"))
+        val ways = T.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(expr("transform(array_sort(collect_list(struct(l_linenumber, l_partkey))), x -> x.l_partkey)")
+            .as("refs"))
+          .select(col("l_orderkey").as("element_id"), lit("way").as("kind"),
+            lit(null).cast("long").as("lon_c"), lit(null).cast("long").as("lat_c"),
+            typedLit(Map.empty[String, String]).as("tags"), col("refs"))
+        nodes.unionByName(ways)
+          .write.format("graft.sources.OsmPbfSource")
+          .option("path", s"$dir/out").mode("overwrite").save()
+        s.conf.set(confKey, dir)
+        dir
+      }
+      s.read.format("graft.sources.OsmPbfSource").option("path", s"$root/out").load()
+        .select(col("element_id"), col("kind"), col("lon_c"), col("lat_c"),
+                element_at(col("tags"), "brand").as("brand"),
+                size(col("refs")).cast("long").as("n_refs"))
+        .orderBy(col("kind"), col("element_id"))
+    },
+
+    Q(
       "source_dsv2",
       """SELECT i AS element_id,
         |       CASE CAST(i % 3 AS INT) WHEN 0 THEN 'node' WHEN 1 THEN 'way' ELSE 'relation' END AS kind,

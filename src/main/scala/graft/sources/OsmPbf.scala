@@ -171,13 +171,7 @@ object OsmPbf {
             granularity: Int = 100): Unit = {
     val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try {
-      val header = new PbOut
-      header.msg(1) { bb => bb.sint(1, -1800000000L); bb.sint(2, 1800000000L)
-                            bb.sint(3, 900000000L); bb.sint(4, -900000000L) }
-      header.str(4, "OsmSchema-V0.6")
-      header.str(4, "DenseNodes")
-      header.str(16, "graft-osm-pbf-writer")
-      writeBlob(out, "OSMHeader", header.toBytes, indexdata = null)
+      writeBlob(out, "OSMHeader", headerPayload(), indexdata = null)
 
       // One kind per blob: real extracts order nodes, then ways, then
       // relations; splitting runs at kind boundaries keeps every blob
@@ -194,67 +188,87 @@ object OsmPbf {
         }
       }
       runs.foreach { block =>
-        val pb = new PbOut
-        // string table: index 0 is the reserved empty entry (keys_vals
-        // uses 0 as the per-node tag-list terminator)
-        val table = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
-        def ref(s: String): Int = table.getOrElseUpdate(s, table.size)
-        // intern tag strings first so the table is complete before encode
-        val withRefs = block.map { e =>
-          (e, e.tags.map { case (k, v) => (ref(k), ref(v)) })
-        }
-        val roleRef = if (block.head.kind == "relation") ref("member") else 0
-        pb.msg(1) { st => table.keys.foreach(s => st.str(1, s)) }
-        pb.int(17, granularity.toLong)
-        pb.int(19, 0L); pb.int(20, 0L)
-        block.head.kind match {
-          case "node" =>
-            pb.msg(2) { g =>
-              g.msg(2) { dn =>
-                dn.packedSint(1, block.map(_.id), delta = true)
-                dn.packedSint(8, block.map(_.latNano / granularity), delta = true)
-                dn.packedSint(9, block.map(_.lonNano / granularity), delta = true)
-                val kvs = withRefs.flatMap { case (_, trs) =>
-                  trs.flatMap(t => Seq(t._1.toLong, t._2.toLong)) :+ 0L
-                }
-                dn.packed(10, kvs)
-              }
-            }
-          case "way" =>
-            pb.msg(2) { g =>
-              withRefs.foreach { case (e, trs) =>
-                g.msg(3) { w =>
-                  w.int(1, e.id)
-                  w.packed(2, trs.map(_._1.toLong))
-                  w.packed(3, trs.map(_._2.toLong))
-                  w.packedSint(8, e.refs, delta = true)
-                }
-              }
-            }
-          case "relation" =>
-            pb.msg(2) { g =>
-              withRefs.foreach { case (e, trs) =>
-                g.msg(4) { r =>
-                  r.int(1, e.id)
-                  r.packed(2, trs.map(_._1.toLong))
-                  r.packed(3, trs.map(_._2.toLong))
-                  r.packed(8, e.refs.map(_ => roleRef.toLong))
-                  r.packedSint(9, e.refs, delta = true)
-                  r.packed(10, e.refs.map(_ => 0L))
-                }
-              }
-            }
-        }
-        val idx = new Array[Byte](16)
-        val bb = java.nio.ByteBuffer.wrap(idx)
-        bb.putLong(block.map(_.id).min); bb.putLong(block.map(_.id).max)
-        writeBlob(out, "OSMData", pb.toBytes, idx)
+        val (payload, idx) = encodeBlock(block, granularity)
+        writeBlob(out, "OSMData", payload, idx)
       }
     } finally out.close()
   }
 
-  private def writeBlob(out: DataOutputStream, blobType: String,
-                        payload: Array[Byte], indexdata: Array[Byte]): Unit = {
+  /** OSMHeader payload (bbox + required features + writingprogram). */
+  private[sources] def headerPayload(): Array[Byte] = {
+    val header = new PbOut
+    header.msg(1) { bb => bb.sint(1, -1800000000L); bb.sint(2, 1800000000L)
+                          bb.sint(3, 900000000L); bb.sint(4, -900000000L) }
+    header.str(4, "OsmSchema-V0.6")
+    header.str(4, "DenseNodes")
+    header.str(16, "graft-osm-pbf-writer")
+    header.toBytes
+  }
+
+  /** Encodes one single-kind, id-ascending block as an OSMData
+    * PrimitiveBlock payload plus its 16-byte [minId, maxId] indexdata —
+    * the streaming unit [[write]] and the DSv2 sink share. */
+  private[sources] def encodeBlock(block: Seq[Element],
+                                   granularity: Int): (Array[Byte], Array[Byte]) = {
+    val pb = new PbOut
+    // string table: index 0 is the reserved empty entry (keys_vals
+    // uses 0 as the per-node tag-list terminator)
+    val table = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
+    def ref(s: String): Int = table.getOrElseUpdate(s, table.size)
+    // intern tag strings first so the table is complete before encode
+    val withRefs = block.map { e =>
+      (e, e.tags.map { case (k, v) => (ref(k), ref(v)) })
+    }
+    val roleRef = if (block.head.kind == "relation") ref("member") else 0
+    pb.msg(1) { st => table.keys.foreach(s => st.str(1, s)) }
+    pb.int(17, granularity.toLong)
+    pb.int(19, 0L); pb.int(20, 0L)
+    block.head.kind match {
+      case "node" =>
+        pb.msg(2) { g =>
+          g.msg(2) { dn =>
+            dn.packedSint(1, block.map(_.id), delta = true)
+            dn.packedSint(8, block.map(_.latNano / granularity), delta = true)
+            dn.packedSint(9, block.map(_.lonNano / granularity), delta = true)
+            val kvs = withRefs.flatMap { case (_, trs) =>
+              trs.flatMap(t => Seq(t._1.toLong, t._2.toLong)) :+ 0L
+            }
+            dn.packed(10, kvs)
+          }
+        }
+      case "way" =>
+        pb.msg(2) { g =>
+          withRefs.foreach { case (e, trs) =>
+            g.msg(3) { w =>
+              w.int(1, e.id)
+              w.packed(2, trs.map(_._1.toLong))
+              w.packed(3, trs.map(_._2.toLong))
+              w.packedSint(8, e.refs, delta = true)
+            }
+          }
+        }
+      case "relation" =>
+        pb.msg(2) { g =>
+          withRefs.foreach { case (e, trs) =>
+            g.msg(4) { r =>
+              r.int(1, e.id)
+              r.packed(2, trs.map(_._1.toLong))
+              r.packed(3, trs.map(_._2.toLong))
+              r.packed(8, e.refs.map(_ => roleRef.toLong))
+              r.packedSint(9, e.refs, delta = true)
+              r.packed(10, e.refs.map(_ => 0L))
+            }
+          }
+        }
+    }
+    val idx = new Array[Byte](16)
+    val bb = java.nio.ByteBuffer.wrap(idx)
+    bb.putLong(block.map(_.id).min); bb.putLong(block.map(_.id).max)
+    (pb.toBytes, idx)
+  }
+
+  private[sources] def writeBlob(out: DataOutputStream, blobType: String,
+                                 payload: Array[Byte], indexdata: Array[Byte]): Unit = {
     val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
     deflater.setInput(payload); deflater.finish()
     val zbuf = new java.io.ByteArrayOutputStream()

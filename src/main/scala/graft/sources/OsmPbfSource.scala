@@ -59,16 +59,33 @@ object OsmPbfSource {
     StructField("tags", MapType(StringType, StringType, valueContainsNull = false),
                 nullable = false),
     StructField("refs", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** One `.osm.pbf` file, or every `*.osm.pbf` under a directory (the
+    * sink's part-file layout; also a set of regional extracts). */
+  def listPbfFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(x => x.isFile && x.getName.endsWith(".osm.pbf"))
+        .map(_.getPath).sorted.toSeq
+    else Seq(path)
+  }
 }
 
-private class PbfTable(path: String) extends Table with SupportsRead {
+private class PbfTable(path: String)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "OsmPbfSource requires option(\"path\", ...)")
   override def name(): String = s"osmpbf($path)"
   override def schema(): StructType = OsmPbfSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+                    TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PbfScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PbfWriteBuilder(path, info)
 }
 
 private class PbfScanBuilder(path: String)
@@ -109,10 +126,14 @@ private class PbfScanBuilder(path: String)
     // Planning I/O: BlobHeaders only. OSMHeader blobs carry no elements;
     // OSMData blobs that cannot intersect [lo, hi] are skipped here.
     // Pushed bounds are also re-applied per-row in the reader (blob
-    // granularity over-approximates).
-    val all = OsmPbf.index(path).filter(_.blobType == "OSMData")
-    val kept = all.filter(b => b.maxId >= lo && b.minId <= hi)
-    new PbfScan(path, kept, all.size, lo, hi, required)
+    // granularity over-approximates). `path` may be one file or a
+    // DIRECTORY of part files (the sink's layout, or a set of regional
+    // extracts) — every file's blobs plan independently.
+    val files = OsmPbfSource.listPbfFiles(path)
+    val all = files.flatMap(f =>
+      OsmPbf.index(f).filter(_.blobType == "OSMData").map(f -> _))
+    val kept = all.filter { case (_, b) => b.maxId >= lo && b.minId <= hi }
+    new PbfScan(kept, all.size, lo, hi, required)
   }
 }
 
@@ -120,7 +141,7 @@ private case class PbfBlobPartition(
     path: String, offset: Long, dataSize: Int, lo: Long, hi: Long) extends InputPartition
 
 private class PbfScan(
-    path: String, blobs: Seq[OsmPbf.BlockMeta], totalBlobs: Int,
+    blobs: Seq[(String, OsmPbf.BlockMeta)], totalBlobs: Int,
     lo: Long, hi: Long, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -128,7 +149,7 @@ private class PbfScan(
   override def description(): String =
     s"osmpbf blocks=${blobs.size}/$totalBlobs idRange=[$lo,$hi]"
   override def planInputPartitions(): Array[InputPartition] =
-    blobs.map(b => PbfBlobPartition(path, b.offset, b.dataSize, lo, hi))
+    blobs.map { case (f, b) => PbfBlobPartition(f, b.offset, b.dataSize, lo, hi) }
       .toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
     new PbfReaderFactory(required)
@@ -174,4 +195,158 @@ private class PbfReaderFactory(required: StructType)
       override def close(): Unit = ()
     }
   }
+}
+
+// ---- DSv2 write path: df.write.format("graft.sources.OsmPbfSource") ----
+
+/** The sink half of the PBF story: a distributed `.osm.pbf` writer with
+  * the layout contract DECLARED to the planner. PBF files are blocks of
+  * single-kind, id-ascending elements (that is what makes the per-blob
+  * [minId, maxId] indexdata a usable skip range on read-back), so the
+  * write REQUIRES an ordered distribution on (kind, element_id):
+  * Catalyst inserts the range exchange + in-partition sort — the sink
+  * never sorts a row itself, and each task streams its ordered slice
+  * straight into blobs. Output is a directory of part files (each a
+  * complete, valid `.osm.pbf` with its own OSMHeader), which is how a
+  * planet-scale write must land: N writers, zero cross-task
+  * coordination, and the read path plans every part file's blobs
+  * independently. Commit protocol: tasks write attempt-unique
+  * `.inprogress` temp files; job commit renames the committed tasks'
+  * files into place, job/task abort deletes — speculative or failed
+  * attempts can never surface half-written bytes.
+  */
+private class PbfWriteBuilder(
+    path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new PbfWrite(path, doTruncate, info.schema())
+}
+
+private class PbfWrite(path: String, truncate: Boolean, schema: StructType)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  private def orders: Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column("kind"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column("element_id"), SortDirection.ASCENDING))
+  override def requiredDistribution(): Distribution = Distributions.ordered(orders)
+  override def requiredOrdering(): Array[SortOrder] = orders
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new PbfBatchWrite(path, truncate, schema)
+}
+
+private class PbfBatchWrite(path: String, truncate: Boolean, schema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    if (truncate)
+      dir.listFiles().filter(f => f.getName.endsWith(".osm.pbf")
+                               || f.getName.endsWith(".inprogress")).foreach(_.delete())
+    new PbfWriterFactory(path, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    // only COMMITTED tasks' messages arrive here: rename their temp
+    // files into place; anything still *.inprogress is a dead attempt
+    messages.foreach { case PbfCommit(tmp, fin) =>
+      val ok = new java.io.File(tmp).renameTo(new java.io.File(fin))
+      require(ok || !new java.io.File(tmp).exists(), s"pbf commit rename failed: $tmp")
+    }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case PbfCommit(tmp, _) => new java.io.File(tmp).delete(); ()
+      case _ => ()
+    }
+}
+
+private case class PbfCommit(tmpPath: String, finalPath: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private class PbfWriterFactory(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new PbfDataWriter(path, partitionId, taskId, schema)
+}
+
+/** Streams one ordered partition into one part file: rows buffer only up
+  * to `blockSize` (or a kind boundary), then flush as a finished blob —
+  * memory is block-bounded regardless of partition size. Empty
+  * partitions produce no file. */
+private class PbfDataWriter(path: String, partitionId: Int, taskId: Long,
+                            schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val blockSize = 8000
+  private val fin = f"$path/part-$partitionId%05d.osm.pbf"
+  private val tmp = s"$fin-$taskId.inprogress"
+  private val idx = Map("element_id" -> 0, "kind" -> 1, "lon_c" -> 2, "lat_c" -> 3,
+                        "tags" -> 4, "refs" -> 5).map { case (n, _) =>
+    n -> schema.fieldNames.indexOf(n)
+  }
+  private var out: java.io.DataOutputStream = _
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[OsmPbf.Element]
+
+  private def ensureOpen(): Unit = if (out == null) {
+    out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmp)))
+    OsmPbf.writeBlob(out, "OSMHeader", OsmPbf.headerPayload(), indexdata = null)
+  }
+  private def flush(): Unit = if (buf.nonEmpty) {
+    ensureOpen()
+    val (payload, index) = OsmPbf.encodeBlock(buf.toSeq, granularity = 100)
+    OsmPbf.writeBlob(out, "OSMData", payload, index)
+    buf.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val kind = row.getUTF8String(idx("kind")).toString
+    val tags: Array[(String, String)] = {
+      val i = idx("tags")
+      if (i < 0 || row.isNullAt(i)) Array.empty
+      else {
+        val m = row.getMap(i)
+        (0 until m.numElements()).map(j =>
+          m.keyArray().getUTF8String(j).toString ->
+            m.valueArray().getUTF8String(j).toString).toArray
+      }
+    }
+    val refs: Array[Long] = {
+      val i = idx("refs")
+      if (i < 0 || row.isNullAt(i)) Array.emptyLongArray else row.getArray(i).toLongArray()
+    }
+    val e = kind match {
+      case "node" =>
+        // lon_c/lat_c centi-units -> exact nanodegrees (x 1e6, a
+        // multiple of the granularity, so the reader floors back to the
+        // identical centi value)
+        OsmPbf.Element.node(row.getLong(idx("element_id")),
+          row.getLong(idx("lon_c")) * 1000000L, row.getLong(idx("lat_c")) * 1000000L, tags)
+      case "way"      => OsmPbf.Element.way(row.getLong(idx("element_id")), refs, tags)
+      case "relation" => OsmPbf.Element.relation(row.getLong(idx("element_id")), refs, tags)
+      case k => throw new IllegalArgumentException(s"osm.pbf sink: unknown kind '$k'")
+    }
+    if (buf.nonEmpty && buf.last.kind != e.kind) flush()
+    buf += e
+    if (buf.size >= blockSize) flush()
+  }
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    flush()
+    if (out != null) out.close()
+    PbfCommit(tmp, fin)
+  }
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    new java.io.File(tmp).delete()
+  }
+  override def close(): Unit = ()
 }
