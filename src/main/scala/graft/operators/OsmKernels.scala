@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Gate, Q, T}
+import graft.{Caches, Gate, Q, T}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.J — the reference's actual ETL, re-expressed as Spark
@@ -1453,39 +1453,7 @@ object OsmKernels {
       // junction (all edges 2-point); RoadGraphSpec plants a sparse
       // fixture to pin interior-run splitting, edge chaining, and
       // length additivity.
-      val memb = T.lineitem(s, d).select(
-        col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
-        col("l_partkey").as("node_ref"))
-      val junc = memb.groupBy(col("node_ref"))
-        .agg(countDistinct(col("way_id")).as("nways"))
-        .where(col("nways") >= 2).select(col("node_ref").as("jnode"))
-      memb.join(nodes(s, d), col("node_ref") === col("node_id"))
-        .join(graft.Gate.bcast(junc), col("node_ref") === col("jnode"), "left")
-        .withColumn("is_junc", col("jnode").isNotNull)
-        .groupBy(col("way_id"))
-        .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c, is_junc)))")
-          .as("pts"))
-        .withColumn("cs",
-          expr("filter(sequence(1, size(pts)), i -> i = 1 OR i = size(pts) OR element_at(pts, i).is_junc)"))
-        .select(col("way_id"), col("pts"),
-          posexplode(expr(
-            """zip_with(slice(cs, 1, size(cs) - 1), slice(cs, 2, size(cs) - 1),
-              |         (a, b) -> named_struct('i0', a, 'i1', b))""".stripMargin))
-            .as(Seq("seq0", "e")))
-        .select(
-          col("way_id"),
-          (col("seq0") + 1).cast("long").as("edge_seq"),
-          expr("element_at(pts, e.i0).node_ref").as("from_node"),
-          expr("element_at(pts, e.i1).node_ref").as("to_node"),
-          (col("e.i1") - col("e.i0") + 1).cast("long").as("n_pts"),
-          round(expr(
-            """aggregate(
-              |  zip_with(slice(pts, e.i0, e.i1 - e.i0), slice(pts, e.i0 + 1, e.i1 - e.i0),
-              |           (a, b) -> sqrt(CAST((b.lon_c - a.lon_c) * (b.lon_c - a.lon_c)
-              |                             + (b.lat_c - a.lat_c) * (b.lat_c - a.lat_c) AS DOUBLE))),
-              |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin) * 1113.2, 1)
-            .as("length_m"))
-        .orderBy(col("way_id"), col("edge_seq"))
+      roadGraph(s, d).orderBy(col("way_id"), col("edge_seq"))
     },
 
     Q(
@@ -1532,6 +1500,129 @@ object OsmKernels {
         df.select(lit(z.toLong).as("z"), col("tx"), col("ty"), col("n"))
       lvl(0, z0).unionAll(lvl(1, z1)).unionAll(lvl(2, z2))
         .orderBy(col("z"), col("tx"), col("ty"))
+    },
+
+    Q(
+      "osm_route_dist",
+      """WITH RECURSIVE memb AS (
+        |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref
+        |  FROM lineitem),
+        |junc AS (
+        |  SELECT node_ref AS jnode
+        |  FROM (SELECT node_ref, count(DISTINCT way_id) AS c FROM memb GROUP BY node_ref)
+        |  WHERE c >= 2),
+        |pts AS (
+        |  SELECT m.way_id, m.pos, m.node_ref,
+        |         p_size * 100 AS lon_c, CAST(round(p_retailprice * 100) AS BIGINT) AS lat_c,
+        |         (jnode IS NOT NULL) AS is_junc
+        |  FROM memb m JOIN part ON m.node_ref = p_partkey
+        |  LEFT JOIN junc ON m.node_ref = jnode),
+        |ways AS (
+        |  SELECT way_id,
+        |         list(node_ref ORDER BY pos, node_ref) AS refs,
+        |         list(lon_c ORDER BY pos, node_ref) AS lons,
+        |         list(lat_c ORDER BY pos, node_ref) AS lats,
+        |         list(is_junc ORDER BY pos, node_ref) AS js
+        |  FROM pts GROUP BY way_id),
+        |cuts AS (
+        |  SELECT way_id, refs, lons, lats,
+        |         list_filter(range(1, len(refs) + 1),
+        |                     i -> i = 1 OR i = len(refs) OR js[i]) AS cs
+        |  FROM ways),
+        |edges AS (
+        |  SELECT way_id, refs, lons, lats,
+        |         unnest(list_transform(range(2, len(cs) + 1),
+        |                k -> struct_pack(seq := k - 1, i0 := cs[k-1], i1 := cs[k]))) AS e
+        |  FROM cuts),
+        |rg AS (
+        |  SELECT refs[e['i0']] AS from_node,
+        |         refs[e['i1']] AS to_node,
+        |         round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(e['i0'] + 1, e['i1'] + 1), i ->
+        |             sqrt(CAST((lons[i] - lons[i-1]) * (lons[i] - lons[i-1])
+        |                     + (lats[i] - lats[i-1]) * (lats[i] - lats[i-1]) AS DOUBLE)))),
+        |           (a, b) -> a + b) * 1113.2, 1) AS w
+        |  FROM edges),
+        |und AS (
+        |  SELECT from_node AS u, to_node AS v, w FROM rg
+        |  UNION ALL SELECT to_node, from_node, w FROM rg),
+        |walk(node, dist, hops) AS (
+        |  SELECT CAST((SELECT min(node_ref) FROM memb) AS BIGINT), CAST(0 AS DOUBLE), 0
+        |  UNION ALL
+        |  SELECT und.v, walk.dist + und.w, walk.hops + 1
+        |  FROM walk JOIN und ON und.u = walk.node WHERE walk.hops < 3)
+        |SELECT node, round(min(dist), 1) AS dist_m
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      // Weighted single-source shortest distance over the EXTRACTED road
+      // graph (3 relaxation rounds from the lowest node id) — routing on
+      // the network `osm_road_graph` builds, i.e. the pgRouting serving
+      // query. Distributed Bellman–Ford: each round is one equi-join
+      // frontier relaxation + a min-aggregate — dist(v, r) = min over
+      // ≤ r-edge paths, so three rounds ≡ the oracle's exhaustive
+      // ≤ 3-hop path enumeration, at join cost instead of
+      // path-explosion cost (the oracle materializes degreeᵏ paths; the
+      // engine's per-round work is O(frontier × degree) with the min
+      // folded in — the shape that survives a planet graph, the same
+      // unrolled-rounds discipline as graph_shortest_path).
+      // Determinism: every candidate distance is a left-assoc sum of
+      // the per-edge 0.1-rounded weights along its path — bit-identical
+      // in both engines — and min() picks from identical candidate
+      // sets; only the final value rounds.
+      val rg = Caches.register(roadGraph(s, d)
+        .select(col("from_node"), col("to_node"), col("length_m")).persist())
+      val und = rg.select(col("from_node").as("u"), col("to_node").as("v"),
+                          col("length_m").as("w"))
+        .unionAll(rg.select(col("to_node"), col("from_node"), col("length_m")))
+      val src = T.lineitem(s, d).agg(min(col("l_partkey"))).head.getLong(0)
+      import s.implicits._
+      var dist = Seq((src, 0.0)).toDF("node", "dist")
+      for (_ <- 1 to 3) {
+        val relaxed = dist.join(und, dist("node") === und("u"))
+          .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionAll(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      }
+      dist.select(col("node"), round(col("dist"), 1).as("dist_m"))
+        .orderBy(col("node"))
     }
   )
+
+  /** Shared routing-edge dataflow (rationale at `osm_road_graph`):
+    * junction-split way edges with way_id / edge_seq / from / to /
+    * n_pts and the bit-deterministic metric length. */
+  private def roadGraph(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val memb = T.lineitem(s, d).select(
+      col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+      col("l_partkey").as("node_ref"))
+    val junc = memb.groupBy(col("node_ref"))
+      .agg(countDistinct(col("way_id")).as("nways"))
+      .where(col("nways") >= 2).select(col("node_ref").as("jnode"))
+    memb.join(nodes(s, d), col("node_ref") === col("node_id"))
+      .join(graft.Gate.bcast(junc), col("node_ref") === col("jnode"), "left")
+      .withColumn("is_junc", col("jnode").isNotNull)
+      .groupBy(col("way_id"))
+      .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c, is_junc)))")
+        .as("pts"))
+      .withColumn("cs",
+        expr("filter(sequence(1, size(pts)), i -> i = 1 OR i = size(pts) OR element_at(pts, i).is_junc)"))
+      .select(col("way_id"), col("pts"),
+        posexplode(expr(
+          """zip_with(slice(cs, 1, size(cs) - 1), slice(cs, 2, size(cs) - 1),
+            |         (a, b) -> named_struct('i0', a, 'i1', b))""".stripMargin))
+          .as(Seq("seq0", "e")))
+      .select(
+        col("way_id"),
+        (col("seq0") + 1).cast("long").as("edge_seq"),
+        expr("element_at(pts, e.i0).node_ref").as("from_node"),
+        expr("element_at(pts, e.i1).node_ref").as("to_node"),
+        (col("e.i1") - col("e.i0") + 1).cast("long").as("n_pts"),
+        round(expr(
+          """aggregate(
+            |  zip_with(slice(pts, e.i0, e.i1 - e.i0), slice(pts, e.i0 + 1, e.i1 - e.i0),
+            |           (a, b) -> sqrt(CAST((b.lon_c - a.lon_c) * (b.lon_c - a.lon_c)
+            |                             + (b.lat_c - a.lat_c) * (b.lat_c - a.lat_c) AS DOUBLE))),
+            |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin) * 1113.2, 1)
+          .as("length_m"))
+  }
 }
