@@ -67,6 +67,11 @@ with DAG(
     # Per-region ETL fan-out (osm_etl.py:69-85): geometry assembly, layer
     # shredding, snapshot-partitioned lake write. Each task is one Spark
     # job; regions run in parallel under Airflow's concurrency limits.
+    # Weekly FULL rebuild, mirroring the reference's schedule; an
+    # operator running replication diffs instead appends
+    #   --incremental={prev_snapshot_dir},{prev_lake_dir}
+    # to reuse the previous lake and re-assemble only dirty elements
+    # (proven row-identical to the full rebuild by OsmEtlJobSpec).
     with TaskGroup(group_id="etl_regions_osm") as etl_regions_osm:
         for r in REGIONS:
             sub = r["subregion"]

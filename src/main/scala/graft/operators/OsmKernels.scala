@@ -1574,9 +1574,14 @@ object OsmKernels {
       val und = rg.select(col("from_node").as("u"), col("to_node").as("v"),
                           col("length_m").as("w"))
         .unionAll(rg.select(col("to_node"), col("from_node"), col("length_m")))
-      val src = T.lineitem(s, d).agg(min(col("l_partkey"))).head.getLong(0)
+      // empty corpus: min is NULL -> no source -> empty result (the
+      // driver's oracle compare only runs on non-empty fixtures; this
+      // lane exists so a fresh/filtered region can't NPE the job)
+      val srcRow = T.lineitem(s, d).agg(min(col("l_partkey"))).head
       import s.implicits._
-      var dist = Seq((src, 0.0)).toDF("node", "dist")
+      var dist =
+        if (srcRow.isNullAt(0)) Seq.empty[(Long, Double)].toDF("node", "dist")
+        else Seq((srcRow.getLong(0), 0.0)).toDF("node", "dist")
       for (_ <- 1 to 3) {
         val relaxed = dist.join(und, dist("node") === und("u"))
           .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
