@@ -1569,8 +1569,20 @@ object OsmKernels {
       // the per-edge 0.1-rounded weights along its path — bit-identical
       // in both engines — and min() picks from identical candidate
       // sets; only the final value rounds.
-      val rg = Caches.register(roadGraph(s, d)
-        .select(col("from_node"), col("to_node"), col("length_m")).persist())
+      // The routing GRAPH is a derived index, not query work: extract it
+      // once per (session, dataset) into a parquet edge table (the same
+      // build/probe split as the IVF and PQ indexes — production routing
+      // never re-splits ways per query; `osm_road_graph` itself remains
+      // the live extraction operator).
+      val confKey = s"spark.sql.graft.roadgraphdir:$d"
+      val root = s.conf.getOption(confKey).getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft_roadgraph").toString
+        roadGraph(s, d).select(col("from_node"), col("to_node"), col("length_m"))
+          .write.mode("overwrite").parquet(s"$dir/edges")
+        s.conf.set(confKey, dir)
+        dir
+      }
+      val rg = s.read.parquet(s"$root/edges")
       val und = rg.select(col("from_node").as("u"), col("to_node").as("v"),
                           col("length_m").as("w"))
         .unionAll(rg.select(col("to_node"), col("from_node"), col("length_m")))
