@@ -67,4 +67,13 @@ class StreamingSpec extends GraftSuite {
       .orderBy(col("window_start"), col("event_type")).collect().toSeq
     assert(streamed == batch)
   }
+
+  test("stream_osm_upsert: continuous replication apply reaches the hand-computed lake state") {
+    val got = SparkEntry.queries("stream_osm_upsert")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // v0 = {1:(v1,10), 2:(v1,20)}; batch 0 updates 1, deletes 2, inserts
+    // 3 twice (max-version 31.0 must win); batch 1 re-inserts 2.
+    assert(got.toSet == Set((1L, 2L, 11.0), (2L, 3L, 22.0), (3L, 2L, 31.0)),
+      s"lake state after two replication batches: ${got.toSeq}")
+  }
 }
