@@ -167,6 +167,48 @@ object Scans {
     },
 
     Q(
+      "source_binaryfile",
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_md5
+        |FROM documents WHERE doc_id % 25 = 0
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // `binaryFile` ingest — how raw multimodal payloads (images,
+      // audio, clips) actually enter a training pipeline: one opaque
+      // file per asset, read as (path, length, content) rows with NO
+      // parsing, the typed-metadata join happening downstream
+      // (multimodal_struct's stage). Layout setup is one-time
+      // conf-keyed: the doc subset lands as .bin files via
+      // foreachPartition (each task writes its own rows — the object-
+      // store-put-per-asset shape, no driver funnel). The read proves
+      // Spark's binary source end-to-end: byte lengths and content
+      // hashes must match the parquet-derived truth exactly, and
+      // pathGlobFilter prunes foreign files at listing time.
+      val confKey = s"spark.sql.graft.binsrcdir:$d"
+      val root = s.conf.getOption(confKey).getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft_binsrc").toString
+        T.documents(s, d).where(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), col("text"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            rows.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        s.conf.set(confKey, dir)
+        dir
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(root)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "sink_pbf",
       """SELECT p_partkey AS element_id, 'node' AS kind,
         |       CAST(p_size * 100 AS BIGINT) AS lon_c,
