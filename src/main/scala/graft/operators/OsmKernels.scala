@@ -1486,11 +1486,15 @@ object OsmKernels {
       // exact on non-negative integer indices), so z1/z0 aggregate
       // tile-count rows, never elements. Three bounded-key-space
       // aggregates, exact integer arithmetic throughout.
-      val z2 = T.part(s, d)
+      // the finest level is CACHED (a bounded tile table, not facts):
+      // the three union branches must not re-run the element scan —
+      // without this the plan recomputes z2 under every branch
+      val z2 = graft.Caches.register(T.part(s, d)
         .select((col("p_size").cast("long") * 100).as("lon_c"),
                 round(col("p_retailprice") * 100).cast("long").as("lat_c"))
         .select(expr("lon_c DIV 400").as("tx"), expr("lat_c DIV 1000").as("ty"))
         .groupBy(col("tx"), col("ty")).agg(count(lit(1)).as("n"))
+        .persist())
       def up(df: org.apache.spark.sql.DataFrame) =
         df.select(expr("tx DIV 2").as("tx"), expr("ty DIV 2").as("ty"), col("n"))
           .groupBy(col("tx"), col("ty")).agg(sum(col("n")).cast("long").as("n"))
