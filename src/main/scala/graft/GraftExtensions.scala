@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{CosineSimilarity, HllSketchAgg}
+import graft.functions.{CosineSimilarity, HllSketchAgg, MinHashSignature,
+  PointInRing, SimHash64, WkbLineString}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -37,7 +38,20 @@ object GraftExtensions {
       (children: Seq[Expression]) => HllSketchAgg(children.head)),
     (FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors (codegen'd loop)"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(gram_hashes array<bigint>) - 64-lane MinHash signature (fused map-side kernel, one pass over the gram hashes)"),
+      (children: Seq[Expression]) => MinHashSignature(children.head, 64)),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens array<string>) - frequency-weighted 64-bit SimHash fingerprint"),
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("point_in_ring"),
+      info("point_in_ring", "point_in_ring(lons array<bigint>, lats array<bigint>, x bigint, y bigint) - exact integer crossing-number containment test"),
+      (children: Seq[Expression]) =>
+        PointInRing(children(0), children(1), children(2), children(3))),
+    (FunctionIdentifier("wkb_linestring"),
+      info("wkb_linestring", "wkb_linestring(xs array<double>, ys array<double>) - OGC little-endian WKB LineString bytes"),
+      (children: Seq[Expression]) => WkbLineString(children(0), children(1)))
   )
 
   /** Register on an existing session (idempotent). */

@@ -47,4 +47,35 @@ class ExtensionsSpec extends GraftSuite {
       """SELECT cosine_sim(a.embedding, a.embedding) FROM emb a WHERE a.vec_id = 0""").head.getDouble(0)
     assert(math.abs(c - 1.0) < 1e-9)
   }
+
+  test("the full custom-expression library is SQL-callable through the extension") {
+    GraftExtensions.register(spark)
+    // minhash_sig: identical gram sets -> identical 64-lane signatures
+    val sigs = spark.sql(
+      """SELECT minhash_sig(array(CAST(1 AS BIGINT), 2, 3)) AS a,
+        |       minhash_sig(array(CAST(3 AS BIGINT), 2, 1)) AS b""".stripMargin).head
+    assert(sigs.getSeq[Long](0) == sigs.getSeq[Long](1), "minhash is set-order invariant")
+    assert(sigs.getSeq[Long](0).length == 64)
+    // simhash64: deterministic, token-frequency sensitive
+    val sh = spark.sql(
+      """SELECT simhash64(array('a', 'b')) AS x, simhash64(array('b', 'a')) AS y,
+        |       simhash64(array('c', 'c', 'c')) AS z""".stripMargin).head
+    assert(sh.getLong(0) == sh.getLong(1), "simhash is bag-order invariant")
+    assert(sh.getLong(0) != sh.getLong(2))
+    // point_in_ring: unit square contains (5,5), not (15,5)
+    val pir = spark.sql(
+      """SELECT point_in_ring(array(CAST(0 AS BIGINT), 10, 10, 0, 0),
+        |                     array(CAST(0 AS BIGINT), 0, 10, 10, 0),
+        |                     CAST(5 AS BIGINT), CAST(5 AS BIGINT)) AS inside,
+        |       point_in_ring(array(CAST(0 AS BIGINT), 10, 10, 0, 0),
+        |                     array(CAST(0 AS BIGINT), 0, 10, 10, 0),
+        |                     CAST(15 AS BIGINT), CAST(5 AS BIGINT)) AS outside""".stripMargin).head
+    assert(pir.getBoolean(0) && !pir.getBoolean(1))
+    // wkb_linestring: header + 2 points = 9 + 32 bytes, NDR, type 2
+    val wkb = spark.sql(
+      """SELECT wkb_linestring(array(CAST(1 AS DOUBLE), 2), array(CAST(3 AS DOUBLE), 4))""")
+      .head.getAs[Array[Byte]](0)
+    assert(wkb.length == 9 + 2 * 16)
+    assert(wkb(0) == 1 && wkb(1) == 2, "little-endian LineString header")
+  }
 }
