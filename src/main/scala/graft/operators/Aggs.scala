@@ -588,6 +588,38 @@ object Aggs {
             |       - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
             |      / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3, 8) AS kurtosis""".stripMargin)
         .orderBy(col("l_linestatus"))
+    },
+
+    Q(
+      "agg_gini",
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS total,
+        |             CAST(sum(n * n) AS BIGINT) AS sq FROM c GROUP BY 1)
+        |SELECT o_orderpriority, total,
+        |       round(1.0 - CAST(sq AS DOUBLE)
+        |             / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 8) AS gini
+        |FROM t ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      // Gini impurity of the status mix per priority — the class-balance
+      // metric a data-quality pass reports (0 = one class, (k−1)/k =
+      // uniform over k). Chosen over Shannon entropy DELIBERATELY:
+      // 1 − Σpᵢ² needs only exact integer count sums and ONE IEEE
+      // division (Σnᵢ²/N²), where entropy's Σp·ln p rides libm ln whose
+      // last-ulp differs between engines. Two bounded-key aggregates —
+      // the second sees |priorities|×|statuses| rows, never facts.
+      val c = T.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      c.groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).cast("long").as("total"),
+             sum(col("n") * col("n")).cast("long").as("sq"))
+        .select(col("o_orderpriority"), col("total"),
+                round(lit(1.0) - col("sq").cast("double")
+                      / (col("total").cast("double") * col("total").cast("double")), 8)
+                  .as("gini"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 }

@@ -624,6 +624,82 @@ object EventOps {
              sum(col("gap")).cast("long").as("total_span"),
              round(expr("percentile(gap, 0.5)"), 4).as("median_gap"))
         .orderBy(col("user_id"))
+    },
+
+    Q(
+      "event_seasonality",
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST((CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) + 4) % 7 AS BIGINT) AS dow
+        |  FROM events),
+        |c AS (SELECT event_type, dow, count(*) AS n FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1)
+        |SELECT c.event_type, c.dow, c.n,
+        |       round(CAST(c.n AS DOUBLE) / t.total, 6) AS share
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |ORDER BY c.event_type, c.dow""".stripMargin
+    ) { (s, d) =>
+      // Day-of-week seasonality profile per event type — the weekly-
+      // rhythm readout capacity planning and anomaly baselining sit on.
+      // The dow bucket is deliberately ENGINE-NEUTRAL arithmetic:
+      // (epoch_days + 4) % 7 with 0 = Sunday (1970-01-01 was a
+      // Thursday) — Spark's dayofweek is 1-based-Sunday and DuckDB's is
+      // 0-based-Sunday, the documented cross-engine trap the integer
+      // formula sidesteps entirely. One shuffle on the bounded
+      // (type, dow) key; per-type totals aggregate THAT 7-row-per-type
+      // table and broadcast back; shares divide two exact integers in
+      // IEEE once.
+      val dow = ((floor(unix_millis(col("ts")) / 86400000L).cast("long") + 4) % 7)
+      val c = T.events(s, d)
+        .select(col("event_type"), dow.as("dow"))
+        .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("event_type")).agg(sum(col("n")).cast("long").as("total"))
+      c.join(Gate.bcast(t), "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+                round(col("n").cast("double") / col("total"), 6).as("share"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+
+    Q(
+      "event_audience_overlap",
+      """WITH a AS (
+        |  SELECT event_type, user_id FROM events
+        |  GROUP BY event_type, user_id HAVING count(*) >= 14),
+        |s AS (SELECT event_type, count(*) AS n FROM a GROUP BY 1),
+        |i AS (SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n_both
+        |      FROM a x JOIN a y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |      GROUP BY 1, 2)
+        |SELECT i.ta, i.tb, sa.n AS n_a, sb.n AS n_b, i.n_both,
+        |       round(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both), 6) AS jaccard
+        |FROM i JOIN s sa ON i.ta = sa.event_type JOIN s sb ON i.tb = sb.event_type
+        |ORDER BY i.ta, i.tb""".stripMargin
+    ) { (s, d) =>
+      // Audience-overlap matrix: exact Jaccard between the CORE
+      // audiences of every event-type pair (membership = ≥14 events of
+      // the type, so the fixture's everyone-does-everything log still
+      // discriminates) — the segmentation readout behind cross-sell and
+      // cannibalization questions. One user_id-keyed aggregate collapses
+      // the log to memberships; the pair join is user-keyed with the
+      // type inequality only ordering the pair (each unordered pair
+      // counted once), so its cost is Σ per-user |types|² with |types|
+      // bounded — never users². Audience sizes are a |types|-row table
+      // joined back broadcast; Jaccard divides exact integers once.
+      val a = Caches.register(T.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 14)
+        .select(col("event_type"), col("user_id")).persist())
+      val sizes = a.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val pairs = a.select(col("event_type").as("ta"), col("user_id"))
+        .join(a.select(col("event_type").as("tb"), col("user_id")), "user_id")
+        .where(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(Gate.bcast(sizes.select(col("event_type").as("ta"), col("n").as("n_a"))), "ta")
+        .join(Gate.bcast(sizes.select(col("event_type").as("tb"), col("n").as("n_b"))), "tb")
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_both"),
+                round(col("n_both").cast("double")
+                      / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+        .orderBy(col("ta"), col("tb"))
     }
   )
 }
