@@ -281,6 +281,37 @@ object Windows {
                   .otherwise(col("value")).as("v"))
         .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
         .orderBy(col("user_id"), col("ms"), col("event_id"))
+    },
+
+    Q(
+      "win_rolling_median",
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |       round(quantile_cont(n, 0.5) OVER (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+        |FROM c ORDER BY event_type, day""".stripMargin
+    ) { (s, d) =>
+      // Rolling 7-day MEDIAN of daily volume per event type — the
+      // outlier-robust smoothing baseline `event_anomaly`'s mean/σ
+      // z-score is not (one spike day drags a rolling mean for a week;
+      // the median shrugs it off). An aggregate-as-window-function:
+      // percentile over a ROWS frame runs per-partition after the ONE
+      // (event_type)-keyed exchange of the collapsed daily counts —
+      // the window input is days × types, never facts. The median
+      // interpolates two exact integer counts the same way in both
+      // engines (the agg_percentile-proven percentile ≡ quantile_cont
+      // recipe), so even the .5 midpoints hash identically.
+      val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      T.events(s, d)
+        .select(col("event_type"), day.as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+        .withColumn("med7", round(expr("percentile(n, 0.5)").over(w), 4))
+        .orderBy(col("event_type"), col("day"))
     }
   )
 }
