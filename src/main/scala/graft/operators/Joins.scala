@@ -307,6 +307,43 @@ object Joins {
     },
 
     Q(
+      "join_asof_native",
+      """SELECT t.event_id AS trade_id, t.user_id,
+        |       CAST(t.ts AS TIMESTAMP) AS trade_ts, q.value AS quote_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |ASOF JOIN (SELECT * FROM events WHERE event_type IN ('view', 'click')) q
+        |  ON t.user_id = q.user_id AND t.ts >= q.ts
+        |ORDER BY trade_id""".stripMargin
+    ) { (s, d) =>
+      // The SAME as-of semantics as `join_asof`, through the engine's
+      // custom WHOLE-OPERATOR extension (org.apache.spark.sql.graft
+      // .AsofJoin: logical node + planner strategy + merge-scan
+      // physical exec — SURVEY §7.1 stance (c), the extension rung the
+      // composed operators never needed until now). The exec DECLARES
+      // clustered distribution + (key, time) ordering, so
+      // EnsureRequirements plans one exchange + one sort per side —
+      // the union+window emulation's cost — but execution is a
+      // single forward merge-scan per partition pair holding ONE
+      // (key, value) of state: no window buffer, no union row
+      // widening, right pointer never rewinds. Same DuckDB ASOF
+      // oracle text as `join_asof`, so the two formulations are
+      // cross-validated against each other through the shared truth;
+      // PlanSpec pins AsofJoinExec in the plan with no Window node.
+      val ev = T.events(s, d)
+      val trades = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("trade_id"), col("user_id"),
+                col("ts"), unix_millis(col("ts")).as("ms"))
+      val quotes = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      org.apache.spark.sql.graft.Asof
+        .join(trades, quotes, "user_id", "ms", "value", "quote_value")
+        .where(col("quote_value").isNotNull)
+        .select(col("trade_id"), col("user_id"),
+                col("ts").cast("timestamp").as("trade_ts"), col("quote_value"))
+        .orderBy(col("trade_id"))
+    },
+
+    Q(
       "join_self",
       """SELECT a.l_orderkey AS orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
         |       a.l_quantity AS qty_a, b.l_quantity AS qty_b

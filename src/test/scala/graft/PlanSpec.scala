@@ -414,6 +414,26 @@ class PlanSpec extends GraftSuite {
       "the brand/size arms must reach the part scan")
   }
 
+  test("join_asof_native: custom AsofJoinExec plans with one exchange+sort per side, no Window") {
+    val (_, ns) = execNodes("join_asof_native")
+    assert(ns.exists(_.isInstanceOf[org.apache.spark.sql.graft.AsofJoinExec]),
+      "the custom strategy must plan the AsofJoin logical node")
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "the native operator replaces the union+window emulation — no Window may appear")
+    val hashEx = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.size == 2,
+      s"EnsureRequirements must co-partition exactly the two sides, found ${hashEx.size}")
+    // and the two formulations agree row-for-row (same oracle, but pin
+    // the equivalence engine-side too)
+    val native = SparkEntry.queries("join_asof_native")(spark, sf).collect().toSeq
+    val windowed = SparkEntry.queries("join_asof")(spark, sf).collect().toSeq
+    assert(native.map(_.toSeq) == windowed.map(_.toSeq),
+      "native merge-scan and union+window emulation must produce identical rows")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
