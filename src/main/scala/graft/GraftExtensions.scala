@@ -21,10 +21,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   SELECT cosine_sim(a.embedding, b.embedding) FROM ...;
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       e.injectFunction((ident, info, builder))
     }
+    // the whole-operator extension (org.apache.spark.sql.graft.AsofJoin):
+    // cluster-wide deployments get the planner strategy with the same
+    // one-liner; Asof.join also installs it per-session for live use
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {
