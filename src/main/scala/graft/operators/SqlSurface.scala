@@ -383,7 +383,47 @@ object SqlSurface {
         |  AND NOT EXISTS (SELECT 1 FROM lineitem l
         |                  WHERE l.l_orderkey = o_orderkey AND l.l_returnflag = 'R')
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // TPC-H Q13 shape (customer distribution): the one classic probe
+    // whose JOIN must be OUTER — count(o_orderkey) gives 0-order
+    // customers a bucket, so an inner join would be a silently wrong
+    // plan, not a slower one. Double aggregation: fact-scale count per
+    // customer, then the histogram over the (small) count domain. The
+    // join-side filter lives in the ON clause (filtering WHERE would
+    // turn outer into inner — the documented Q13 trap). At 100 TB this
+    // is one customer-keyed shuffle; the second agg sees ≤ max-orders
+    // distinct keys. Fully deterministic: the group key c_count is
+    // unique per output row and both columns anchor the ORDER BY.
+    "sql_customer_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // TPC-H Q17 shape (small-quantity revenue): the canonical
+    // correlated SCALAR-AGG subquery — Catalyst decorrelates the
+    // per-part avg into one partkey-keyed aggregate joined back
+    // (RewriteCorrelatedScalarSubquery), so the "per-row subquery"
+    // costs one shuffle at 100 TB, not |lineitem| probes. Determinism
+    // audit: l_quantity is integral (1..50), so avg = exact-sum/count
+    // is order-independent in IEEE; 0.2*avg is ONE multiply computed
+    // identically by both engines; revenue sums exact decimals and
+    // rounds once at output.
+    "sql_small_quantity_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+        |         AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#25'
+        |  AND p_size < 5
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
   )
 
   val all: Seq[Q] = shared.map { case (key, sql) =>
