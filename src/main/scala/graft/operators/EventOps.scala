@@ -700,6 +700,65 @@ object EventOps {
                 round(col("n_both").cast("double")
                       / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
         .orderBy(col("ta"), col("tb"))
+    },
+
+    Q(
+      "event_growth_accounting",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day
+        |  FROM events),
+        |l AS (SELECT user_id, day,
+        |             lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        |             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+        |      FROM ud),
+        |g AS (SELECT day,
+        |             count(*) FILTER (WHERE prev IS NULL)    AS new_users,
+        |             count(*) FILTER (WHERE prev = day - 1)  AS retained,
+        |             count(*) FILTER (WHERE prev < day - 1)  AS resurrected
+        |      FROM l GROUP BY day),
+        |c AS (SELECT churn_day AS day, count(*) AS churned
+        |      FROM (SELECT day + 1 AS churn_day, nxt FROM l) x
+        |      WHERE nxt IS NULL OR nxt > churn_day GROUP BY churn_day)
+        |SELECT coalesce(g.day, c.day) AS day,
+        |       coalesce(g.new_users, 0)   AS new_users,
+        |       coalesce(g.retained, 0)    AS retained,
+        |       coalesce(g.resurrected, 0) AS resurrected,
+        |       coalesce(c.churned, 0)     AS churned
+        |FROM g FULL OUTER JOIN c ON g.day = c.day
+        |ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      // Growth accounting (the new/retained/resurrected/churned daily
+      // ledger every growth team reads): day granularity, so
+      // retained = active yesterday too, resurrected = seen before but
+      // not yesterday, churned on d = active on d-1 with no activity on
+      // d (a user's last-ever day churns them the day after — the
+      // right-censored tail is reported, not hidden). Scale shape: the
+      // fact log collapses to DISTINCT user-days first (one user_id
+      // exchange); lag AND lead ride ONE window over that collapsed
+      // table (same exchange, same sort — Catalyst plans a single
+      // WindowExec); both classification aggregates see user-days, never
+      // facts, and group by the bounded day key. All outputs are exact
+      // integer counts — nothing to drift cross-engine.
+      val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
+      val ud = T.events(s, d).select(col("user_id"), day.as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val l = ud.withColumn("prev", lag(col("day"), 1).over(w))
+                .withColumn("nxt", lead(col("day"), 1).over(w))
+      val g = l.groupBy(col("day")).agg(
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("prev") === col("day") - 1, 1L).otherwise(0L)).as("retained"),
+        sum(when(col("prev") < col("day") - 1, 1L).otherwise(0L)).as("resurrected"))
+      val c = l.select((col("day") + 1).as("churn_day"), col("nxt"))
+        .where(col("nxt").isNull || col("nxt") > col("churn_day"))
+        .groupBy(col("churn_day")).agg(count(lit(1)).as("churned"))
+      g.join(c, g("day") === c("churn_day"), "full_outer")
+        .select(coalesce(g("day"), c("churn_day")).as("day"),
+                coalesce(col("new_users"), lit(0L)).as("new_users"),
+                coalesce(col("retained"), lit(0L)).as("retained"),
+                coalesce(col("resurrected"), lit(0L)).as("resurrected"),
+                coalesce(col("churned"), lit(0L)).as("churned"))
+        .orderBy(col("day"))
     }
   )
 }
