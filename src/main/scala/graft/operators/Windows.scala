@@ -321,59 +321,67 @@ object Windows {
         |         count(*) FILTER (WHERE event_type = 'view')     AS nv,
         |         count(*) FILTER (WHERE event_type = 'purchase') AS np
         |  FROM events GROUP BY 1),
-        |w AS (
-        |  SELECT day, nv, np,
-        |         count(*)     OVER f AS n,
-        |         sum(nv)      OVER f AS sx,  sum(np)      OVER f AS sy,
-        |         sum(nv * np) OVER f AS sxy,
-        |         sum(nv * nv) OVER f AS sxx, sum(np * np) OVER f AS syy
-        |  FROM e
-        |  WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
-        |SELECT day, nv AS n_view, np AS n_purchase,
+        |x AS (
+        |  SELECT e.day + g.g AS day,
+        |         CAST(count(*) AS BIGINT)        AS n,
+        |         CAST(sum(nv) AS BIGINT)         AS sx,
+        |         CAST(sum(np) AS BIGINT)         AS sy,
+        |         CAST(sum(nv * np) AS BIGINT)    AS sxy,
+        |         CAST(sum(nv * nv) AS BIGINT)    AS sxx,
+        |         CAST(sum(np * np) AS BIGINT)    AS syy
+        |  FROM e CROSS JOIN generate_series(0, 6) g(g)
+        |  GROUP BY 1)
+        |SELECT e.day, e.nv AS n_view, e.np AS n_purchase,
         |       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
         |            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
         |                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
         |       END AS corr7
-        |FROM w ORDER BY day""".stripMargin
+        |FROM e JOIN x ON e.day = x.day
+        |ORDER BY e.day""".stripMargin
     ) { (s, d) =>
-      // Rolling 7-day correlation between view and purchase daily
-      // volumes — the demand-coupling readout behind "do views still
-      // convert?" drift alarms. NOT the built-in corr() window: Spark
-      // and DuckDB both use incremental covariance updates whose
-      // last-ulp differs, so the kernel accumulates raw INTEGER moment
-      // sums (n, Σx, Σy, Σxy, Σx², Σy² — daily counts are integers, so
-      // every window sum is exact) and applies the closed form as the
-      // IDENTICAL IEEE expression text in both engines, the
-      // agg_linear_regr recipe as a window. Zero variance (constant
+      // Trailing-7-calendar-day correlation between view and purchase
+      // daily volumes — the demand-coupling readout behind "do views
+      // still convert?" drift alarms. Two deliberate choices:
+      // (1) NOT the built-in corr() (Spark and DuckDB both use
+      // incremental covariance updates whose last ulp differs): raw
+      // INTEGER moment sums (n, Σx, Σy, Σxy, Σx², Σy² — daily counts
+      // are integers, so every sum is exact) with the closed form
+      // applied as the IDENTICAL IEEE expression text in both engines
+      // — the agg_linear_regr recipe, rolled. Zero variance (constant
       // week) yields NULL by the same integer predicate on both sides.
-      // Scale shape: the window runs over the COLLAPSED daily table —
-      // calendar-days rows, never facts (the one exchange is the
-      // day-keyed count); the unpartitioned frame is bounded by the
-      // calendar, not the data. At extreme volumes (≥1e9/day) the
-      // BIGINT squares need DECIMAL moments — documented, not needed at
-      // any tested scale.
+      // (2) NOT an unpartitioned window (the event_rfm lesson): each
+      // day's counts fan out to the ≤7 report days they contribute to
+      // via a generator (`explode(sequence)` — the event_dau_rolling
+      // pattern), so the rollup is an ordinary distributed day-keyed
+      // aggregate with calendar-RANGE semantics, and no single-task
+      // WindowExec exists at any scale. The fan-out input is the
+      // COLLAPSED daily table — calendar-bounded, never facts. At
+      // extreme volumes (≥1e9 events/day) the BIGINT squares need
+      // DECIMAL moments — documented, not needed at any tested scale.
       val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
       val e = T.events(s, d)
         .select(day.as("day"), col("event_type"))
         .groupBy(col("day"))
         .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"),
              sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
-      val f = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
-      val m = e
-        .withColumn("n", count(lit(1)).over(f))
-        .withColumn("sx", sum(col("nv")).over(f))
-        .withColumn("sy", sum(col("np")).over(f))
-        .withColumn("sxy", sum(col("nv") * col("np")).over(f))
-        .withColumn("sxx", sum(col("nv") * col("nv")).over(f))
-        .withColumn("syy", sum(col("np") * col("np")).over(f))
+      val x = e
+        .select(col("day"), col("nv"), col("np"),
+                explode(sequence(lit(0L), lit(6L))).as("g"))
+        .groupBy((col("day") + col("g")).as("day"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("nv")).as("sx"), sum(col("np")).as("sy"),
+             sum(col("nv") * col("np")).as("sxy"),
+             sum(col("nv") * col("nv")).as("sxx"),
+             sum(col("np") * col("np")).as("syy"))
       val vx = col("n") * col("sxx") - col("sx") * col("sx")
       val vy = col("n") * col("syy") - col("sy") * col("sy")
-      m.select(col("day"), col("nv").as("n_view"), col("np").as("n_purchase"),
-               when(vx * vy === 0, lit(null).cast("double"))
-                 .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-                                  / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
-                 .as("corr7"))
+      e.join(x, "day")
+        .select(col("day"), col("nv").as("n_view"), col("np").as("n_purchase"),
+                when(vx * vy === 0, lit(null).cast("double"))
+                  .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                                   / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+                  .as("corr7"))
         .orderBy(col("day"))
     }
   )
