@@ -736,28 +736,33 @@ object EventOps {
       // right-censored tail is reported, not hidden). Scale shape: the
       // fact log collapses to DISTINCT user-days first (one user_id
       // exchange); lag AND lead ride ONE window over that collapsed
-      // table (same exchange, same sort — Catalyst plans a single
-      // WindowExec); both classification aggregates see user-days, never
-      // facts, and group by the bounded day key. All outputs are exact
-      // integer counts — nothing to drift cross-engine.
+      // table; then each user-day EMITS its contributions — the
+      // classification row plus, when the next activity isn't tomorrow,
+      // a (day+1, churned) row — through a generator, so ONE bounded
+      // day-keyed conditional aggregate finishes the whole ledger. The
+      // oracle spells the same ledger as two aggregates full-outer-
+      // joined; emitting contributions instead avoids planning the
+      // window subtree twice (one scan, one WindowExec — PlanSpec pins
+      // it). All outputs are exact integer counts — nothing to drift
+      // cross-engine.
       val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
       val ud = T.events(s, d).select(col("user_id"), day.as("day")).distinct()
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       val l = ud.withColumn("prev", lag(col("day"), 1).over(w))
                 .withColumn("nxt", lead(col("day"), 1).over(w))
-      val g = l.groupBy(col("day")).agg(
-        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("new_users"),
-        sum(when(col("prev") === col("day") - 1, 1L).otherwise(0L)).as("retained"),
-        sum(when(col("prev") < col("day") - 1, 1L).otherwise(0L)).as("resurrected"))
-      val c = l.select((col("day") + 1).as("churn_day"), col("nxt"))
-        .where(col("nxt").isNull || col("nxt") > col("churn_day"))
-        .groupBy(col("churn_day")).agg(count(lit(1)).as("churned"))
-      g.join(c, g("day") === c("churn_day"), "full_outer")
-        .select(coalesce(g("day"), c("churn_day")).as("day"),
-                coalesce(col("new_users"), lit(0L)).as("new_users"),
-                coalesce(col("retained"), lit(0L)).as("retained"),
-                coalesce(col("resurrected"), lit(0L)).as("resurrected"),
-                coalesce(col("churned"), lit(0L)).as("churned"))
+      val cls = when(col("prev").isNull, lit("new"))
+        .when(col("prev") === col("day") - 1, lit("retained"))
+        .otherwise(lit("resurrected"))
+      val churn = when(col("nxt").isNull || col("nxt") > col("day") + 1,
+        struct((col("day") + 1).as("day"), lit("churned").as("kind")))
+      l.select(explode(array_compact(array(
+          struct(col("day"), cls.as("kind")), churn))).as("c"))
+        .select(col("c.day").as("day"), col("c.kind").as("kind"))
+        .groupBy(col("day")).agg(
+          sum(when(col("kind") === "new", 1L).otherwise(0L)).as("new_users"),
+          sum(when(col("kind") === "retained", 1L).otherwise(0L)).as("retained"),
+          sum(when(col("kind") === "resurrected", 1L).otherwise(0L)).as("resurrected"),
+          sum(when(col("kind") === "churned", 1L).otherwise(0L)).as("churned"))
         .orderBy(col("day"))
     }
   )

@@ -406,6 +406,55 @@ object SqlSurface {
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
+    // TPC-H Q9 shape (product-type profit): the deep-join rollup —
+    // 5 relations, a LIKE filter on the dimension driving the join
+    // order, year extraction on the date axis. Adapted to the fixture
+    // (no partsupp table, so cost = p_retailprice × quantity instead of
+    // ps_supplycost — same join graph, same rollup shape). Profit
+    // accumulates in EXACT decimals (price, discount, retailprice all
+    // 2-dp; quantity integral) and — unlike the cast-then-round money
+    // recipe elsewhere — is rounded WHILE STILL DECIMAL, because the
+    // scale-4 profit sum lands on literal half-cents (x.xx5 is exact at
+    // scale 4, and seen live at sf0.001: the double-first order rounded
+    // .725 to .72 in DuckDB and .73 in Spark); both engines round
+    // decimals half-away-from-zero, so round-then-cast is bit-stable.
+    // Grouping keys are spelled as expressions, not aliases —
+    // alias-grouping is a dialect split.
+    "sql_product_profit" ->
+      """SELECT n_name AS nation,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                       - CAST(p_retailprice AS DECIMAL(18,2))
+        |                         * CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |         AS sum_profit
+        |FROM part, supplier, lineitem, orders, nation
+        |WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%widget%'
+        |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // TPC-H Q16 shape (supplier relationship): the NOT-IN probe — the
+    // one subquery form the deck didn't cover (subquery_in pins IN +
+    // NOT EXISTS; NOT IN is DIFFERENT: null-aware anti-join semantics,
+    // which Catalyst plans as BroadcastNestedLoopJoin unless it can
+    // prove the subquery side non-null). Supplier-part relation rides
+    // lineitem (the fixture has no partsupp); excluded suppliers =
+    // one nation, count(DISTINCT l_suppkey) per part group.
+    "sql_supplier_relationship" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part, lineitem
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#25'
+        |  AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 2, 3, 4, 5, 10, 15, 20)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_nationkey = 13)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
     // TPC-H Q17 shape (small-quantity revenue): the canonical
     // correlated SCALAR-AGG subquery — Catalyst decorrelates the
     // per-part avg into one partkey-keyed aggregate joined back

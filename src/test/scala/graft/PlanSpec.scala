@@ -414,6 +414,23 @@ class PlanSpec extends GraftSuite {
       "the brand/size arms must reach the part scan")
   }
 
+  test("event_growth_accounting: lag and lead share ONE WindowExec over the collapsed user-days") {
+    val (_, ns) = execNodes("event_growth_accounting")
+    val wins = ns.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.size == 1,
+      s"lag+lead must ride one user_id-partitioned window (same exchange, same sort), found ${wins.size}")
+    assert(wins.head.partitionSpec.nonEmpty,
+      "the growth window must be user_id-partitioned — never a global single-task window")
+  }
+
+  test("win_rolling_corr: explode-contribution rollup — no WindowExec anywhere in the plan") {
+    val (_, ns) = execNodes("win_rolling_corr")
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "the rolled moments must be an ordinary day-keyed aggregate (the event_rfm lesson), not a window")
+    assert(ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]),
+      "the <=7-day fan-out must be a generator (explode(sequence)), not a join or window frame")
+  }
+
   test("join_asof_native: custom AsofJoinExec plans with one exchange+sort per side, no Window") {
     val (_, ns) = execNodes("join_asof_native")
     assert(ns.exists(_.isInstanceOf[org.apache.spark.sql.graft.AsofJoinExec]),
