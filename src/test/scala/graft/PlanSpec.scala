@@ -414,6 +414,19 @@ class PlanSpec extends GraftSuite {
       "the brand/size arms must reach the part scan")
   }
 
+  test("sql_supplier_relationship: NOT IN plans as a null-aware broadcast HASH anti join") {
+    val (_, ns) = execNodes("sql_supplier_relationship")
+    val naaj = ns.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti && j.isNullAwareAntiJoin => j
+    }
+    assert(naaj.size == 1,
+      "NOT IN must plan as the single-column null-aware BroadcastHashJoin — " +
+        s"not a nested loop (found ${naaj.size} NAAJ nodes)")
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "no nested-loop fallback may appear for the NOT-IN probe")
+  }
+
   test("event_growth_accounting: lag and lead share ONE WindowExec over the collapsed user-days") {
     val (_, ns) = execNodes("event_growth_accounting")
     val wins = ns.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
