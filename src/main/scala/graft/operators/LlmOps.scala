@@ -827,6 +827,51 @@ object LlmOps {
     },
 
     Q(
+      "text_quality_sweep",
+      """WITH b AS (
+        |  SELECT len(string_split(text, ' ')) AS n_tokens,
+        |         len(list_filter(string_split(lower(text), ' '),
+        |             t -> list_contains(['the','a','of','and','to','is','in'], t))) AS stop_hits
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n_docs FROM b),
+        |s AS (
+        |  SELECT g.k, count(*) AS n_pass, CAST(sum(n_tokens) AS BIGINT) AS tok_pass
+        |  FROM b CROSS JOIN generate_series(0, 10) g(k)
+        |  WHERE stop_hits * 100 >= g.k * n_tokens
+        |  GROUP BY g.k)
+        |SELECT k AS threshold_pct, n_pass, tok_pass,
+        |       round(n_pass * 1.0 / n_docs, 6) AS pass_share
+        |FROM s CROSS JOIN tot
+        |ORDER BY threshold_pct""".stripMargin
+    ) { (s, d) =>
+      // Threshold sweep over the stopword quality gate (text_quality's
+      // ratio >= t) for t = 0%..10% in 1% steps — the survivorship curve
+      // a curation run reads BEFORE committing to a cutoff (every
+      // percent of threshold trades corpus size against quality; pick
+      // the knee, not a guess). Determinism: the gate is the EXACT
+      // integer predicate stop_hits*100 >= k*n_tokens — no float ratio
+      // is ever compared, so no engine can flip a boundary doc. Scale
+      // shape: stats project per-doc in the scan, the <=11-way fan-out
+      // is a generator (no self-join per threshold, no 11 re-scans),
+      // and the aggregate's group key is the bounded threshold grid.
+      // The 1-row corpus total joins back as a broadcast for the share.
+      val base = T.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n_tokens"),
+                expr("size(filter(split(lower(text), ' '), t -> t IN ('the','a','of','and','to','is','in')))")
+                  .cast("long").as("stop_hits"))
+      val tot = base.agg(count(lit(1)).as("n_docs"))
+      base.select(col("n_tokens"), col("stop_hits"),
+                  explode(sequence(lit(0L), lit(10L))).as("k"))
+        .where(col("stop_hits") * 100 >= col("k") * col("n_tokens"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pass"), sum(col("n_tokens")).as("tok_pass"))
+        .crossJoin(broadcast(tot))
+        .select(col("k").as("threshold_pct"), col("n_pass"), col("tok_pass"),
+                round(col("n_pass") * 1.0 / col("n_docs"), 6).as("pass_share"))
+        .orderBy(col("threshold_pct"))
+    },
+
+    Q(
       "text_token_count",
       """SELECT doc_id,
         |       len(string_split(text, ' ')) AS ws_tokens,
