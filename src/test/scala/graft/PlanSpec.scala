@@ -414,6 +414,16 @@ class PlanSpec extends GraftSuite {
       "the brand/size arms must reach the part scan")
   }
 
+  test("sql_product_profit: LIKE filter pushed to the part scan; the filtered dim drives broadcast joins") {
+    val p = plan("sql_product_profit")
+    assert(p.contains("StringContains(p_name,widget)"),
+      "the %widget% LIKE must reach the part parquet scan as a pushed StringContains")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("NestedLoop"),
+      "the 5-relation profit join graph must stay hash equi-joins with dims broadcast")
+    assert(!p.contains("p_size") && !p.contains("p_brand"),
+      "column pruning must drop the part columns the profit rollup never reads")
+  }
+
   test("sql_supplier_relationship: NOT IN plans as a null-aware broadcast HASH anti join") {
     val (_, ns) = execNodes("sql_supplier_relationship")
     val naaj = ns.collect {
