@@ -764,6 +764,65 @@ object EventOps {
           sum(when(col("kind") === "resurrected", 1L).otherwise(0L)).as("resurrected"),
           sum(when(col("kind") === "churned", 1L).otherwise(0L)).as("churned"))
         .orderBy(col("day"))
+    },
+
+    Q(
+      "event_cohort_ltv",
+      """WITH f AS (
+        |  SELECT user_id,
+        |         CAST(floor(min(epoch_ms(ts)) / 86400000) AS BIGINT) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |sz AS (SELECT cohort_day, count(*) AS n_users FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT f.cohort_day,
+        |         CAST(floor(epoch_ms(e.ts) / 86400000) AS BIGINT) - f.cohort_day AS day_offset,
+        |         sum(CAST(e.value AS DECIMAL(18,2))) AS rev
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(floor(epoch_ms(e.ts) / 86400000) AS BIGINT) >= f.cohort_day
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT cohort_day, day_offset, rev,
+        |         sum(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS cum_rev
+        |  FROM r)
+        |SELECT c.cohort_day, c.day_offset,
+        |       round(CAST(c.rev AS DOUBLE), 2) AS revenue,
+        |       round(CAST(c.cum_rev AS DOUBLE), 2) AS cum_revenue,
+        |       round(CAST(c.cum_rev AS DOUBLE) / sz.n_users, 4) AS ltv_per_user
+        |FROM c JOIN sz ON c.cohort_day = sz.cohort_day
+        |ORDER BY c.cohort_day, c.day_offset""".stripMargin
+    ) { (s, d) =>
+      // Cohort LTV curve: cumulative purchase revenue per signup cohort
+      // over day offsets, per-user — the payback readout acquisition
+      // spend is judged against (event_retention says WHO comes back;
+      // this says what they're WORTH). Money rides the exact-decimal
+      // recipe (values are 2-dp, so sums and the cumulative window are
+      // exact; scale == rounding target, so cast-then-round is safe —
+      // contrast the Q9 scale-4 case). Scale shape: the per-user cohort
+      // table broadcasts back onto the purchase scan (the
+      // event_retention pattern); the cumulative window partitions by
+      // cohort_day over the O(days²) collapsed (cohort, offset) table —
+      // never facts, never unpartitioned; cohort sizes re-join as a
+      // second bounded broadcast; one IEEE division per row at output.
+      val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("event_type"), day.as("day"), col("value"))
+      val f = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val sz = f.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_users"))
+      val r = ev.where(col("event_type") === "purchase")
+        .join(Gate.bcast(f), "user_id")
+        .where(col("day") >= col("cohort_day"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      r.withColumn("cum_rev", sum(col("rev")).over(w))
+        .join(Gate.bcast(sz), "cohort_day")
+        .select(col("cohort_day"), col("day_offset"),
+                round(col("rev").cast("double"), 2).as("revenue"),
+                round(col("cum_rev").cast("double"), 2).as("cum_revenue"),
+                round(col("cum_rev").cast("double") / col("n_users"), 4).as("ltv_per_user"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     }
   )
 }
