@@ -620,6 +620,40 @@ object Aggs {
                       / (col("total").cast("double") * col("total").cast("double")), 8)
                   .as("gini"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    Q(
+      "agg_mad",
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       round(m.med, 4) AS median_value,
+        |       round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |GROUP BY e.event_type, m.med
+        |ORDER BY e.event_type""".stripMargin
+    ) { (s, d) =>
+      // Median absolute deviation per event type — the robust dispersion
+      // event_anomaly's mean/σ is not (one fat-tailed day inflates σ and
+      // hides every smaller anomaly; MAD holds still). Two-pass by
+      // construction (MAD is not a one-pass aggregate): the per-type
+      // median — a |types|-row table — broadcasts back onto the scan,
+      // then a second percentile collapses the deviations. Determinism:
+      // per-type medians interpolate identically in both engines (the
+      // agg_percentile-proven percentile ≡ quantile_cont recipe); the
+      // deviation |x − med| is elementwise IEEE on identical inputs —
+      // no reordering exists to drift; the outer median reuses the same
+      // proven interpolation. At 100 TB both passes are one fact scan +
+      // one bounded-key aggregate each; the broadcast is |event types|.
+      val m = T.events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      T.events(s, d)
+        .join(graft.Gate.bcast(m), "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+        .select(col("event_type"), round(col("med"), 4).as("median_value"), col("mad"))
+        .orderBy(col("event_type"))
     }
   )
 }
