@@ -654,6 +654,50 @@ object Aggs {
         .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
         .select(col("event_type"), round(col("med"), 4).as("median_value"), col("mad"))
         .orderBy(col("event_type"))
+    },
+
+    Q(
+      "agg_trimmed_mean",
+      """WITH b AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       count(*) FILTER (WHERE e.value >= b.lo AND e.value <= b.hi)
+        |         AS n_kept,
+        |       round(CAST(sum(CAST(e.value AS DECIMAL(18,2)))
+        |                    FILTER (WHERE e.value >= b.lo AND e.value <= b.hi)
+        |                  AS DOUBLE)
+        |             / count(*) FILTER (WHERE e.value >= b.lo AND e.value <= b.hi), 4)
+        |         AS trimmed_mean
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin
+    ) { (s, d) =>
+      // 5%-trimmed mean per event type — agg_mad's sibling: the robust
+      // LOCATION estimate (a handful of fat-tail rows move a plain mean
+      // arbitrarily far; trimming caps their leverage at zero). Same
+      // two-pass shape as MAD: the per-type [p05, p95] band — a
+      // |types|-row table — broadcasts back onto the scan, then one
+      // conditional aggregate keeps in-band rows. Determinism:
+      // the band edges interpolate identically in both engines (the
+      // proven percentile ≡ quantile_cont recipe), so in-band
+      // MEMBERSHIP is the same row set; the kept sum rides the exact
+      // 2-dp decimal recipe; one IEEE division per group at output.
+      val b = T.events(s, d).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+             expr("percentile(value, 0.95)").as("hi"))
+      val in = col("value") >= col("lo") && col("value") <= col("hi")
+      T.events(s, d)
+        .join(graft.Gate.bcast(b), "event_type")
+        .groupBy(col("event_type"))
+        .agg(sum(when(in, 1L).otherwise(0L)).as("n_kept"),
+             sum(when(in, col("value").cast("decimal(18,2)"))).as("kept_sum"))
+        .select(col("event_type"), col("n_kept"),
+                round(col("kept_sum").cast("double") / col("n_kept"), 4)
+                  .as("trimmed_mean"))
+        .orderBy(col("event_type"))
     }
   )
 }

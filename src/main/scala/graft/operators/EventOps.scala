@@ -823,6 +823,55 @@ object EventOps {
                 round(col("cum_rev").cast("double"), 2).as("cum_revenue"),
                 round(col("cum_rev").cast("double") / col("n_users"), 4).as("ltv_per_user"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    Q(
+      "event_conversion_window",
+      """WITH v AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |      WHERE event_type = 'purchase'),
+        |conv AS (SELECT DISTINCT v.event_id FROM v JOIN p
+        |         ON v.user_id = p.user_id
+        |        AND p.ms >= v.ms AND p.ms < v.ms + 86400000)
+        |SELECT v.day, count(*) AS n_views,
+        |       count(c.event_id) AS n_converted,
+        |       round(count(c.event_id) * 1.0 / count(*), 6) AS conversion_rate
+        |FROM v LEFT JOIN conv c ON v.event_id = c.event_id
+        |GROUP BY v.day
+        |ORDER BY v.day""".stripMargin
+    ) { (s, d) =>
+      // Windowed conversion rate: the share of views followed by a
+      // purchase from the same user within 24 hours, reported per view
+      // day — the funnel readout with a DEADLINE (event_funnel's hop
+      // windows chain stages; this one answers the single-step "did it
+      // convert in time?" that campaign dashboards plot). Scale shape:
+      // the view↔purchase join is USER-KEYED with the 24 h bound as a
+      // join residual — per-user work is |views|·|purchases| within the
+      // user, never a global range join; DISTINCT collapses multi-
+      // purchase credit so a view converts at most once; the converted
+      // id set joins back user-partitioned, and the final aggregate
+      // groups the bounded day key. Integer ms comparisons, integer
+      // counts, one IEEE division per day at output.
+      val ev = T.events(s, d)
+      val v = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+                floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("pms"))
+      val conv = v.join(p, v("user_id") === p("user_id") &&
+                           col("pms") >= col("ms") && col("pms") < col("ms") + 86400000L)
+        .select(v("event_id")).distinct()
+        .withColumn("converted", lit(1L))
+      v.join(conv, Seq("event_id"), "left_outer")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_views"),
+             sum(coalesce(col("converted"), lit(0L))).as("n_converted"))
+        .select(col("day"), col("n_views"), col("n_converted"),
+                round(col("n_converted") * 1.0 / col("n_views"), 6).as("conversion_rate"))
+        .orderBy(col("day"))
     }
   )
 }

@@ -344,6 +344,55 @@ object Joins {
     },
 
     Q(
+      "join_asof_forward",
+      """WITH t AS (SELECT event_id AS trade_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |q AS (SELECT event_id AS qid, user_id, ts, value FROM events
+        |      WHERE event_type IN ('view', 'click'))
+        |SELECT t.trade_id, t.user_id, CAST(t.ts AS TIMESTAMP) AS trade_ts,
+        |       arg_min(q.value,
+        |               CAST(epoch_ms(q.ts) AS HUGEINT) * 10000000 + q.qid)
+        |         AS next_quote
+        |FROM t JOIN q ON t.user_id = q.user_id AND q.ts >= t.ts
+        |GROUP BY t.trade_id, t.user_id, t.ts
+        |ORDER BY t.trade_id""".stripMargin
+    ) { (s, d) =>
+      // FORWARD as-of: the EARLIEST quote at-or-after each trade — the
+      // direction `join_asof`/`join_asof_native` (latest ≤) cannot
+      // express, needed for "what happened next" joins (next price
+      // after an order, next sensor reading after an alarm). The plan
+      // is the mirrored union+window trick: one (user_id) exchange, one
+      // DESCENDING time sort, running last(qvalue ignoreNulls) — at
+      // equal ts the quote sorts BEFORE the trade (inclusive >=) and
+      // ties among quotes break by DESCENDING qid so the running value
+      // lands on the MIN qid, exactly the oracle's composite
+      // arg_min(ms, qid) key. Trades with no future quote drop (the
+      // backward key does the same). The oracle spells the semantics as
+      // a range join + arg_min — fine for DuckDB at fixture scale; the
+      // engine side stays the linear single-pass shape that survives
+      // 100 TB (no range-join blowup, no per-trade probe).
+      val ev = T.events(s, d)
+      val quotes = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts"), col("value").as("qvalue"),
+                col("event_id").as("qid"),
+                lit(null).cast("long").as("trade_id"))
+      val trades = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+                lit(null).cast("double").as("qvalue"),
+                lit(null).cast("long").as("qid"),
+                col("event_id").as("trade_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("trade_id").asc_nulls_first, col("qid").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      quotes.unionByName(trades)
+        .withColumn("next_quote", last(col("qvalue"), ignoreNulls = true).over(w))
+        .where(col("trade_id").isNotNull && col("next_quote").isNotNull)
+        .select(col("trade_id"), col("user_id"),
+                col("ts").cast("timestamp").as("trade_ts"), col("next_quote"))
+        .orderBy(col("trade_id"))
+    },
+
+    Q(
       "join_self",
       """SELECT a.l_orderkey AS orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
         |       a.l_quantity AS qty_a, b.l_quantity AS qty_b
