@@ -383,6 +383,53 @@ object Windows {
                                    / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
                   .as("corr7"))
         .orderBy(col("day"))
+    },
+
+    Q(
+      "win_ewma",
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, e.day + g.g AS day,
+        |         CAST(sum(n * (64 >> g.g)) AS BIGINT) AS num,
+        |         CAST(sum(64 >> g.g) AS BIGINT)       AS den
+        |  FROM e CROSS JOIN generate_series(0, 6) g(g)
+        |  GROUP BY 1, 2)
+        |SELECT e.event_type, e.day, e.n,
+        |       round(CAST(x.num AS DOUBLE) / x.den, 4) AS ewma7
+        |FROM e JOIN x ON e.event_type = x.event_type AND e.day = x.day
+        |ORDER BY e.event_type, e.day""".stripMargin
+    ) { (s, d) =>
+      // Exponentially weighted moving average (half-life 1 day, 7-day
+      // horizon) of daily volume per event type — the recency-weighted
+      // smoother between win_moving_avg (all days equal) and "just use
+      // yesterday". EWMA is RECURSIVE and so inexpressible as a window
+      // aggregate in either engine; the kernel instead uses EXACT
+      // DYADIC weights: contribution of a day at lag g is n·2^(6−g), so
+      // numerator and denominator are exact BIGINT sums (powers of two
+      // shift, never round) and the smoothed value is ONE IEEE division
+      // of two exact integers — no float accumulation order exists to
+      // drift. Same fan-out shape as win_rolling_corr: each day emits
+      // its ≤7 weighted contributions through a generator, the rollup
+      // is an ordinary (type, day)-keyed aggregate over the COLLAPSED
+      // daily table, and no WindowExec appears at any scale.
+      val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
+      val e = T.events(s, d)
+        .select(col("event_type"), day.as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val x = e
+        .select(col("event_type"), col("day"), col("n"),
+                explode(sequence(lit(0L), lit(6L))).as("g"))
+        .groupBy(col("event_type"), (col("day") + col("g")).as("day"))
+        .agg(sum(col("n") * expr("shiftright(64L, cast(g as int))")).as("num"),
+             sum(expr("shiftright(64L, cast(g as int))")).as("den"))
+      e.join(x, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n"),
+                round(col("num").cast("double") / col("den"), 4).as("ewma7"))
+        .orderBy(col("event_type"), col("day"))
     }
   )
 }
