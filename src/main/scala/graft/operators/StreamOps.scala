@@ -120,6 +120,10 @@ object StreamOps {
       StreamingOps.runStatefulCounterDemo(s).orderBy(col("user_id"))
     },
 
+    Q.smoke("stream_ewma") { (s, _) =>
+      StreamingOps.runEwmaDemo(s).orderBy(col("user_id"))
+    },
+
     // Spark 4 arbitrary state v2 (transformWithState): typed named state
     // handles + TTL + timers on RocksDB-backed state. Same fixture and
     // same emitted counts as the v1 flatMapGroupsWithState demo above —

@@ -183,6 +183,55 @@ object StreamingOps {
       .agg(max(col("n_events")).as("n_events"), max(col("total")).as("total"))
   }
 
+  final case class UserEwma(user_id: Long, n: Long, ewma: Double)
+
+  /** TRUE recursive EWMA per user (`stream_ewma`): ewmaₖ = α·vₖ +
+    * (1−α)·ewmaₖ₋₁ with α = 1/2, carried across micro-batches in
+    * `GroupState`. This is the operator the batch engine deliberately
+    * does NOT express recursively — `win_ewma` documents that a window
+    * aggregate cannot encode the recursion and substitutes a
+    * truncated-horizon dyadic approximation; streaming state is where
+    * the EXACT infinite-horizon recursion lives. Determinism: each
+    * batch's rows fold in (ts, value) order inside the group, so the
+    * result is a pure sequential fold over the per-user event sequence
+    * regardless of how arrivals split into micro-batches —
+    * StreamingSpec pins batch-split invariance and equality with a
+    * driver-side fold.
+    */
+  def runEwmaDemo(spark: SparkSession,
+                  batches: Seq[Seq[Ev]] = Seq(
+                    Seq(Ev(ts(0), 1L, 2.0), Ev(ts(1), 1L, 6.0), Ev(ts(0), 2L, 10.0)),
+                    Seq(Ev(ts(2), 1L, 4.0), Ev(ts(1), 2L, 20.0), Ev(ts(2), 2L, 30.0)))): DataFrame =
+    withFewPartitionsNoIdleBatches(spark) {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Ev]
+
+      def update(user: Long, evs: Iterator[Ev], state: GroupState[UserEwma]): Iterator[UserEwma] = {
+        val prev = state.getOption.getOrElse(UserEwma(user, 0L, 0.0))
+        val ordered = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+        val next = ordered.foldLeft(prev) { (st, e) =>
+          val ew = if (st.n == 0L) e.value else 0.5 * e.value + 0.5 * st.ewma
+          UserEwma(user, st.n + 1, ew)
+        }
+        state.update(next)
+        Iterator(next)
+      }
+
+      val ewmas = mem.toDS()
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      val q = ewmas.writeStream.format("memory").queryName("stream_ewma")
+        .outputMode(OutputMode.Update).start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      // latest state per user = the full-sequence fold
+      spark.table("stream_ewma")
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"), max_by(col("ewma"), col("n")).as("ewma"))
+    }
+
   /** Spark 4 arbitrary state v2 (`stream_transform_with_state`): the same
     * running per-user counter as [[runStatefulCounterDemo]], re-expressed
     * on the `transformWithState` StatefulProcessor API — typed named state

@@ -35,6 +35,39 @@ class StreamingSpec extends GraftSuite {
     assert(rows(2L) == ((1L, 3.0)), s"user 2 state wrong: ${rows(2L)}")
   }
 
+  test("stream_ewma: recursive fold carries across micro-batches and is batch-split invariant") {
+    import StreamingOps.Ev
+    def mk(minute: Int, user: Long, v: Double) =
+      Ev(java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, v)
+    // interleaved by time so the take(3) split below cuts BOTH users'
+    // sequences mid-stream (the cross-batch carry is what's under test)
+    val events = Seq(mk(0, 1L, 2.0), mk(0, 2L, 10.0), mk(1, 1L, 6.0),
+                     mk(1, 2L, 20.0), mk(2, 1L, 4.0), mk(2, 2L, 30.0))
+    // driver-side sequential fold over the ts-ordered per-user sequence
+    def fold(vs: Seq[Double]): Double =
+      vs.tail.foldLeft(vs.head)((e, v) => 0.5 * v + 0.5 * e)
+    val want = events.groupBy(_.user_id).map { case (u, es) =>
+      u -> fold(es.sortBy(_.ts.getTime).map(_.value))
+    }
+    def run(batches: Seq[Seq[Ev]]): Map[Long, (Long, Double)] =
+      StreamingOps.runEwmaDemo(spark, batches)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // split A: by time; split B: everything in one batch; split C: per user
+    val a = run(Seq(events.take(3), events.drop(3)))
+    val b = run(Seq(events))
+    val c = run(Seq(events.filter(_.user_id == 1L), events.filter(_.user_id == 2L)))
+    Seq(a, b, c).foreach { got =>
+      want.foreach { case (u, w) =>
+        assert(got(u)._1 == 3L, s"user $u: wrong event count ${got(u)._1}")
+        assert(got(u)._2 == w, s"user $u: ewma ${got(u)._2} != sequential fold $w")
+      }
+    }
+    // the recursion genuinely weights recency: user 1 saw 2,6,4 →
+    // ewma 4.0, NOT the plain mean 4.0... pick user 2 (10,20,30 →
+    // 0.25·10 + 0.25·20 + 0.5·30 = 22.5 > mean 20) to pin the tilt
+    assert(b(2L)._2 > 20.0, "ewma must tilt toward recent values vs the plain mean")
+  }
+
   test("stream-stream interval join matches in-window pairs and excludes out-of-window") {
     val rows = StreamingOps.runStreamStreamJoinDemo(spark)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
