@@ -826,6 +826,51 @@ object EventOps {
     },
 
     Q(
+      "event_anomaly_robust",
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM c GROUP BY 1),
+        |m AS (SELECT c.event_type, s.med,
+        |             quantile_cont(abs(c.n - s.med), 0.5) AS mad
+        |      FROM c JOIN s ON c.event_type = s.event_type
+        |      GROUP BY c.event_type, s.med)
+        |SELECT c.event_type, c.day, c.n,
+        |       round(m.med, 4) AS med, round(m.mad, 4) AS mad,
+        |       (abs(c.n - m.med) > 3 * m.mad) AS is_outlier
+        |FROM c JOIN m ON c.event_type = m.event_type
+        |ORDER BY c.event_type, c.day""".stripMargin
+    ) { (s, d) =>
+      // Robust daily-volume anomaly flag: |n − median| > 3·MAD per event
+      // type — the detector `event_anomaly`'s mean/σ z-score is not
+      // (one fat spike inflates σ and then MASKS every smaller anomaly
+      // in the same window; median and MAD hold still, so the spike is
+      // flagged AND the rest of the month keeps its baseline). agg_mad's
+      // recipe applied to the collapsed daily counts: both percentile
+      // passes and the deviation are over the days×types table — never
+      // facts; the |types|-row median table broadcasts back twice; the
+      // flag compares doubles computed by identical IEEE expressions on
+      // both engines, so no boundary day can flip.
+      val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
+      val c = Caches.register(T.events(s, d)
+        .select(col("event_type"), day.as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+        .persist())
+      val med = c.groupBy(col("event_type"))
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val m = c.join(Gate.bcast(med), "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+      c.join(Gate.bcast(m), "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+                round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+                (abs(col("n") - col("med")) > lit(3) * col("mad")).as("is_outlier"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    Q(
       "event_conversion_window",
       """WITH v AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
