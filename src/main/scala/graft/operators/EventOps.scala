@@ -120,6 +120,57 @@ object EventOps {
     },
 
     Q(
+      "event_session_stats",
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ms,
+        |         CASE WHEN lag(ms) OVER w IS NULL
+        |              OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s AS (
+        |  SELECT user_id, ms,
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |         max(ms) - min(ms) AS dur_ms
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT count(*) AS n_sessions,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(quantile_cont(n_events, 0.5), 4) AS med_events,
+        |       round(quantile_cont(dur_ms, 0.5), 4)   AS med_dur_ms,
+        |       round(quantile_cont(dur_ms, 0.9), 4)   AS p90_dur_ms
+        |FROM sess""".stripMargin
+    ) { (s, d) =>
+      // The session-quality report over event_sessionize's construction:
+      // median events/session, median and p90 duration — the dashboard
+      // row a sessionization change is judged by (a gap-threshold tweak
+      // shows up here first). Same one-exchange build (lag + running sum
+      // + roll-up all hash on user_id); the stats pass then aggregates
+      // the |sessions| table — already ≪ events — in one global reduce,
+      // with percentile interpolation over exact integers (the proven
+      // percentile ≡ quantile_cont recipe) so midpoints hash identically.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val gap = col("ms") - lag(col("ms"), 1).over(w)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("new_s", when(gap.isNull || gap > GapMs, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             (max(col("ms")) - min(col("ms"))).as("dur_ms"))
+        .agg(count(lit(1)).as("n_sessions"),
+             countDistinct(col("user_id")).as("n_users"),
+             round(expr("percentile(n_events, 0.5)"), 4).as("med_events"),
+             round(expr("percentile(dur_ms, 0.5)"), 4).as("med_dur_ms"),
+             round(expr("percentile(dur_ms, 0.9)"), 4).as("p90_dur_ms"))
+    },
+
+    Q(
       "event_funnel",
       """WITH a AS (
         |  SELECT user_id, min(epoch_ms(ts)) AS ta FROM events
