@@ -877,6 +877,46 @@ object EventOps {
     },
 
     Q(
+      "event_stickiness",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |m AS (
+        |  SELECT ud.day + g.g AS day, count(DISTINCT user_id) AS mau
+        |  FROM ud CROSS JOIN generate_series(0, 29) g(g)
+        |  GROUP BY 1)
+        |SELECT dau.day, dau.dau, m.mau,
+        |       round(dau.dau * 1.0 / m.mau, 6) AS stickiness
+        |FROM dau JOIN m ON dau.day = m.day
+        |ORDER BY dau.day""".stripMargin
+    ) { (s, d) =>
+      // DAU/MAU stickiness per day (MAU = distinct users over the
+      // trailing 30 calendar days) — the engagement ratio product
+      // reviews lead with. The event_dau_rolling pattern at the 30-day
+      // horizon: the log collapses to DISTINCT user-days FIRST (the big
+      // reduction at 100 TB), each pair fans out via a generator to the
+      // ≤30 report days it witnesses, and one distinct-count per report
+      // day finishes MAU — never a 30× per-day self-join, never a
+      // window over facts. DAU re-aggregates the same collapsed table.
+      // Integer counts, one IEEE division per day at output.
+      val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
+      val ud = Caches.register(T.events(s, d)
+        .select(col("user_id"), day.as("day")).distinct().persist())
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val mau = ud
+        .select(col("user_id"), explode(sequence(lit(0L), lit(29L))).as("g"),
+                col("day"))
+        .groupBy((col("day") + col("g")).as("day"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+                round(col("dau") * 1.0 / col("mau"), 6).as("stickiness"))
+        .orderBy(col("day"))
+    },
+
+    Q(
       "event_anomaly_robust",
       """WITH c AS (
         |  SELECT event_type,

@@ -224,10 +224,14 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"),
       "observed-days filter must broadcast under the gate")
     // the generator consumes the DISTINCT (user, day) aggregate, i.e. the
-    // event log was collapsed BEFORE the ×7 fan-out, not after
+    // event log was collapsed BEFORE the ×7 fan-out, not after. Two valid
+    // shapes: the live distinct aggregate, OR the CacheManager's
+    // InMemoryTableScan when another query (event_stickiness persists the
+    // same collapsed set) ran first in this session — the cached relation
+    // IS the collapsed user-day set, arriving even cheaper.
     val gen = p.linesIterator.dropWhile(!_.contains("Generate explode")).take(3).mkString("\n")
-    assert(gen.contains("HashAggregate(keys=[user_id"),
-      "generator must sit directly on the collapsed user-day set")
+    assert(gen.contains("HashAggregate(keys=[user_id") || gen.contains("InMemoryTableScan"),
+      "generator must sit directly on the collapsed user-day set (live or cached)")
   }
 
   test("agg_histogram: bucket id computed below the partial aggregate") {
