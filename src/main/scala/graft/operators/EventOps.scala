@@ -877,6 +877,47 @@ object EventOps {
     },
 
     Q(
+      "event_revenue_concentration",
+      """WITH u AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |t AS (SELECT quantile_cont(CAST(rev AS DOUBLE), 0.9) AS p90 FROM u)
+        |SELECT count(*) AS n_users,
+        |       count(*) FILTER (WHERE CAST(rev AS DOUBLE) >= t.p90) AS n_top,
+        |       round(CAST(sum(rev) FILTER (WHERE CAST(rev AS DOUBLE) >= t.p90)
+        |                  AS DOUBLE)
+        |             / CAST(sum(rev) AS DOUBLE), 6) AS top_share,
+        |       round(t.p90, 4) AS p90_revenue
+        |FROM u CROSS JOIN t
+        |GROUP BY t.p90""".stripMargin
+    ) { (s, d) =>
+      // Revenue concentration: what share of purchase revenue comes from
+      // the top decile of spenders — the Pareto readout behind "how
+      // fragile is this revenue base?". Two-pass like the robust stats:
+      // per-user revenue collapses the log (one user_id exchange, exact
+      // 2-dp decimal sums), the p90 threshold — ONE number — broadcasts
+      // back, and a single conditional aggregate splits the total.
+      // Determinism: the threshold interpolates the same doubles in both
+      // engines (percentile ≡ quantile_cont, with the decimal→double
+      // cast value-exact for 2-dp sums in range), membership compares
+      // identically-computed doubles, and both revenue sums stay exact
+      // decimal until the final division.
+      val u = T.events(s, d).where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      val t = u.agg(expr("percentile(cast(rev as double), 0.9)").as("p90"))
+      val top = col("rev").cast("double") >= col("p90")
+      u.crossJoin(broadcast(t))
+        .groupBy(col("p90"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(when(top, 1L).otherwise(0L)).as("n_top"),
+             round(sum(when(top, col("rev"))).cast("double")
+                   / sum(col("rev")).cast("double"), 6).as("top_share"))
+        .select(col("n_users"), col("n_top"), col("top_share"),
+                round(col("p90"), 4).as("p90_revenue"))
+    },
+
+    Q(
       "event_stickiness",
       """WITH ud AS (
         |  SELECT DISTINCT user_id,

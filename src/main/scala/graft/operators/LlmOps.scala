@@ -827,6 +827,55 @@ object LlmOps {
     },
 
     Q(
+      "text_source_mix",
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS n,
+        |         CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |             CAST(sum(chars) AS BIGINT) AS n_chars FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS all_docs FROM c),
+        |top AS (
+        |  SELECT source, lang AS top_lang, n AS top_lang_docs FROM (
+        |    SELECT source, lang, n,
+        |           row_number() OVER (PARTITION BY source
+        |                              ORDER BY n DESC, lang) AS rn
+        |    FROM c) x WHERE rn = 1)
+        |SELECT s.source, s.n_docs, s.n_chars,
+        |       round(s.n_docs * 1.0 / tot.all_docs, 6) AS doc_share,
+        |       top.top_lang, top.top_lang_docs
+        |FROM s JOIN top ON s.source = top.source CROSS JOIN tot
+        |ORDER BY s.source""".stripMargin
+    ) { (s, d) =>
+      // Corpus-composition report per source: doc count, char volume,
+      // corpus share, dominant language — the dashboard
+      // `sample_domain_mix` (the resampler) is tuned AGAINST; you read
+      // this first, then set the mix weights. One bounded
+      // (source, lang) aggregate collapses the corpus; everything after
+      // — per-source rollup, dominant-language pick (rank-1 window with
+      // a lang tiebreak so ties are deterministic), the 1-row total —
+      // runs over that tiny table. Integer counts; one IEEE division
+      // per source.
+      val c = graft.Caches.register(T.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .persist())
+      val sTab = c.groupBy(col("source"))
+        .agg(sum(col("n")).cast("long").as("n_docs"),
+             sum(col("chars")).cast("long").as("n_chars"))
+      val tot = c.agg(sum(col("n")).cast("long").as("all_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n").desc, col("lang"))
+      val top = c.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("n").as("top_lang_docs"))
+      sTab.join(top, "source").crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+                round(col("n_docs") * 1.0 / col("all_docs"), 6).as("doc_share"),
+                col("top_lang"), col("top_lang_docs"))
+        .orderBy(col("source"))
+    },
+
+    Q(
       "text_quality_sweep",
       """WITH b AS (
         |  SELECT len(string_split(text, ' ')) AS n_tokens,
