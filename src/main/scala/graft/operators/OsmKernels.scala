@@ -219,6 +219,64 @@ object OsmKernels {
     },
 
     Q(
+      "osm_length_by_class",
+      """WITH pts AS (
+        |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref,
+        |         p_size * 100 AS lon_c, CAST(round(p_retailprice * 100) AS BIGINT) AS lat_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ways AS (
+        |  SELECT way_id,
+        |         list(lon_c ORDER BY pos, node_ref) AS lons,
+        |         list(lat_c ORDER BY pos, node_ref) AS lats
+        |  FROM pts GROUP BY way_id),
+        |lens AS (
+        |  SELECT way_id,
+        |         CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(2, len(lons) + 1), i ->
+        |             sqrt(CAST((lons[i] - lons[i-1]) * (lons[i] - lons[i-1])
+        |                     + (lats[i] - lats[i-1]) * (lats[i] - lats[i-1]) AS DOUBLE)))),
+        |           (a, b) -> a + b) * 1113.2, 1) AS DECIMAL(18,1)) AS length_m
+        |  FROM ways)
+        |SELECT o_orderpriority AS highway_class,
+        |       count(*) AS n_ways,
+        |       round(CAST(sum(length_m) AS DOUBLE) / 1000, 3) AS total_km
+        |FROM lens JOIN orders ON way_id = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY highway_class""".stripMargin
+    ) { (s, d) =>
+      // "Total km per road class" — THE serving query a PostGIS layer
+      // table exists for (ST_Length + GROUP BY highway). Class rides the
+      // way's order row (the fixture's tag table). The determinism move
+      // is in the ROLLUP: per-way lengths are doubles whose cross-way
+      // float sum would drift with aggregation order, so each way's
+      // 0.1 m-rounded length is cast to DECIMAL(18,1) FIRST — the class
+      // totals are then exact decimal sums, order- and
+      // partitioning-invariant, divided once at output. Same single
+      // regroup as the length kernel; the class tag joins broadcast;
+      // the rollup aggregates |ways| rows on a bounded key.
+      val lens = T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+                col("l_partkey").as("node_ref"))
+        .join(nodes(s, d), col("node_ref") === col("node_id"))
+        .groupBy(col("way_id"))
+        .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+        .select(col("way_id"),
+          round(expr("""aggregate(
+                          zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
+                                   (a, b) -> sqrt(CAST((b.lon_c - a.lon_c) * (b.lon_c - a.lon_c)
+                                                     + (b.lat_c - a.lat_c) * (b.lat_c - a.lat_c) AS DOUBLE))),
+                          CAST(0 AS DOUBLE), (acc, x) -> acc + x)""") * 1113.2, 1)
+            .cast("decimal(18,1)").as("length_m"))
+      val cls = T.orders(s, d)
+        .select(col("o_orderkey").as("way_id"), col("o_orderpriority").as("highway_class"))
+      lens.join(graft.Gate.bcast(cls), "way_id")
+        .groupBy(col("highway_class"))
+        .agg(count(lit(1)).as("n_ways"),
+             round(sum(col("length_m")).cast("double") / 1000, 3).as("total_km"))
+        .orderBy(col("highway_class"))
+    },
+
+    Q(
       "osm_way_length_geodesic",
       s"""WITH pts AS (
          |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref,
