@@ -717,6 +717,41 @@ object OsmKernels {
     },
 
     Q(
+      "osm_area_by_landuse",
+      s"""WITH $duckRingsCte
+         |SELECT o_orderpriority AS landuse_class,
+         |       count(*) AS n_polys,
+         |       CAST(sum(abs(shoe)) AS BIGINT) AS shoe_sum,
+         |       round(CAST(sum(abs(shoe)) AS BIGINT) * 619667.12 / 1000000, 3)
+         |         AS total_km2
+         |FROM rings JOIN orders ON way_id = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY landuse_class""".stripMargin
+    ) { (s, d) =>
+      // "Total km² per landuse class" — ST_Area + GROUP BY landuse, the
+      // area twin of `osm_length_by_class` and the other half of the
+      // PostGIS serving pair. Strictly STRONGER determinism than the
+      // length rollup needed: the per-way shoelace `shoe` is already an
+      // EXACT BIGINT, so the class total is an exact integer sum
+      // (order- and partitioning-invariant by construction — no decimal
+      // cast required) and the only double ever formed is the one final
+      // multiply of shoe_sum by the literal area factor. The exact
+      // integer shoe_sum ships in the output so the oracle compare pins
+      // the rollup at full precision, not only through the rounded km².
+      // Same regroup as the area kernel; the class tag broadcasts.
+      val cls = T.orders(s, d)
+        .select(col("o_orderkey").as("way_id"), col("o_orderpriority").as("landuse_class"))
+      wayRings(s, d)
+        .join(graft.Gate.bcast(cls), "way_id")
+        .groupBy(col("landuse_class"))
+        .agg(count(lit(1)).as("n_polys"),
+             sum(abs(col("shoe"))).cast("long").as("shoe_sum"))
+        .select(col("landuse_class"), col("n_polys"), col("shoe_sum"),
+                round(col("shoe_sum") * 619667.12 / 1000000, 3).as("total_km2"))
+        .orderBy(col("landuse_class"))
+    },
+
+    Q(
       "osm_way_wkb",
       """WITH pts AS (
         |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref
