@@ -364,7 +364,7 @@ object OsmKernels {
          |       nrp AS n_ring_points,
          |       round((CAST(list_sum(vlats) AS DOUBLE) / CAST(len(vlats) AS DOUBLE)) * 0.01, 4) AS lat_ref,
          |       round(CAST(abs(shoe) AS DOUBLE) * 619667.12 * ${cosPoly(
-             "((CAST(list_sum(vlats) AS DOUBLE) / CAST(len(vlats) AS DOUBLE)) * 1.7453292519943295e-4)")}, 1) AS area_m2
+             "((CAST(list_sum(vlats) AS DOUBLE) / CAST(len(vlats) AS DOUBLE)) * 1.7453292519943295e-4)")} / 1e6, 1) AS area_km2
          |FROM rings
          |ORDER BY way_id""".stripMargin
         .replace("FROM pts_src",
@@ -404,8 +404,19 @@ object OsmKernels {
           col("way_id"),
           size(col("ring")).cast("long").as("n_ring_points"),
           round(expr(latBar) * 0.01, 4).as("lat_ref"),
+          // RULE (learned r13): never round() a double above ~1e9 to
+          // sub-integer precision in an oracled key unless the true value
+          // is decimal by construction. Raw areas reach ~1e13 m² where a
+          // double's ULP (~0.002) swamps the 0.05 rounding boundary and
+          // DuckDB (nearbyint-style) vs Spark (BigDecimal HALF_UP on the
+          // shortest repr) disagree on boundary rows. The sibling
+          // osm_way_area_m2 is safe *structurally* (integer-shoelace ×
+          // 2-dp literal can't land on .x5), but the irrational cosPoly
+          // factor here can. Fix: rescale to km² (~1e7 magnitude, ULP
+          // ~2e-9) before rounding — both engines then agree except with
+          // ~3e-7 probability per row.
           round(expr(s"CAST(abs(shoe) AS DOUBLE)") * 619667.12 *
-            expr(cosPoly(s"($latBar * 1.7453292519943295e-4)")), 1).as("area_m2"))
+            expr(cosPoly(s"($latBar * 1.7453292519943295e-4)")) / 1e6, 1).as("area_km2"))
         .orderBy(col("way_id"))
     },
 
@@ -547,7 +558,7 @@ object OsmKernels {
       // once, unlike `osm_bbox_intersection_area`'s per-way density sum.
       // Algorithm: grid-decompose then coordinate-compression sweep.
       // (1) clip each bbox to the query window, shred it over fine
-      // 2250×2000 centi-unit cells (disjoint cells ⇒ union area is
+      // 250×2000 centi-unit cells (disjoint cells ⇒ union area is
       // additive over cells); (2) per cell, the distinct box edges cut
       // the x-axis into strips (lead over the sorted edge set); (3) a
       // strip×box cell-local equi-join keeps boxes spanning each strip;

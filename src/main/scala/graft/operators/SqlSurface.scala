@@ -472,7 +472,119 @@ object SqlSurface {
         |  AND p_brand = 'Brand#25'
         |  AND p_size < 5
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
-        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    // TPC-H Q2 shape (min-cost supplier): the correlated MIN-subquery
+    // against a multi-dimensional join — the subquery repeats the
+    // dimension chain (supplier→nation→region) INSIDE the correlation,
+    // so decorrelation must carry a 3-way join into the per-part
+    // aggregate, not just a bare column min (the shape Q17's scalar-avg
+    // doesn't pin). Catalyst plans it as one partkey-keyed min over the
+    // EUROPE-filtered join, joined back; at 100 TB that is one shuffle,
+    // not |part| probes. Price equality compares raw parquet doubles —
+    // identical bits in both engines, no rounding involved. DISTINCT
+    // collapses multiple same-price lineitems of one (part, supplier);
+    // ORDER BY ends on p_partkey + s_name (unique pair), so the
+    // LIMIT 100 cut is total.
+    "sql_min_cost_supplier" ->
+      """SELECT DISTINCT round(CAST(s_acctbal AS DOUBLE), 2) AS acctbal,
+        |       s_name, n_name, p_partkey, p_name
+        |FROM part, supplier, lineitem, nation, region
+        |WHERE p_partkey = l_partkey
+        |  AND s_suppkey = l_suppkey
+        |  AND p_size = 15
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p_partkey
+        |      AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // TPC-H Q11 shape (important stock): HAVING against a GLOBAL scalar
+    // — the filter's right side is an uncorrelated single-row subquery
+    // over the same filtered join, so the plan computes the grouped
+    // aggregate once, the global total once (a second pass over the
+    // same shuffle output), and broadcasts the 1-row scalar into the
+    // HAVING filter. Supplier-part value rides lineitem (the fixture
+    // has no partsupp). Both sides of the > are EXACT decimal sums
+    // (DECIMAL(18,2) products, ×0.001 stays exact at scale 5), so the
+    // threshold comparison cannot drift cross-engine.
+    "sql_important_stock" ->
+      """SELECT l_partkey,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS part_value
+        |FROM lineitem, supplier, nation
+        |WHERE l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_7'
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_quantity AS DECIMAL(18,2))) > (
+        |  SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) * 0.001
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey
+        |    AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_7')
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    // TPC-H Q12 shape (shipmode priority): the two-way CONDITIONAL
+    // aggregate — one fact-fact join, then both output measures are
+    // CASE-sums over the SAME rows (a single grouped pass computes
+    // both; no second join or scan). The fixture has no l_shipmode /
+    // l_commitdate, so the mode axis is l_returnflag and "late" is
+    // ship > order date + 60 days — same plan shape, same single-pass
+    // conditional-agg contract. Counts are exact integers; no float
+    // anywhere.
+    "sql_shipmode_priority" ->
+      """SELECT l_returnflag AS ship_class,
+        |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                  OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+        |                 AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // TPC-H Q20 shape (potential promotion): the nested SEMI-JOIN
+    // chain — IN (grouped subquery that itself contains an IN and a
+    // CORRELATED scalar HAVING). Catalyst must decorrelate the inner
+    // quantity total into a partkey aggregate, semi-join part's LIKE
+    // set into the middle block, and finally semi-join supplier — three
+    // stacked semi/aggregate layers, none of which may multiply rows.
+    // The fixture has no partsupp, so "availqty > half of shipped" maps
+    // to "this supplier shipped > 0.5 of the part's 1997 volume" —
+    // exact decimal sums on both sides of the strict >, deterministic.
+    "sql_potential_promotion" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT l1.l_suppkey FROM lineitem l1
+        |    WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+        |                           WHERE p_name LIKE '%red%')
+        |      AND l1.l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l1.l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY l1.l_suppkey, l1.l_partkey
+        |    HAVING sum(CAST(l1.l_quantity AS DECIMAL(18,2))) > (
+        |      SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) * 0.5
+        |      FROM lineitem l2
+        |      WHERE l2.l_partkey = l1.l_partkey
+        |        AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+        |        AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+        |ORDER BY s_suppkey""".stripMargin
   )
 
   val all: Seq[Q] = shared.map { case (key, sql) =>

@@ -250,18 +250,31 @@ private class PbfBatchWrite(path: String, truncate: Boolean, schema: StructType)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new java.io.File(path)
     dir.mkdirs()
-    if (truncate)
-      dir.listFiles().filter(f => f.getName.endsWith(".osm.pbf")
-                               || f.getName.endsWith(".inprogress")).foreach(_.delete())
+    // Only dead *.inprogress attempts are swept here. Prior committed
+    // part files stay untouched until commit() so that a write which
+    // fails mid-flight (and aborts) leaves the previous data intact —
+    // the overwrite happens inside the commit, not before the first task.
+    dir.listFiles().filter(_.getName.endsWith(".inprogress")).foreach(_.delete())
     new PbfWriterFactory(path, schema)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    // only COMMITTED tasks' messages arrive here: rename their temp
-    // files into place; anything still *.inprogress is a dead attempt
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // only COMMITTED tasks' messages arrive here. For overwrite: drop the
+    // prior generation's part files that the new generation does not
+    // replace, then rename temps into place (POSIX rename atomically
+    // replaces colliding old parts). Old data survives any failure
+    // before this point.
+    if (truncate) {
+      val newFinals = messages.collect { case PbfCommit(_, fin) =>
+        new java.io.File(fin).getName }.toSet
+      new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".osm.pbf") && !newFinals.contains(f.getName))
+        .foreach(_.delete())
+    }
     messages.foreach { case PbfCommit(tmp, fin) =>
       val ok = new java.io.File(tmp).renameTo(new java.io.File(fin))
       require(ok || !new java.io.File(tmp).exists(), s"pbf commit rename failed: $tmp")
     }
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case PbfCommit(tmp, _) => new java.io.File(tmp).delete(); ()
@@ -328,7 +341,13 @@ private class PbfDataWriter(path: String, partitionId: Int, taskId: Long,
       case "node" =>
         // lon_c/lat_c centi-units -> exact nanodegrees (x 1e6, a
         // multiple of the granularity, so the reader floors back to the
-        // identical centi value)
+        // identical centi value). getLong on a NULL field would yield 0
+        // and silently place the node at (0,0) — fail loudly instead,
+        // matching the unknown-kind error path below.
+        if (idx("lon_c") < 0 || idx("lat_c") < 0 ||
+            row.isNullAt(idx("lon_c")) || row.isNullAt(idx("lat_c")))
+          throw new IllegalArgumentException(
+            s"osm.pbf sink: node ${row.getLong(idx("element_id"))} has NULL lon_c/lat_c")
         OsmPbf.Element.node(row.getLong(idx("element_id")),
           row.getLong(idx("lon_c")) * 1000000L, row.getLong(idx("lat_c")) * 1000000L, tags)
       case "way"      => OsmPbf.Element.way(row.getLong(idx("element_id")), refs, tags)

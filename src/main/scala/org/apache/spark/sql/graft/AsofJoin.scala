@@ -118,7 +118,12 @@ case class AsofJoinExec(
           val rk = rkB.eval(r).asInstanceOf[Long]
           if (rk < lk || (rk == lk && rtB.eval(r).asInstanceOf[Long] <= lt)) {
             rBuf.next()
-            matchKey = rk; matchVal = rvB.eval(r); matchValid = true
+            // matchVal is carried across right-iterator advances and across
+            // left rows, but sort/shuffle iterators reuse their backing
+            // UnsafeRow — a borrowed UTF8String/Decimal/array would be
+            // silently repointed. InternalRow.copyValue deep-copies exactly
+            // the buffer-backed types and passes primitives through.
+            matchKey = rk; matchVal = InternalRow.copyValue(rvB.eval(r)); matchValid = true
           } else advance = false
         }
         valueRow.update(0, if (matchValid && matchKey == lk) matchVal else null)
