@@ -317,6 +317,15 @@ class PlanSpec extends GraftSuite {
       "the grid join must exist")
   }
 
+  test("osm_poly_overlaps: cell equi-join proposes pairs, never the bbox inequality") {
+    val (_, ns) = execNodes("osm_poly_overlaps")
+    assert(!ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "candidate pairing must be the (cx, cy) equi-join, not an NLJ on bbox overlap")
+    assert(ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "the grid join must exist")
+  }
+
   test("lake_stats: one scan melts all columns — no per-column rescan") {
     val (_, ns) = execNodes("lake_stats")
     assert(ns.count(
