@@ -1069,6 +1069,63 @@ object EventOps {
         .select(col("day"), col("n_views"), col("n_converted"),
                 round(col("n_converted") * 1.0 / col("n_views"), 6).as("conversion_rate"))
         .orderBy(col("day"))
+    },
+
+    Q(
+      "event_cusum",
+      """WITH d AS (
+        |  SELECT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS tot FROM d),
+        |x AS (
+        |  SELECT day, n,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |         CAST(sum(n) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
+        |  FROM d),
+        |c AS (SELECT day, n, nd * pre - i * tot AS cusum_scaled FROM x, t),
+        |m AS (SELECT max(abs(cusum_scaled)) AS mx FROM c)
+        |SELECT day, n, cusum_scaled,
+        |       CAST(CASE WHEN abs(cusum_scaled) = mx THEN 1 ELSE 0 END AS BIGINT) AS is_change_point
+        |FROM c, m
+        |ORDER BY day""".stripMargin
+    ) { (s, d) =>
+      // CUSUM change-point detection over the daily event volume — the
+      // classic "did the level shift, and when?" monitor (Page's
+      // cumulative-sum statistic; the argmax of |CUSUM| is the standard
+      // single-change-point estimate). The statistic is kept EXACT by
+      // clearing the mean's denominator: S_i = Σ_{j≤i}(n_j − tot/nd)
+      // scaled by nd gives nd·prefix_i − i·tot — all BIGINT (≤ #days ×
+      // total events ≈ 2^40 at sf0.1; overflow needs >4e9 days·events²
+      // — unreachable), so peak day and flag are partition-order
+      // invariant and bit-identical cross-engine, no float mean anywhere.
+      // Scale shape: the facts collapse FIRST to one row per day (one
+      // partial+final agg); the ordered prefix window and the peak scan
+      // run over that calendar-bounded table (≤ a few hundred rows at
+      // ANY corpus size — this is the documented exception to the
+      // no-global-window rule: the window input is bounded by the
+      // calendar, not the corpus), and the two scalars (nd, tot / mx)
+      // ride broadcast-1-row cross joins.
+      val days = T.events(s, d)
+        .groupBy(floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = days.agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))
+      val w = Window.orderBy(col("day"))
+      val x = days
+        .select(col("day"), col("n"),
+                row_number().over(w).cast("long").as("i"),
+                sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding,
+                  Window.currentRow)).as("pre"))
+        .crossJoin(broadcast(tot))
+        .select(col("day"), col("n"),
+                (col("nd") * col("pre") - col("i") * col("tot")).as("cusum_scaled"))
+      val mx = x.agg(max(abs(col("cusum_scaled"))).as("mx"))
+      x.crossJoin(broadcast(mx))
+        .select(col("day"), col("n"), col("cusum_scaled"),
+                when(abs(col("cusum_scaled")) === col("mx"), 1L).otherwise(0L)
+                  .as("is_change_point"))
+        .orderBy(col("day"))
     }
   )
 }

@@ -1939,6 +1939,93 @@ object OsmKernels {
     },
 
     Q(
+      "osm_name_trigram",
+      """WITH probes AS (
+        |  SELECT * FROM (VALUES ('q1', 'red wdget'), ('q2', 'blu bolt'),
+        |                        ('q3', 'smal gizmo'), ('q4', 'hott gear'),
+        |                        ('q5', 'old blot')) AS v(probe_id, probe_text)),
+        |pg AS (
+        |  SELECT probe_id, probe_text,
+        |         list_distinct(flatten(list_transform(
+        |           list_filter(string_split(lower(probe_text), ' '), w -> length(w) > 0),
+        |           w -> list_transform(range(1, length(w) + 2),
+        |                               i -> substring('  ' || w || ' ', i, 3))))) AS gs
+        |  FROM probes),
+        |pl AS (SELECT probe_id, probe_text, len(gs) AS n2, unnest(gs) AS g FROM pg),
+        |ng AS (
+        |  SELECT p_partkey AS node_id, p_name AS name,
+        |         list_distinct(flatten(list_transform(
+        |           list_filter(string_split(lower(p_name), ' '), w -> length(w) > 0),
+        |           w -> list_transform(range(1, length(w) + 2),
+        |                               i -> substring('  ' || w || ' ', i, 3))))) AS gs
+        |  FROM part),
+        |nl AS (SELECT node_id, name, len(gs) AS n1, unnest(gs) AS g FROM ng),
+        |shared AS (
+        |  SELECT probe_id, probe_text, node_id, name, n1, n2,
+        |         CAST(count(*) AS BIGINT) AS sh
+        |  FROM nl JOIN pl USING (g)
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |scored AS (
+        |  SELECT probe_id, probe_text, node_id, name,
+        |         CAST((1000000 * sh) // (n1 + n2 - sh) AS BIGINT) AS sim_ppm,
+        |         row_number() OVER (PARTITION BY probe_id
+        |           ORDER BY (1000000 * sh) // (n1 + n2 - sh) DESC, node_id) AS rank
+        |  FROM shared)
+        |SELECT probe_id, probe_text, CAST(rank AS BIGINT) AS rank,
+        |       node_id, name, sim_ppm
+        |FROM scored WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin
+    ) { (s, d) =>
+      // pg_trgm-style fuzzy name search — the PostGIS serving stack's
+      // `name % 'red wdget' ORDER BY similarity DESC` query (pg_trgm is
+      // the standard OSM/Nominatim name index on exactly the kind of
+      // store the reference loads — README.md:70). Semantics follow
+      // pg_trgm: each lowercased word is padded '  w ' and shredded to
+      // 3-grams, the doc's gram SET is the union over words, and
+      // similarity is trigram Jaccard |∩|/|∪| — here in exact integer
+      // ppm ((10⁶·shared) DIV (n1+n2−shared)), so scores and the
+      // (sim DESC, node_id) top-5 cut are bit-identical cross-engine.
+      // Scale shape (the GIN-index recipe): the PROBE batch is the tiny
+      // side — its exploded gram postings broadcast; the name store
+      // explodes its grams map-side and equi-joins on the gram key
+      // (candidates = names sharing ≥1 trigram with a probe; never an
+      // all-pairs or LIKE scan), one (node, probe) count shuffle, and
+      // the rank window partitions per probe over candidates only. At
+      // 100 TB names the same plan holds: per-gram posting lists bound
+      // the join fan-out exactly as the GIN index bounds page reads.
+      val gramsTpl = (c: String) =>
+        s"""array_distinct(flatten(transform(
+           |  filter(split(lower($c), ' '), w -> length(w) > 0),
+           |  w -> transform(sequence(1, length(w) + 1),
+           |                 i -> substring(concat('  ', w, ' '), i, 3)))))""".stripMargin
+      import s.implicits._
+      val probes = Seq("q1" -> "red wdget", "q2" -> "blu bolt", "q3" -> "smal gizmo",
+                       "q4" -> "hott gear", "q5" -> "old blot")
+        .toDF("probe_id", "probe_text")
+        .withColumn("gs", expr(gramsTpl("probe_text")))
+        .select(col("probe_id"), col("probe_text"), size(col("gs")).as("n2"),
+                explode(col("gs")).as("g"))
+      val names = T.part(s, d)
+        .select(col("p_partkey").as("node_id"), col("p_name").as("name"),
+                expr(gramsTpl("p_name")).as("gs"))
+        .select(col("node_id"), col("name"), size(col("gs")).as("n1"),
+                explode(col("gs")).as("g"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim_ppm").desc, col("node_id"))
+      names.join(broadcast(probes), "g")
+        .groupBy(col("probe_id"), col("probe_text"), col("node_id"),
+                 col("name"), col("n1"), col("n2"))
+        .agg(count(lit(1)).as("sh"))
+        .select(col("probe_id"), col("probe_text"), col("node_id"), col("name"),
+                expr("(1000000 * sh) DIV (n1 + n2 - sh)").cast("long").as("sim_ppm"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("probe_id"), col("probe_text"), col("rank"),
+                col("node_id"), col("name"), col("sim_ppm"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
+    Q(
       "osm_route_dist",
       """WITH RECURSIVE memb AS (
         |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref

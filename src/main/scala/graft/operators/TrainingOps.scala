@@ -27,6 +27,37 @@ object TrainingOps {
   private def fpSpark(c: String): org.apache.spark.sql.Column =
     graft.functions.RollingHash(col(c))
 
+  /** Bit-deterministic ln over a probability-valued double t ∈ (0, 1] —
+    * the same shared-template discipline as `osm_project_mercator`'s
+    * range-reduced ln (OsmKernels.mercLn), extended downward: a CASE
+    * ladder over the exact binary boundaries 0.75·2⁻ʲ picks k so that
+    * m = t·2ᵏ ∈ [0.75, 1.5) (both the boundary literals and the 2ᵏ scale
+    * factors are exact doubles, so the branch choice and the scaling are
+    * identical on identical inputs in both engines), then
+    * ln t = 2·atanh(z) − k·ln2 with z = (m−1)/(m+1) ∈ [−1/7, 1/5) and a
+    * 5-term odd series (truncation ≤ z¹¹/11 ≈ 1.9e-9). Rendered ONCE and
+    * spliced verbatim into the Spark expr and the DuckDB SQL, so every
+    * IEEE intermediate agrees bit-for-bit. Covers t ≥ 0.75·2⁻³² ≈ 1.7e-10
+    * (a single unigram occurring > 5×10⁹ times); below that the deepest
+    * branch loses the m-range invariant — accuracy degrades gracefully
+    * but cross-engine equality still holds (same template both sides).
+    */
+  private def lnProbTpl(t: String): String = {
+    val ks = (0 to 31).map { j =>
+      val bound = 0.75 / math.pow(2, j) // exact: 3·2^(−2−j)
+      (s"$t >= $bound", s"-$j.0", s"${math.pow(2, j)}")
+    }
+    val kk = ks.init.map { case (c, k, _) => s"WHEN $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE -32.0 END")
+    val sc = ks.init.map { case (c, _, s) => s"WHEN $c THEN $s" }
+      .mkString("CASE ", " ", s" ELSE ${math.pow(2, 32)} END")
+    val m = s"(($t) * ($sc))"
+    val z = s"(($m - 1.0) / ($m + 1.0))"
+    s"(2.0 * ($z * (1.0 + ($z * $z) * (0.3333333333333333 + ($z * $z) * (0.2 + " +
+      s"($z * $z) * (0.14285714285714285 + ($z * $z) * 0.1111111111111111))))) + " +
+      s"($kk) * 0.6931471805599453)"
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "text_normalize",
@@ -184,6 +215,65 @@ object TrainingOps {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
              expr("sum((1000000 * c12) DIV c1) DIV count(1)").cast("long").as("score_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "text_perplexity",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |b AS (
+         |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM w, unnest(range(1, len(w))) AS t(i)),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+         |cu AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+         |lm AS (
+         |  SELECT doc_id,
+         |         CAST(round(${lnProbTpl("(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))")} * 1000.0) AS BIGINT) AS l
+         |  FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1))
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST((-sum(l)) // count(*) AS BIGINT) AS nll_millinats
+         |FROM lm GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // TRUE (geometric-mean) bigram perplexity — the CCNet-style
+      // log-space quality score that `text_bigram_lm`'s arithmetic-mean
+      // ppm proxy deliberately avoided (mean of p overweights one lucky
+      // bigram; mean of −ln p is the LM-filtering standard). The float
+      // hazard is Σ ln p: double summation order differs across engines
+      // and partitionings, so each bigram's ln P(w2|w1) is computed by
+      // the SHARED bit-deterministic template [[lnProbTpl]] (range-
+      // reduced atanh, same discipline as the Mercator ln) and rounded
+      // to integer MILLINATS per bigram — magnitude ≤ ~2×10⁴, where ULP
+      // ≈ 2e-12 makes a cross-engine round() flip a ≤1e-11/row event
+      // (the r13 geodesic lesson: never round a double ≥1e9; this is 5
+      // orders inside the safe zone). The doc score is then an exact
+      // BIGINT mean: sum and DIV on non-negative operands, where Spark's
+      // truncating DIV and DuckDB's flooring // agree. Scale shape is
+      // text_bigram_lm's verbatim: corpus collapses once to the bigram
+      // model (vocab²-bounded, size-GATED broadcasts degrading to
+      // co-partitioned shuffle joins), the unigram table aggregates the
+      // collapsed bigram table, scoring is map-side arithmetic.
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 2)
+      val b = toks.select(col("doc_id"),
+          explode(expr("""transform(sequence(1, size(w) - 1),
+                         |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""".stripMargin))
+            .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cb = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val cu = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      b.join(graft.Gate.bcast(cb), Seq("w1", "w2"))
+        .join(graft.Gate.bcast(cu), Seq("w1"))
+        .select(col("doc_id"),
+          expr(s"CAST(round(${lnProbTpl("(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))")} * 1000.0) AS BIGINT)")
+            .as("l"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             expr("(-sum(l)) DIV count(1)").cast("long").as("nll_millinats"))
         .orderBy(col("doc_id"))
     },
 

@@ -430,6 +430,53 @@ object Windows {
         .select(col("event_type"), col("day"), col("n"),
                 round(col("num").cast("double") / col("den"), 4).as("ewma7"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    Q(
+      "win_drawdown",
+      """WITH c AS (
+        |  SELECT user_id, ts,
+        |         sum(CAST(value AS DECIMAL(18,2))) OVER
+        |           (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, cum,
+        |         max(cum) OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM c)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(CAST(max(peak) AS DOUBLE), 2) AS peak,
+        |       round(CAST(max(peak - cum) AS DOUBLE), 2) AS max_drawdown
+        |FROM p GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      // Maximum drawdown of each user's running value balance — the
+      // risk/quality metric every monitoring stack computes over a
+      // cumulative series (peak-to-trough of Σ value in event-time
+      // order). Two STACKED running frames (running sum, then running
+      // max of that sum) share one (user_id, ts) sort, so the plan is a
+      // single exchange + sort with both WindowExecs on top — no second
+      // shuffle; the final per-user rollup reuses the same hash key.
+      // All accumulation is exact DECIMAL(18,2): running sums and maxes
+      // are order-independent per (user_id, ts) — (user_id, ts) is
+      // unique per FIXTURES.md — so the result is bit-identical
+      // cross-engine and stable under any repartitioning; doubles appear
+      // only in the final per-user display cast. At 100 TB the window
+      // partitions on high-cardinality user_id — per-key state is one
+      // decimal, never a global funnel.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d)
+        .select(col("user_id"), col("ts"),
+                sum(graft.Det.dec2(col("value"))).over(w).as("cum"))
+        .withColumn("peak", max(col("cum")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             round(max(col("peak")).cast("double"), 2).as("peak"),
+             round(max(col("peak") - col("cum")).cast("double"), 2).as("max_drawdown"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -326,6 +326,17 @@ class PlanSpec extends GraftSuite {
       "the grid join must exist")
   }
 
+  test("osm_name_trigram: probe postings broadcast; candidates come from the gram equi-join") {
+    val (root, ns) = execNodes("osm_name_trigram")
+    assert(ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "the probe gram postings must broadcast onto the name-store scan")
+    assert(!ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "candidates come from the gram-key equi-join, never an all-pairs NLJ")
+    assert(!root.toString.contains("CartesianProduct"), "no all-pairs comparison anywhere")
+  }
+
   test("lake_stats: one scan melts all columns — no per-column rescan") {
     val (_, ns) = execNodes("lake_stats")
     assert(ns.count(
