@@ -134,7 +134,7 @@ object OsmKernels {
     * count as intersecting, consistently. Rendered ONCE and spliced into
     * the Spark `exists` and the DuckDB `list_filter` wrappers verbatim.
     */
-  private def segInt(ax1: String, ay1: String, ax2: String, ay2: String,
+  private[graft] def segInt(ax1: String, ay1: String, ax2: String, ay2: String,
                      bx1: String, by1: String, bx2: String, by2: String): String = {
     def orient(ox: String, oy: String, px: String, py: String, qx: String, qy: String) =
       s"(($px - $ox) * ($qy - $oy) - ($py - $oy) * ($qx - $ox))"
@@ -157,7 +157,7 @@ object OsmKernels {
     * struct `e` (fields x1/y1/x2/y2) — the same formulation as the
     * `osm_point_in_polygon` oracle lambda, shared verbatim cross-engine.
     */
-  private def insideCase(px: String, py: String, e: String): String =
+  private[graft] def insideCase(px: String, py: String, e: String): String =
     s"CASE WHEN ($e.y1 > $py) <> ($e.y2 > $py) AND " +
       s"(($e.x1 - $px) * ($e.y2 - $e.y1) + ($e.x2 - $e.x1) * ($py - $e.y1)) * ($e.y2 - $e.y1) > 0 " +
       s"THEN 1 ELSE 0 END"
@@ -1335,35 +1335,36 @@ object OsmKernels {
       // (local polygons) the same plan prunes to near-linear candidates.
       // Layers are sparse (way_id mod 499) to keep the degenerate
       // fixture's candidate quadratic bounded — the plan, not the
-      // subset, is what scales.
-      val segP = segInt("ea.x1", "ea.y1", "ea.x2", "ea.y2",
-                        "eb.x1", "eb.y1", "eb.x2", "eb.y2")
+      // subset, is what scales. The exact kernel runs FUSED
+      // (functions.RingsIntersect — branch-identical to the template the
+      // oracle keeps, all-Long so equality is exact; pinned by
+      // RingsIntersectSpec; 2.2 s → sub-second, the PolyPairPass lesson).
       val edgesExpr =
         "zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1), " +
-        "(a, b) -> named_struct('x1', a.lon_c, 'y1', a.lat_c, 'x2', b.lon_c, 'y2', b.lat_c))"
+        "(a, b) -> named_struct('x1', CAST(a.lon_c AS BIGINT), 'y1', CAST(a.lat_c AS BIGINT), " +
+        "'x2', CAST(b.lon_c AS BIGINT), 'y2', CAST(b.lat_c AS BIGINT)))"
+      val vertsExpr =
+        "transform(ring, x -> named_struct('x', CAST(x.lon_c AS BIGINT), 'y', CAST(x.lat_c AS BIGINT)))"
       def layer(m: Int, p: String) = wayRings(s, d)
         .where(col("way_id") % 499 === m)
         .select(col("way_id").as(s"way_$p"),
           expr("transform(ring, x -> x.lon_c)").as(s"${p}lons"),
           expr("transform(ring, x -> x.lat_c)").as(s"${p}lats"),
-          expr(edgesExpr).as(s"${p}edges"))
+          expr(edgesExpr).as(s"${p}edges"),
+          expr(vertsExpr).as(s"${p}verts"))
         .withColumn(s"${p}minx", expr(s"array_min(${p}lons)"))
         .withColumn(s"${p}maxx", expr(s"array_max(${p}lons)"))
         .withColumn(s"${p}miny", expr(s"array_min(${p}lats)"))
         .withColumn(s"${p}maxy", expr(s"array_max(${p}lats)"))
         .withColumn("cx", explode(sequence(expr(s"${p}minx DIV 2500"), expr(s"${p}maxx DIV 2500"))))
         .withColumn("cy", explode(sequence(expr(s"${p}miny DIV 60000"), expr(s"${p}maxy DIV 60000"))))
-      val aInB = "exists(sequence(1, size(alons)), i -> " +
-        s"aggregate(bedges, CAST(0 AS BIGINT), (acc, eb) -> acc + ${insideCase("element_at(alons, i)", "element_at(alats, i)", "eb")}) % 2 = 1)"
-      val bInA = "exists(sequence(1, size(blons)), i -> " +
-        s"aggregate(aedges, CAST(0 AS BIGINT), (acc, ea) -> acc + ${insideCase("element_at(blons, i)", "element_at(blats, i)", "ea")}) % 2 = 1)"
       layer(0, "a")
         .join(layer(13, "b"), Seq("cx", "cy"))
         .where(col("aminx") <= col("bmaxx") && col("bminx") <= col("amaxx") &&
                col("aminy") <= col("bmaxy") && col("bminy") <= col("amaxy"))
         .where(expr("cx = greatest(aminx, bminx) DIV 2500 AND cy = greatest(aminy, bminy) DIV 60000"))
-        .where(expr(s"exists(aedges, ea -> exists(bedges, eb -> $segP))") ||
-               expr(aInB) || expr(bInA))
+        .where(graft.functions.RingsIntersect(col("aedges"), col("averts"),
+                                              col("bedges"), col("bverts")))
         .select(col("way_a"), col("way_b"))
         .orderBy(col("way_a"), col("way_b"))
     },
@@ -1493,7 +1494,11 @@ object OsmKernels {
       // 5.3 s at sf0.1, the compiled loop with the IDENTICAL IEEE
       // dataflow is bit-equal and fast); the oracle keeps the template,
       // and PolyPairAreaSpec pins template ≡ kernel on fixtures and
-      // pseudo-random self-intersecting rings.
+      // pseudo-random self-intersecting rings. Candidates come from the
+      // osm_poly_overlaps grid: bbox→cell explode, cell EQUI-join (never
+      // the inequality — PlanSpec pins no CartesianProduct), bbox
+      // prefilter, min-corner cell dedup (exactly one cell emits each
+      // pair, no distinct), THEN the expensive kernel on survivors only.
       val edgesExpr =
         "zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1), " +
         "(a, b) -> named_struct('x1', CAST(a.lon_c AS BIGINT), 'y1', CAST(a.lat_c AS BIGINT), " +
@@ -1507,12 +1512,15 @@ object OsmKernels {
           expr("array_max(transform(ring, x -> x.lon_c))").as(s"${p}maxx"),
           expr("array_min(transform(ring, x -> x.lat_c))").as(s"${p}miny"),
           expr("array_max(transform(ring, x -> x.lat_c))").as(s"${p}maxy"))
+        .withColumn("cx", explode(sequence(expr(s"${p}minx DIV 2500"), expr(s"${p}maxx DIV 2500"))))
+        .withColumn("cy", explode(sequence(expr(s"${p}miny DIV 60000"), expr(s"${p}maxy DIV 60000"))))
       val passA = graft.functions.PolyPairPass(col("aedges"), col("bedges"))
       val passB = graft.functions.PolyPairPass(col("bedges"), col("aedges"))
       layer(0, "a")
-        .join(layer(13, "b"),
-          col("aminx") <= col("bmaxx") && col("bminx") <= col("amaxx") &&
-          col("aminy") <= col("bmaxy") && col("bminy") <= col("amaxy"))
+        .join(layer(13, "b"), Seq("cx", "cy"))
+        .where(col("aminx") <= col("bmaxx") && col("bminx") <= col("amaxx") &&
+               col("aminy") <= col("bmaxy") && col("bminy") <= col("amaxy"))
+        .where(expr("cx = greatest(aminx, bminx) DIV 2500 AND cy = greatest(aminy, bminy) DIV 60000"))
         .select(col("way_a"), col("way_b"),
           (round(col("sa") * col("sb") * (passA + passB) * 0.61966712, 1)
             + lit(0.0)).as("inter_km2"))
