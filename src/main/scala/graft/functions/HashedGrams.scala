@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared gram-hashing core for the fused shingle expressions below.
+  *
+  * Hash parity contract: every gram hash equals
+  * `xxhash64(substring-producing-the-same-bytes)` — XXH64 with Spark's
+  * default seed 42 over the gram's exact UTF-8 bytes, hashed IN PLACE in
+  * the document's backing buffer (a UTF-8 substring by code points or by
+  * single-byte separators is always a contiguous byte range, so no gram
+  * string is ever materialized). HashedGramsSpec pins native ≡ the SQL
+  * template (`array_distinct(transform(...xxhash64...))`) as SETS on the
+  * real documents table and on multi-byte/degenerate fixtures.
+  *
+  * Output contract: distinct hashes, ASCENDING-SORTED. Order is safe to
+  * change vs the template's first-occurrence order because every consumer
+  * is order-invariant (MinHashSignature minima, size(), explode→groupBy,
+  * intersection counts) — and sortedness is what lets the verify phase use
+  * [[IntersectCountSorted]]'s allocation-free merge instead of
+  * array_intersect's per-pair hash set.
+  */
+object HashedGramsCore {
+  private val EMPTY = UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+
+  /** Sort + unique-compact + wrap. `m` = number of valid slots in `hs`. */
+  def sortedDistinct(hs: Array[Long], m: Int): UnsafeArrayData = {
+    if (m == 0) return EMPTY
+    java.util.Arrays.sort(hs, 0, m)
+    var w = 1
+    var i = 1
+    while (i < m) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Distinct xxhash64 of character n-gram shingles. Mirrors the SQL
+    * template `array_distinct(transform(sequence(1, greatest(len - n + 1,
+    * 1)), i -> xxhash64(substring(text, i, n))))` — including the
+    * template's short-text case (text shorter than n chars yields ONE
+    * gram: the whole text, empty string included). */
+  def shingles(s: UTF8String, n: Int): UnsafeArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    // code-point start offsets (UTF-8 char start: (b & 0xC0) != 0x80)
+    val starts = new Array[Int](nb + 1)
+    var nc = 0
+    var i = 0
+    while (i < nb) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if ((b & 0xC0) != 0x80) { starts(nc) = i; nc += 1 }
+      i += 1
+    }
+    starts(nc) = nb
+    val m = math.max(nc - n + 1, 1)
+    val hs = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      val bs = if (nc == 0) 0 else starts(g)
+      val be = starts(math.min(g + n, nc))
+      hs(g) = XXH64.hashUnsafeBytes(base, off + bs, be - bs, 42L)
+      g += 1
+    }
+    sortedDistinct(hs, m)
+  }
+
+  /** Distinct xxhash64 of word n-grams (single-space tokenization).
+    * Mirrors `array_distinct(transform(sequence(1, size(split(text, ' '))
+    * - n + 1), i -> xxhash64(array_join(slice(split(text, ' '), i, n), '
+    * '))))` for docs with ≥ n tokens, and returns an EMPTY array below n
+    * tokens (the call sites' `len >= n` drop-filter becomes
+    * `size(grams) > 0`). Separators are single 0x20 bytes (never a UTF-8
+    * continuation byte), so each joined gram is a contiguous byte range
+    * of the original text — token boundaries found in one byte scan,
+    * empty tokens from repeated/leading/trailing spaces preserved exactly
+    * as regex split produces them. */
+  def wordGrams(s: UTF8String, n: Int): UnsafeArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    // token i spans [tokStart(i), spacePos(i)); spacePos(last) = nb
+    val tokStart = new Array[Int](nb + 2)
+    val tokEnd = new Array[Int](nb + 2)
+    var nt = 0
+    var cur = 0
+    var i = 0
+    while (i < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        tokStart(nt) = cur; tokEnd(nt) = i; nt += 1; cur = i + 1
+      }
+      i += 1
+    }
+    tokStart(nt) = cur; tokEnd(nt) = nb; nt += 1
+    if (nt < n) return EMPTY
+    val m = nt - n + 1
+    val hs = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      val bs = tokStart(g)
+      val be = tokEnd(g + n - 1)
+      hs(g) = XXH64.hashUnsafeBytes(base, off + bs, be - bs, 42L)
+      g += 1
+    }
+    sortedDistinct(hs, m)
+  }
+
+  /** Merge-count of common elements of two ascending-sorted distinct
+    * long arrays — `size(array_intersect(a, b))` without the per-pair
+    * hash set or result-array allocation. */
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+private[functions] trait TextGramExpression extends UnaryExpression {
+  def n: Int
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+}
+
+/** See [[HashedGramsCore.shingles]]. */
+case class HashedShingles(child: Expression, n: Int) extends TextGramExpression {
+  override def prettyName: String = "hashed_shingles"
+  override def nullSafeEval(input: Any): Any =
+    HashedGramsCore.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashedGramsCore.shingles($s, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedShingles {
+  def apply(text: Column, n: Int): Column =
+    GraftColumnBridge.column(HashedShingles(GraftColumnBridge.expression(text), n))
+}
+
+/** See [[HashedGramsCore.wordGrams]]. */
+case class HashedWordGrams(child: Expression, n: Int) extends TextGramExpression {
+  override def prettyName: String = "hashed_word_grams"
+  override def nullSafeEval(input: Any): Any =
+    HashedGramsCore.wordGrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashedGramsCore.wordGrams($s, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedWordGrams {
+  def apply(text: Column, n: Int): Column =
+    GraftColumnBridge.column(HashedWordGrams(GraftColumnBridge.expression(text), n))
+}
+
+/** See [[HashedGramsCore.intersectCount]]. INPUT CONTRACT: both arrays
+  * ascending-sorted and distinct (what [[HashedShingles]] /
+  * [[HashedWordGrams]] emit) — unsorted input silently undercounts, so
+  * never point this at arrays from any other producer. */
+case class IntersectCountSorted(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_count_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashedGramsCore.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashedGramsCore.intersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object IntersectCountSorted {
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      IntersectCountSorted(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

@@ -131,34 +131,35 @@ object LlmOps {
     (labels, it)
   }
 
-  /** Distinct character 5-gram shingles of a text column. */
-  private val shingles5 =
-    "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5)))"
-
-  /** doc_id → distinct word 3-grams (space-tokenized). */
-  private def wordNgrams(s: SparkSession, d: String, n: Int): DataFrame =
-    // Docs shorter than n tokens form no full n-gram and are DROPPED —
-    // mirrored by `len(w) >= n` in the oracles (ADVICE r11: the engines
-    // otherwise diverge on tiny docs — DuckDB's out-of-bounds w[i+k] made
-    // a NULL gram that never joins, while a slice-built short gram CAN
-    // match another short doc; neither is the n-gram the operator claims).
+  /** doc_id → sorted distinct xxhash64 longs of char 5-gram shingles,
+    * via the FUSED byte-scan expression (functions/HashedGrams.scala) —
+    * one primitive loop per doc, hashes computed in place over the
+    * text's UTF-8 bytes. Replaces the interpreted
+    * `array_distinct(transform(sequence..., substring...))` +
+    * `transform(grams, xxhash64)` template chain (higher-order lambdas
+    * never enter codegen), bit-identical hash values by construction
+    * (HashedGramsSpec pins native ≡ template). Hashing grams at all:
+    * candidate joins and intersections run on 8-byte longs instead of
+    * variable-length strings (measured ~3× on the verify phase);
+    * distinct grams map to distinct hashes up to a 2^-64 per-pair
+    * collision — ~1e-8 across this corpus' full candidate set, below
+    * the LSH miss probability that already bounds the exactness claim. */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
-      .where(size(split(col("text"), " ")) >= n)
-      .select(
-        col("doc_id"),
-        expr(s"""array_distinct(transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
-                |  i -> array_join(slice(split(text, ' '), i, $n), ' ')))""".stripMargin).as("grams"))
+      .select(col("doc_id"), graft.functions.HashedShingles(col("text"), 5).as("grams"))
 
-  /** Gram strings → distinct xxhash64 longs. All candidate joins and
-    * intersections then run on 8-byte longs instead of variable-length
-    * strings (measured ~3× on the verify phase). Distinct grams map to
-    * distinct hashes up to a 2^-64 per-pair collision — ~1e-8 across this
-    * corpus' full candidate set, far below the LSH miss probability that
-    * already bounds the operator's exactness claim.
-    */
-  private def hashGrams(grams: DataFrame): DataFrame =
-    grams.select(col("doc_id"),
-      expr("array_distinct(transform(grams, g -> xxhash64(g)))").as("grams"))
+  /** doc_id → sorted distinct xxhash64 longs of space-tokenized word
+    * n-grams (same fused-expression story as [[hashedShingles]]).
+    * Docs shorter than n tokens form no full n-gram and are DROPPED
+    * (the expression emits an empty array; the filter here) — mirrored
+    * by `len(w) >= n` in the oracles (ADVICE r11: the engines otherwise
+    * diverge on tiny docs — DuckDB's out-of-bounds w[i+k] made a NULL
+    * gram that never joins, while a slice-built short gram CAN match
+    * another short doc; neither is the n-gram the operator claims). */
+  private def hashedWordGrams(s: SparkSession, d: String, n: Int): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), graft.functions.HashedWordGrams(col("text"), n).as("grams"))
+      .where(size(col("grams")) > 0)
 
   /** LSH band buckets of a MinHash signature table: one row per
     * (doc_id, band index, band hash), the join key of every banded
@@ -176,8 +177,9 @@ object LlmOps {
   }
 
   /** Exact pairwise Jaccard over candidate pairs: attach both (hashed)
-    * gram arrays, prune by the size bound J ≤ min/max, then one codegen'd
-    * array_intersect per surviving pair. Far cheaper than an explode-join
+    * gram arrays, prune by the size bound J ≤ min/max, then one
+    * allocation-free sorted-merge intersection count per surviving pair
+    * (IntersectCountSorted). Far cheaper than an explode-join
     * when the candidate set is large (measured 47s → ~4s at sf0.1's 779k
     * LSH candidates; longs instead of strings cut the rest). Integer
     * common/total counts → the ratio is bit-identical to the oracle's.
@@ -196,7 +198,10 @@ object LlmOps {
       .join(graft.Gate.bcast(ga), "doc_a")
       .join(graft.Gate.bcast(gb), "doc_b")
       .where(least(col("na"), col("nb")) >= lit(BigDecimal(tau)) * greatest(col("na"), col("nb")))
-      .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
+      // gram arrays are sorted by construction (HashedShingles/
+      // HashedWordGrams) → allocation-free merge count, not the
+      // per-pair hash set array_intersect builds
+      .withColumn("common", graft.functions.IntersectCountSorted(col("ga"), col("gb")))
       .select(col("doc_a"), col("doc_b"),
               (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
   }
@@ -287,11 +292,11 @@ object LlmOps {
       // first: matching components of the two already-computed signatures
       // estimate Ĵ; requiring Ĵ ≥ 1/2 passes a J=0.8 true pair with ~18σ
       // margin while rejecting ~99% of the J≈0.35 bucket noise. Only
-      // survivors pay the exact array_intersect verify. Per-doc tables
+      // survivors pay the exact intersection-count verify. Per-doc tables
       // are cached (O(#docs)).
       val (bandsN, rowsN) = (12, 5)
       val k = bandsN * rowsN
-      val hg = hashGrams(T.documents(s, d).select(col("doc_id"), expr(shingles5).as("grams"))).cache()
+      val hg = hashedShingles(s, d).cache()
       val sig = hg
         .select(col("doc_id"), graft.functions.MinHashSignature(col("grams"), k).as("sig"))
         .cache()
@@ -349,7 +354,7 @@ object LlmOps {
       val isNew = col("doc_id") % 5 === 0
       val (bandsN, rowsN) = (12, 5)
       val k = bandsN * rowsN
-      val hg = hashGrams(T.documents(s, d).select(col("doc_id"), expr(shingles5).as("grams"))).cache()
+      val hg = hashedShingles(s, d).cache()
       val sig = hg
         .select(col("doc_id"), graft.functions.MinHashSignature(col("grams"), k).as("sig"))
         .cache()
@@ -392,7 +397,7 @@ object LlmOps {
       // ~1% of the naive gram-join's intermediate (naive explode-join
       // measured 33s at sf0.1; this runs ~3s).
       val tau = 0.8
-      val grams = hashGrams(wordNgrams(s, d, 3)).cache() // candidate gen + verify
+      val grams = hashedWordGrams(s, d, 3).cache() // candidate gen + verify
       val exN = grams.select(col("doc_id"), size(col("grams")).as("n"),
                              explode(col("grams")).as("g"))
       val freq = exN.groupBy(col("g")).agg(count(lit(1)).as("f"))
@@ -441,10 +446,10 @@ object LlmOps {
       // A-prefix × B-full joins, frequency-ordered so the joined posting
       // lists are the rarest. The nb·5 ≥ na·4 prune is implied by
       // |A∩B| ≤ nb. Exact-integer threshold (5·com ≥ 4·na) — no float τ
-      // on either engine; verification is one codegen'd array_intersect
-      // per surviving candidate over the hashed gram sets.
+      // on either engine; verification is one sorted-merge
+      // intersection count per surviving candidate over the hashed gram sets.
       val tau = 0.8
-      val grams = hashGrams(wordNgrams(s, d, 3)).cache()
+      val grams = hashedWordGrams(s, d, 3).cache()
       val exN = grams.select(col("doc_id"), size(col("grams")).as("n"),
                              explode(col("grams")).as("g"))
       val freq = exN.groupBy(col("g")).agg(count(lit(1)).as("f"))
@@ -462,7 +467,7 @@ object LlmOps {
                             size(col("grams")).cast("long").as("n_a"))
       val gb = grams.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
       cand.join(graft.Gate.bcast(ga), "doc_a").join(graft.Gate.bcast(gb), "doc_b")
-        .withColumn("com", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+        .withColumn("com", graft.functions.IntersectCountSorted(col("ga"), col("gb")).cast("long"))
         .where(col("com") * 5 >= col("n_a") * 4)
         .select(col("doc_a"), col("doc_b"), col("com"), col("n_a"),
                 expr("(100 * com) DIV n_a").as("cont_pct"))
@@ -997,7 +1002,7 @@ object LlmOps {
       // hash-shuffle join on the span key (both passes shuffle the same
       // key → co-partitioned). Spans travel as xxhash64 longs Spark-side
       // (8 bytes vs ~60-char strings, same 2^-64 collision argument as
-      // hashGrams); the oracle keeps raw strings — only counts are
+      // hashedShingles); the oracle keeps raw strings — only counts are
       // compared, so the engines need not agree on representation.
       val toks = T.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
