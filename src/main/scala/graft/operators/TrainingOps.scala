@@ -371,10 +371,14 @@ object TrainingOps {
       // explodes grams but never shuffles for the probe (semi-probe via
       // inner join on the gram, then one partial+final count by doc).
       // Docs with doc_id % 97 = 0 stand in for the benchmark.
+      // Grams travel as xxhash64 longs from the fused byte-scan hasher
+      // (functions.HashedWordGrams — the interpreted split/slice/join
+      // lambda chain never enters codegen): the join key is 8 bytes
+      // instead of a ~30-char string, with the standard 2^-64 per-pair
+      // collision bound (~5e-7 across bench×corpus here). The oracle
+      // keeps raw strings — only per-doc hit counts are compared.
       val grams = T.documents(s, d).select(col("doc_id"),
-        explode(expr(
-          """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),
-            |  i -> array_join(slice(split(text, ' '), i, 5), ' ')))""".stripMargin)).as("g"))
+        explode(graft.functions.HashedWordGrams(col("text"), 5)).as("g"))
       val bench = grams.where(col("doc_id") % 97 === 0).select(col("g")).distinct()
       grams.where(col("doc_id") % 97 =!= 0)
         .join(graft.Gate.bcast(bench), "g")
@@ -408,9 +412,11 @@ object TrainingOps {
       // gram stream and shuffling only candidate hits. Bloom FPs are
       // killed by the exact semi-join behind it (no false NEGATIVES is
       // the bloom guarantee), so the result — and the oracle — is
-      // bit-identical to text_contamination's exact join. The probe is
-      // a Scala UDF by necessity (Spark's BloomFilter has no public
-      // expression); it wraps two xxHash probes of a broadcast bitmap,
+      // bit-identical to text_contamination's exact join. Grams ride as
+      // xxhash64 longs (same fused hasher + collision bound as
+      // text_contamination). The probe is a Scala UDF by necessity
+      // (Spark's BloomFilter has no public expression); it wraps two
+      // hash probes of a broadcast bitmap,
       // and the candidate rate it admits is what keeps the hot path off
       // the shuffle, which dominates the codegen loss.
       // persist the gram stream: the bloom BUILD is its own aggregation
@@ -419,9 +425,7 @@ object TrainingOps {
       // it again (measured ~25% of the key's cost back)
       val grams = graft.Caches.register(
         T.documents(s, d).select(col("doc_id"),
-          explode(expr(
-            """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),
-              |  i -> array_join(slice(split(text, ' '), i, 5), ' ')))""".stripMargin)).as("g"))
+          explode(graft.functions.HashedWordGrams(col("text"), 5)).as("g"))
           .persist())
       val bench = grams.where(col("doc_id") % 97 === 0).select(col("g")).distinct()
       val corpus = grams.where(col("doc_id") % 97 =!= 0)
@@ -436,7 +440,7 @@ object TrainingOps {
           // same answer), so the capacity is a fixed budget, not a count()
           val bloom = bench.stat.bloomFilter("g", 1L << 20, 0.01)
           val bbc = s.sparkContext.broadcast(bloom)
-          val mightHit = udf((g: String) => bbc.value.mightContainString(g))
+          val mightHit = udf((g: Long) => bbc.value.mightContainLong(g))
           corpus.where(mightHit(col("g")))
         }
       screened
