@@ -114,6 +114,40 @@ object HashedGramsCore {
     sortedDistinct(hs, m)
   }
 
+  /** All word n-gram hashes in POSITION ORDER, multiplicity kept — the
+    * sliding-window span stream (one hash per token position) that
+    * span-level dedup scores against, where a doc repeating its own
+    * boilerplate must count each occurrence. Same tokenization, byte
+    * ranges, and xxhash64 parity as [[wordGrams]]; only the
+    * distinct+sort differs. */
+  def wordGramsSeq(s: UTF8String, n: Int): UnsafeArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    val tokStart = new Array[Int](nb + 2)
+    val tokEnd = new Array[Int](nb + 2)
+    var nt = 0
+    var cur = 0
+    var i = 0
+    while (i < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        tokStart(nt) = cur; tokEnd(nt) = i; nt += 1; cur = i + 1
+      }
+      i += 1
+    }
+    tokStart(nt) = cur; tokEnd(nt) = nb; nt += 1
+    if (nt < n) return EMPTY
+    val m = nt - n + 1
+    val hs = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      hs(g) = XXH64.hashUnsafeBytes(base, off + tokStart(g),
+        tokEnd(g + n - 1) - tokStart(g), 42L)
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(hs)
+  }
+
   /** Merge-count of common elements of two ascending-sorted distinct
     * long arrays — `size(array_intersect(a, b))` without the per-pair
     * hash set or result-array allocation. */
@@ -177,6 +211,24 @@ case class HashedWordGrams(child: Expression, n: Int) extends TextGramExpression
 object HashedWordGrams {
   def apply(text: Column, n: Int): Column =
     GraftColumnBridge.column(HashedWordGrams(GraftColumnBridge.expression(text), n))
+}
+
+/** See [[HashedGramsCore.wordGramsSeq]] — ordered, multiplicity kept;
+  * NOT sorted, so never feed this to [[IntersectCountSorted]]. */
+case class HashedWordGramsSeq(child: Expression, n: Int) extends TextGramExpression {
+  override def prettyName: String = "hashed_word_grams_seq"
+  override def nullSafeEval(input: Any): Any =
+    HashedGramsCore.wordGramsSeq(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashedGramsCore.wordGramsSeq($s, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedWordGramsSeq {
+  def apply(text: Column, n: Int): Column =
+    GraftColumnBridge.column(HashedWordGramsSeq(GraftColumnBridge.expression(text), n))
 }
 
 /** See [[HashedGramsCore.intersectCount]]. INPUT CONTRACT: both arrays

@@ -1004,13 +1004,13 @@ object LlmOps {
       // (8 bytes vs ~60-char strings, same 2^-64 collision argument as
       // hashedShingles); the oracle keeps raw strings — only counts are
       // compared, so the engines need not agree on representation.
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 10)
-      val spans = toks.select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(w) - 9), i -> xxhash64(array_join(slice(w, i, 10), ' ')))"))
-          .as("h"))
+      // one fused byte scan per doc (HashedWordGramsSeq — multiplicity
+      // and position order kept: a doc repeating its own boilerplate
+      // counts every occurrence); empty array below 10 tokens = the
+      // oracle's len >= 10 drop
+      val spans = T.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.HashedWordGramsSeq(col("text"), 10)).as("h"))
       val counts = spans.select(col("doc_id"), col("h")).distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       spans.join(graft.Gate.bcast(counts), "h")

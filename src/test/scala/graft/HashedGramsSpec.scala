@@ -69,6 +69,21 @@ class HashedGramsSpec extends GraftSuite {
     assert(shortDocs === 0L)
   }
 
+  test("HashedWordGramsSeq ≡ ordered template, multiplicity kept") {
+    val seqTemplate =
+      "transform(sequence(1, size(split(text, ' ')) - 9), " +
+        "i -> xxhash64(array_join(slice(split(text, ' '), i, 10), ' ')))"
+    val df = docsPlus
+      .withColumn("ntok", size(split(col("text"), " ")))
+      .withColumn("native", graft.functions.HashedWordGramsSeq(col("text"), 10))
+    val longDocs = df.where(col("ntok") >= 10)
+      .where(not(col("native") === expr(seqTemplate)))
+      .count()
+    assert(longDocs === 0L)
+    val shortDocs = df.where(col("ntok") < 10).where(size(col("native")) =!= 0).count()
+    assert(shortDocs === 0L)
+  }
+
   test("IntersectCountSorted ≡ size(array_intersect) on hasher output") {
     val g = docsPlus.select(graft.functions.HashedShingles(col("text"), 5).as("grams"))
       .withColumn("rn", monotonically_increasing_id())
