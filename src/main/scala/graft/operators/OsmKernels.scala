@@ -2298,31 +2298,25 @@ object OsmKernels {
     val junc = memb.groupBy(col("node_ref"))
       .agg(countDistinct(col("way_id")).as("nways"))
       .where(col("nways") >= 2).select(col("node_ref").as("jnode"))
+    // sort-cut-split-fold runs FUSED per way (functions.RoadEdges — one
+    // pass over the point array, bit-equal IEEE dataflow to the four
+    // interpreted lambdas it replaces; RoadGraphSpec's sparse fixture
+    // pins the splitting semantics). Meter factor + final-only round
+    // stay here, next to the oracle's.
     memb.join(nodes(s, d), col("node_ref") === col("node_id"))
       .join(graft.Gate.bcast(junc), col("node_ref") === col("jnode"), "left")
       .withColumn("is_junc", col("jnode").isNotNull)
       .groupBy(col("way_id"))
-      .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c, is_junc)))")
-        .as("pts"))
-      .withColumn("cs",
-        expr("filter(sequence(1, size(pts)), i -> i = 1 OR i = size(pts) OR element_at(pts, i).is_junc)"))
-      .select(col("way_id"), col("pts"),
-        posexplode(expr(
-          """zip_with(slice(cs, 1, size(cs) - 1), slice(cs, 2, size(cs) - 1),
-            |         (a, b) -> named_struct('i0', a, 'i1', b))""".stripMargin))
-          .as(Seq("seq0", "e")))
+      .agg(collect_list(struct(col("pos"), col("node_ref"), col("lon_c"),
+                               col("lat_c"), col("is_junc"))).as("pts"))
+      .select(col("way_id"),
+        posexplode(graft.functions.RoadEdges(col("pts"))).as(Seq("seq0", "e")))
       .select(
         col("way_id"),
         (col("seq0") + 1).cast("long").as("edge_seq"),
-        expr("element_at(pts, e.i0).node_ref").as("from_node"),
-        expr("element_at(pts, e.i1).node_ref").as("to_node"),
-        (col("e.i1") - col("e.i0") + 1).cast("long").as("n_pts"),
-        round(expr(
-          """aggregate(
-            |  zip_with(slice(pts, e.i0, e.i1 - e.i0), slice(pts, e.i0 + 1, e.i1 - e.i0),
-            |           (a, b) -> sqrt(CAST((b.lon_c - a.lon_c) * (b.lon_c - a.lon_c)
-            |                             + (b.lat_c - a.lat_c) * (b.lat_c - a.lat_c) AS DOUBLE))),
-            |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin) * 1113.2, 1)
-          .as("length_m"))
+        col("e.from_node"),
+        col("e.to_node"),
+        col("e.n_pts"),
+        round(col("e.len_raw") * 1113.2, 1).as("length_m"))
   }
 }
