@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared gram-hashing core for the fused shingle expressions below.
@@ -148,6 +148,44 @@ object HashedGramsCore {
     UnsafeArrayData.fromPrimitiveArray(hs)
   }
 
+  /** One struct<h1, h2> per bigram position (multiplicity and order
+    * kept): h1 = xxhash64 of token i, h2 = xxhash64 of tokens i,i+1
+    * joined by the single space that already separates them in the
+    * source bytes. Emitting the PAIR from one scan matters beyond the
+    * fused hashing: the bigram-LM keys explode this array, and a
+    * generate carries its non-generator columns into every output row —
+    * deriving h1 from a carried unigram ARRAY after the explode copies
+    * O(#tokens) longs per bigram row (measured 2× SLOWER than the
+    * string template it replaced; this shape is the fix). */
+  def bigramPairs(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    val tokStart = new Array[Int](nb + 2)
+    val tokEnd = new Array[Int](nb + 2)
+    var nt = 0
+    var cur = 0
+    var i = 0
+    while (i < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        tokStart(nt) = cur; tokEnd(nt) = i; nt += 1; cur = i + 1
+      }
+      i += 1
+    }
+    tokStart(nt) = cur; tokEnd(nt) = nb; nt += 1
+    if (nt < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nt - 1)
+    var g = 0
+    while (g < nt - 1) {
+      val h1 = XXH64.hashUnsafeBytes(base, off + tokStart(g), tokEnd(g) - tokStart(g), 42L)
+      val h2 = XXH64.hashUnsafeBytes(base, off + tokStart(g), tokEnd(g + 1) - tokStart(g), 42L)
+      out(g) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h1, h2))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Merge-count of common elements of two ascending-sorted distinct
     * long arrays — `size(array_intersect(a, b))` without the per-pair
     * hash set or result-array allocation. */
@@ -211,6 +249,31 @@ case class HashedWordGrams(child: Expression, n: Int) extends TextGramExpression
 object HashedWordGrams {
   def apply(text: Column, n: Int): Column =
     GraftColumnBridge.column(HashedWordGrams(GraftColumnBridge.expression(text), n))
+}
+
+/** See [[HashedGramsCore.bigramPairs]]. */
+case class HashedBigramPairs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "hashed_bigram_pairs"
+  override def nullSafeEval(input: Any): Any =
+    HashedGramsCore.bigramPairs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashedGramsCore.bigramPairs($s);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedBigramPairs {
+  def apply(text: Column): Column =
+    GraftColumnBridge.column(HashedBigramPairs(GraftColumnBridge.expression(text)))
 }
 
 /** See [[HashedGramsCore.wordGramsSeq]] — ordered, multiplicity kept;

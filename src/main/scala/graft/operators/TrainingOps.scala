@@ -58,6 +58,23 @@ object TrainingOps {
       s"($kk) * 0.6931471805599453)"
   }
 
+  /** doc_id → one row per bigram POSITION (multiplicity kept): h1 =
+    * xxhash64 of the first token, h2 = xxhash64 of the space-joined
+    * bigram — tokens cannot contain the separator, so h2 uniquely keys
+    * the (w1, w2) PAIR. Both streams come from the fused byte-scan
+    * hasher (functions.HashedWordGramsSeq) and stay aligned by
+    * position: bigram i starts at token i. Docs under 2 tokens emit no
+    * bigram (empty array → explode drops), mirroring the oracles'
+    * `len(w) >= 2`. The bigram-LM keys group and join ONLY on these
+    * hashes — outputs are per-doc counts and count ratios, so they are
+    * hash-invariant up to the standard 2^-64 per-pair collision. */
+  private def hashedBigramStream(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.HashedBigramPairs(col("text"))).as("bg"))
+      .select(col("doc_id"), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+
   val all: Seq[Q] = Seq(
     Q(
       "text_normalize",
@@ -200,18 +217,11 @@ object TrainingOps {
       // — never a second pass over the corpus). Probabilities are exact
       // integer ppm ((10⁶·c12) DIV c1) and the doc mean is integer DIV —
       // no float anywhere, bit-identical cross-engine.
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 2)
-      val b = toks.select(col("doc_id"),
-          explode(expr("""transform(sequence(1, size(w) - 1),
-                         |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""".stripMargin))
-            .as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val cb = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val cu = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      b.join(graft.Gate.bcast(cb), Seq("w1", "w2"))
-        .join(graft.Gate.bcast(cu), Seq("w1"))
+      val b = hashedBigramStream(s, d)
+      val cb = b.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c12"))
+      val cu = cb.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
+      b.join(graft.Gate.bcast(cb), Seq("h1", "h2"))
+        .join(graft.Gate.bcast(cu), Seq("h1"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
              expr("sum((1000000 * c12) DIV c1) DIV count(1)").cast("long").as("score_ppm"))
@@ -256,18 +266,11 @@ object TrainingOps {
       // model (vocab²-bounded, size-GATED broadcasts degrading to
       // co-partitioned shuffle joins), the unigram table aggregates the
       // collapsed bigram table, scoring is map-side arithmetic.
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 2)
-      val b = toks.select(col("doc_id"),
-          explode(expr("""transform(sequence(1, size(w) - 1),
-                         |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""".stripMargin))
-            .as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val cb = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val cu = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      b.join(graft.Gate.bcast(cb), Seq("w1", "w2"))
-        .join(graft.Gate.bcast(cu), Seq("w1"))
+      val b = hashedBigramStream(s, d)
+      val cb = b.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c12"))
+      val cu = cb.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
+      b.join(graft.Gate.bcast(cb), Seq("h1", "h2"))
+        .join(graft.Gate.bcast(cu), Seq("h1"))
         .select(col("doc_id"),
           expr(s"CAST(round(${lnProbTpl("(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))")} * 1000.0) AS BIGINT)")
             .as("l"))

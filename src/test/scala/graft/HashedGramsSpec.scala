@@ -84,6 +84,22 @@ class HashedGramsSpec extends GraftSuite {
     assert(shortDocs === 0L)
   }
 
+  test("HashedBigramPairs ≡ zipped unigram/bigram template") {
+    val pairTemplate =
+      "transform(sequence(1, size(split(text, ' ')) - 1), i -> named_struct(" +
+        "'h1', xxhash64(element_at(split(text, ' '), i)), " +
+        "'h2', xxhash64(array_join(slice(split(text, ' '), i, 2), ' '))))"
+    val df = docsPlus
+      .withColumn("ntok", size(split(col("text"), " ")))
+      .withColumn("native", graft.functions.HashedBigramPairs(col("text")))
+    val longDocs = df.where(col("ntok") >= 2)
+      .where(not(col("native") === expr(pairTemplate)))
+      .count()
+    assert(longDocs === 0L)
+    val shortDocs = df.where(col("ntok") < 2).where(size(col("native")) =!= 0).count()
+    assert(shortDocs === 0L)
+  }
+
   test("IntersectCountSorted ≡ size(array_intersect) on hasher output") {
     val g = docsPlus.select(graft.functions.HashedShingles(col("text"), 5).as("grams"))
       .withColumn("rn", monotonically_increasing_id())
