@@ -186,6 +186,58 @@ object HashedGramsCore {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Sorted distinct xxhash64 of pg_trgm-style padded word trigrams:
+    * lowercase, split on single spaces, drop empty words, pad each word
+    * to `"  w "`, shred to 3-char-grams, union over words. Mirrors the
+    * template `array_distinct(flatten(transform(filter(split(lower(c),
+    * ' '), ...), w -> transform(..., substring(concat('  ', w, ' '), i,
+    * 3)))))` with each gram hashed — padding makes the gram bytes
+    * non-contiguous in the source, so each word is staged once into a
+    * small scratch buffer with its code-point offsets and the 3-gram
+    * windows hash from there (hash parity: XXH64 seed 42 over the
+    * gram's UTF-8 bytes = `xxhash64(gram)`). */
+  def pgTrigrams(raw: UTF8String): UnsafeArrayData = {
+    val s = raw.toLowerCase
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val hs = new java.util.ArrayList[java.lang.Long]()
+    var ws = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || bytes(i) == 0x20) {
+        if (i > ws) { // non-empty word [ws, i)
+          val wlen = i - ws
+          val pad = new Array[Byte](wlen + 3)
+          pad(0) = ' '; pad(1) = ' '
+          System.arraycopy(bytes, ws, pad, 2, wlen)
+          pad(wlen + 2) = ' '
+          // code-point start offsets within pad
+          val starts = new Array[Int](pad.length + 1)
+          var nc = 0
+          var j = 0
+          while (j < pad.length) {
+            if ((pad(j) & 0xC0) != 0x80) { starts(nc) = j; nc += 1 }
+            j += 1
+          }
+          starts(nc) = pad.length
+          var g = 0
+          while (g + 3 <= nc) {
+            hs.add(XXH64.hashUnsafeBytes(pad,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + starts(g),
+              starts(g + 3) - starts(g), 42L))
+            g += 1
+          }
+        }
+        ws = i + 1
+      }
+      i += 1
+    }
+    val arr = new Array[Long](hs.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = hs.get(k); k += 1 }
+    sortedDistinct(arr, arr.length)
+  }
+
   /** Merge-count of common elements of two ascending-sorted distinct
     * long arrays — `size(array_intersect(a, b))` without the per-pair
     * hash set or result-array allocation. */
@@ -249,6 +301,29 @@ case class HashedWordGrams(child: Expression, n: Int) extends TextGramExpression
 object HashedWordGrams {
   def apply(text: Column, n: Int): Column =
     GraftColumnBridge.column(HashedWordGrams(GraftColumnBridge.expression(text), n))
+}
+
+/** See [[HashedGramsCore.pgTrigrams]]. */
+case class PgTrigrams(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pg_trigrams"
+  override def nullSafeEval(input: Any): Any =
+    HashedGramsCore.pgTrigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashedGramsCore.pgTrigrams($s);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PgTrigrams {
+  def apply(text: Column): Column =
+    GraftColumnBridge.column(PgTrigrams(GraftColumnBridge.expression(text)))
 }
 
 /** See [[HashedGramsCore.bigramPairs]]. */

@@ -2153,21 +2153,21 @@ object OsmKernels {
       // the rank window partitions per probe over candidates only. At
       // 100 TB names the same plan holds: per-gram posting lists bound
       // the join fan-out exactly as the GIN index bounds page reads.
-      val gramsTpl = (c: String) =>
-        s"""array_distinct(flatten(transform(
-           |  filter(split(lower($c), ' '), w -> length(w) > 0),
-           |  w -> transform(sequence(1, length(w) + 1),
-           |                 i -> substring(concat('  ', w, ' '), i, 3)))))""".stripMargin
+      // gram sets ride as xxhash64 longs from the fused pg_trgm hasher
+      // (functions.PgTrigrams — the padded-word shred never enters
+      // codegen as lambdas; HashedGramsSpec pins native ≡ template):
+      // only per-pair COUNTS cross to the oracle, so the join key
+      // representation is free, with the standard 2^-64 collision bound.
       import s.implicits._
       val probes = Seq("q1" -> "red wdget", "q2" -> "blu bolt", "q3" -> "smal gizmo",
                        "q4" -> "hott gear", "q5" -> "old blot")
         .toDF("probe_id", "probe_text")
-        .withColumn("gs", expr(gramsTpl("probe_text")))
+        .withColumn("gs", graft.functions.PgTrigrams(col("probe_text")))
         .select(col("probe_id"), col("probe_text"), size(col("gs")).as("n2"),
                 explode(col("gs")).as("g"))
       val names = T.part(s, d)
         .select(col("p_partkey").as("node_id"), col("p_name").as("name"),
-                expr(gramsTpl("p_name")).as("gs"))
+                graft.functions.PgTrigrams(col("p_name")).as("gs"))
         .select(col("node_id"), col("name"), size(col("gs")).as("n1"),
                 explode(col("gs")).as("g"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))

@@ -100,6 +100,21 @@ class HashedGramsSpec extends GraftSuite {
     assert(shortDocs === 0L)
   }
 
+  test("PgTrigrams ≡ padded-word trigram template") {
+    val tpl =
+      "array_sort(array_distinct(transform(flatten(transform(" +
+        "filter(split(lower(text), ' '), w -> length(w) > 0), " +
+        "w -> transform(sequence(1, length(w) + 1), " +
+        "i -> substring(concat('  ', w, ' '), i, 3)))), g -> xxhash64(g))))"
+    val names = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_name").as("text")).limit(400)
+    val rows = names.unionByName(docsPlus.select(substring(col("text"), 1, 60).as("text")))
+      .select(graft.functions.PgTrigrams(col("text")).as("native"), expr(tpl).as("template"))
+      .where(not(col("native") === col("template")))
+      .count()
+    assert(rows === 0L)
+  }
+
   test("IntersectCountSorted ≡ size(array_intersect) on hasher output") {
     val g = docsPlus.select(graft.functions.HashedShingles(col("text"), 5).as("grams"))
       .withColumn("rn", monotonically_increasing_id())
