@@ -258,21 +258,24 @@ private class PbfBatchWrite(path: String, truncate: Boolean, schema: StructType)
     new PbfWriterFactory(path, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // only COMMITTED tasks' messages arrive here. For overwrite: drop the
-    // prior generation's part files that the new generation does not
-    // replace, then rename temps into place (POSIX rename atomically
-    // replaces colliding old parts). Old data survives any failure
-    // before this point.
+    // only COMMITTED tasks' messages arrive here. Rename the new temps
+    // into place FIRST (POSIX rename atomically replaces colliding old
+    // parts), and only then sweep the prior generation's unreplaced
+    // part files. Ordering matters for crash-atomicity: a failure
+    // before any rename preserves the old generation intact, and a
+    // failure mid-sweep leaves a superset (new parts + some stale old
+    // parts) rather than losing rows — the sweep is retryable, the
+    // delete-first ordering was not.
+    messages.foreach { case PbfCommit(tmp, fin) =>
+      val ok = new java.io.File(tmp).renameTo(new java.io.File(fin))
+      require(ok || !new java.io.File(tmp).exists(), s"pbf commit rename failed: $tmp")
+    }
     if (truncate) {
       val newFinals = messages.collect { case PbfCommit(_, fin) =>
         new java.io.File(fin).getName }.toSet
       new java.io.File(path).listFiles()
         .filter(f => f.getName.endsWith(".osm.pbf") && !newFinals.contains(f.getName))
         .foreach(_.delete())
-    }
-    messages.foreach { case PbfCommit(tmp, fin) =>
-      val ok = new java.io.File(tmp).renameTo(new java.io.File(fin))
-      require(ok || !new java.io.File(tmp).exists(), s"pbf commit rename failed: $tmp")
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =

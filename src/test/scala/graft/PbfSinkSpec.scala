@@ -69,4 +69,56 @@ class PbfSinkSpec extends GraftSuite {
     assert(!left.exists(_.getName.endsWith(".osm.pbf")),
       s"aborted write must not surface part files: ${left.map(_.getName).toSeq}")
   }
+
+  private def nodeRows(n: Int, poisonNullCoord: Boolean = false) = {
+    val base = T.part(spark, sf).limit(n).select(
+      col("p_partkey").as("element_id"), lit("node").as("kind"),
+      (col("p_size").cast("long") * 100).as("lon_c"),
+      round(col("p_retailprice") * 100).cast("long").as("lat_c"),
+      typedLit(Map.empty[String, String]).as("tags"),
+      expr("CAST(array() AS ARRAY<BIGINT>)").as("refs"))
+    if (poisonNullCoord)
+      base.withColumn("lon_c",
+        when(col("element_id") === 13L, lit(null).cast("long")).otherwise(col("lon_c")))
+    else base
+  }
+
+  test("a node with NULL lon/lat fails loudly instead of landing at (0,0)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pbf_nullcoord").toString
+    val ex = intercept[Exception] {
+      nodeRows(50, poisonNullCoord = true).write
+        .format("graft.sources.OsmPbfSource")
+        .option("path", s"$dir/out").mode("overwrite").save()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+    assert(chain(ex).exists(_.contains("NULL lon_c/lat_c")),
+      s"expected the NULL-coordinate guard to fire, got: ${chain(ex)}")
+    val left = Option(new java.io.File(s"$dir/out").listFiles()).getOrElse(Array.empty)
+    assert(!left.exists(_.getName.endsWith(".osm.pbf")),
+      "the poisoned write must abort cleanly, not surface partial parts")
+  }
+
+  test("a failed overwrite preserves the PREVIOUS generation intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pbf_gen").toString
+    // generation 1: a clean committed write
+    nodeRows(40).write.format("graft.sources.OsmPbfSource")
+      .option("path", s"$dir/out").mode("overwrite").save()
+    val gen1 = spark.read.format("graft.sources.OsmPbfSource")
+      .load(s"$dir/out").orderBy("element_id").collect().map(_.getLong(0)).toSeq
+    assert(gen1.nonEmpty)
+    // generation 2: poisoned mid-write — every task aborts before commit()
+    intercept[Exception] {
+      nodeRows(50, poisonNullCoord = true).write
+        .format("graft.sources.OsmPbfSource")
+        .option("path", s"$dir/out").mode("overwrite").save()
+    }
+    val after = spark.read.format("graft.sources.OsmPbfSource")
+      .load(s"$dir/out").orderBy("element_id").collect().map(_.getLong(0)).toSeq
+    assert(after == gen1,
+      "overwrite must be commit-atomic: a failed second write may not lose or alter gen-1 rows")
+    assert(!new java.io.File(s"$dir/out").listFiles()
+             .exists(_.getName.endsWith(".inprogress")),
+      "aborted temps must be swept")
+  }
 }
