@@ -195,7 +195,17 @@ object HashedGramsCore {
     * non-contiguous in the source, so each word is staged once into a
     * small scratch buffer with its code-point offsets and the 3-gram
     * windows hash from there (hash parity: XXH64 seed 42 over the
-    * gram's UTF-8 bytes = `xxhash64(gram)`). */
+    * gram's UTF-8 bytes = `xxhash64(gram)`).
+    *
+    * CASE-FOLD CONTRACT (ADVICE r14): lowercasing goes through
+    * `UTF8String.toLowerCase`, which disagrees with DuckDB's `lower()`
+    * on a handful of non-ASCII mappings (dotted 'İ' → 'i̇' vs 'i',
+    * 'ß' stays 'ß' vs … locale quirks) — and because only HASHES cross
+    * the engine boundary, a divergence would surface as an opaque
+    * similarity-count mismatch, not a readable diff. The oracled keys
+    * feed ASCII name fixtures, where the two folds agree byte-for-byte;
+    * callers adding non-ASCII corpora must normalize (e.g. strip to
+    * ASCII or NFKC-fold) BEFORE this function on both engines. */
   def pgTrigrams(raw: UTF8String): UnsafeArrayData = {
     val s = raw.toLowerCase
     val bytes = s.getBytes

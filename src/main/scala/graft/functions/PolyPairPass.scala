@@ -93,8 +93,16 @@ object PolyPairPass {
         if (den != 0L) {
           val tn = (bx1 - ax1) * dby - (by1 - ay1) * dbx
           val un = (bx1 - ax1) * day - (by1 - ay1) * dax
-          if (tn * den >= 0L && un * den >= 0L &&
-              math.abs(tn) <= math.abs(den) && math.abs(un) <= math.abs(den)) {
+          // t ∈ [0,1] iff tn/den ∈ [0,1]: decided by SIGN AGREEMENT plus
+          // |num| ≤ |den| — never by the product tn*den, whose magnitude
+          // (~(4.4e18)² at fixture deltas) would wrap Long and corrupt
+          // the decision silently (ADVICE r14). tn/un/den themselves
+          // stay within Long by the coordinate-delta bound.
+          val tIn = tn == 0L || (((tn > 0L) == (den > 0L)) &&
+                                 math.abs(tn) <= math.abs(den))
+          val uIn = un == 0L || (((un > 0L) == (den > 0L)) &&
+                                 math.abs(un) <= math.abs(den))
+          if (tIn && uIn) {
             ts(nt) = tn.toDouble / den.toDouble; nt += 1
           }
         }

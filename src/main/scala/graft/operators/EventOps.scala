@@ -48,8 +48,17 @@ object EventOps {
     val s = df.sparkSession
     val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
     val entries = dims.zipWithIndex.map { case ((key, _), i) =>
+      // Fail-loud widening (ADVICE r14): under non-ANSI Spark an
+      // overflowing cast yields NULL, and a NULL ranking key would sort
+      // first and silently mis-bucket the whole ntile. Coalesce is
+      // lazy, so raise_error fires only on an actual overflow/NULL key.
       struct(lit(i).as("dim"),
-             col(key).cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("keyd"))
+             coalesce(
+               col(key).cast(org.apache.spark.sql.types.DecimalType(28, 2)),
+               raise_error(concat(
+                 lit(s"globalNtileMulti: ranking key '$key' is NULL or exceeds " +
+                     "DECIMAL(28,2) for tie "), col(tie).cast("string")))
+                 .cast(org.apache.spark.sql.types.DecimalType(28, 2))).as("keyd"))
     }
     val long = df.select(col(tie), explode(array(entries: _*)).as("e"))
       .select(col(tie), col("e.dim").as("dim"), col("e.keyd").as("keyd"))

@@ -224,8 +224,14 @@ object OsmKernels {
     val den = s"($dax * $dby - $day * $dbx)"
     val tn  = s"(${bd("eb.x1 - ea.x1")} * $dby - ${bd("eb.y1 - ea.y1")} * $dbx)"
     val un  = s"(${bd("eb.x1 - ea.x1")} * $day - ${bd("eb.y1 - ea.y1")} * $dax)"
-    val cond = s"$den <> 0 AND $tn * $den >= 0 AND $un * $den >= 0 AND " +
-      s"abs($tn) <= abs($den) AND abs($un) <= abs($den)"
+    // sign agreement instead of `tn * den >= 0`: the PRODUCT of two
+    // cross products can wrap BIGINT at wider coordinate domains (Spark
+    // would wrap silently, DuckDB would error — divergent either way);
+    // the factors themselves stay inside 63 bits. Identical text both
+    // renderings, so cross-engine parity is preserved by construction.
+    val cond = s"$den <> 0 AND " +
+      s"($tn = 0 OR (($tn > 0) = ($den > 0) AND abs($tn) <= abs($den))) AND " +
+      s"($un = 0 OR (($un > 0) = ($den > 0) AND abs($un) <= abs($den)))"
     val tval = s"(CAST($tn AS DOUBLE) / CAST($den AS DOUBLE))"
     val ts =
       if (duck) s"list_sort(list_transform(list_filter($others, eb -> $cond), eb -> $tval))"
@@ -1424,8 +1430,18 @@ object OsmKernels {
           expr("array_max(transform(ring, x -> x.lon_c))").as("maxx"),
           expr("array_min(transform(ring, x -> x.lat_c))").as("miny"),
           expr("array_max(transform(ring, x -> x.lat_c))").as("maxy"))
-        .withColumn("tx", explode(sequence(expr("minx DIV 2500"), expr("maxx DIV 2500"))))
-        .withColumn("ty", explode(sequence(expr("miny DIV 60000"), expr("maxy DIV 60000"))))
+        // tx/ty are OUTPUT columns here (unlike the internal grid-join
+        // cells above, which only need self-consistency): they must
+        // match the oracle's `//`, which FLOORS, while Spark's DIV
+        // truncates toward zero — divergent for negative coordinates.
+        // FLOOR over double division is exact at centi-unit magnitudes
+        // (|coord| < 2^31 ≪ 2^53).
+        .withColumn("tx", explode(sequence(
+          expr("CAST(FLOOR(minx / 2500.0) AS BIGINT)"),
+          expr("CAST(FLOOR(maxx / 2500.0) AS BIGINT)"))))
+        .withColumn("ty", explode(sequence(
+          expr("CAST(FLOOR(miny / 60000.0) AS BIGINT)"),
+          expr("CAST(FLOOR(maxy / 60000.0) AS BIGINT)"))))
         .withColumn("rx0", col("tx") * 2500)
         .withColumn("rx1", (col("tx") + 1) * 2500)
         .withColumn("ry0", col("ty") * 60000)
