@@ -209,4 +209,26 @@ class EventOpsSpec extends GraftSuite {
     for ((doc, last) <- clipLen)
       assert(perDoc(doc) == (last / 10 + 1).toInt, s"doc $doc frame count")
   }
+
+  test("event_rfm: the gated driver arm and the distributed arm are bit-interchangeable") {
+    // The size gate (globalNtileMulti) picks the driver fast path under
+    // the row budget and the bucket-column + rank-window dataflow above
+    // it; the DuckDB oracle only ever sees one arm (whichever the
+    // fixture size selects), so pin the equivalence engine-side by
+    // forcing BOTH and diffing row-for-row.
+    val key = "spark.sql.graft.ntileDriverGateRows"
+    val prev = spark.conf.getOption(key)
+    def rows() = SparkEntry.queries("event_rfm")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    try {
+      spark.conf.set(key, "0") // force the distributed arm
+      val dist = rows()
+      spark.conf.set(key, s"${Long.MaxValue}") // force the driver arm
+      val drv = rows()
+      assert(dist.nonEmpty && dist == drv,
+        "both globalNtileMulti arms must produce identical rows, schema order included")
+    } finally {
+      prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
 }
