@@ -37,6 +37,43 @@ object OsmKernels {
       (col("p_size").cast("long") * 100).as("lon_c"),
       round(col("p_retailprice") * 100).cast("long").as("lat_c")))
 
+  /** Bounded-depth resolution of relation→relation membership (VERDICT
+    * r14 item 3; reference README.md:80-81 — relations get geometry
+    * from member nodes and ways, transitively through member
+    * RELATIONS). Takes `roots` as (root_id, rel_id) seed pairs and the
+    * relation-member edge table (parent_id, child_id); returns the
+    * (root_id, rel_id) closure down to `maxDepth` plus a per-root count
+    * of members still expandable AT the bound — deeper nesting or a
+    * membership cycle (real OSM data contains both) is REPORTED loudly,
+    * never silently dropped and never looped on: the unrolled plan
+    * terminates by construction. Scale shape: the relation-edge table
+    * is relation-count-sized (tiny next to way/node membership — each
+    * frontier join is a size-gated broadcast), the closure is a union
+    * of ≤ maxDepth frontier joins, and each iteration re-aliases the
+    * edge columns so the unrolled self-joins stay unambiguous.
+    */
+  private[graft] def nestedClosure(roots: org.apache.spark.sql.DataFrame,
+                                   relEdges: org.apache.spark.sql.DataFrame,
+                                   maxDepth: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    def edges = graft.Gate.bcast(relEdges.select(
+      col("parent_id").as("__p"), col("child_id").as("__c")))
+    var frontier = roots.select(col("root_id"), col("rel_id"))
+    var closure = frontier
+    for (_ <- 1 to maxDepth) {
+      frontier = frontier.join(edges, col("rel_id") === col("__p"))
+        .select(col("root_id"), col("__c").as("rel_id"))
+      closure = closure.unionByName(frontier)
+    }
+    val unresolved = frontier.join(edges, col("rel_id") === col("__p"))
+      .groupBy(col("root_id")).agg(count(lit(1)).as("n_unresolved"))
+    // distinct: a diamond (one relation reachable through two member
+    // chains) must contribute its geometry ONCE, as osm2pgsql's
+    // assembly does — the closure is relation-count-sized, so the
+    // dedup exchange is dim-table cost, not corpus cost.
+    (closure.distinct(), unresolved)
+  }
+
   /** Per-way CLOSED ring + exact shoelace sum — the shared assembly step
     * of the area operators (`osm_way_polygon_wkb`,
     * `osm_relation_multipolygon_wkb`). osm2pgsql's area rule: a way whose
@@ -1026,6 +1063,65 @@ object OsmKernels {
         .select(col("relation_id"), col("n_ways"), col("n_points"),
                 octet_length(col("wkb")).cast("long").as("wkb_len"),
                 substring(hex(col("wkb")), 1, 10).as("wkb_header"))
+        .orderBy(col("relation_id"))
+    },
+
+    Q(
+      "osm_relation_nested",
+      """SELECT 25000000 + n_nationkey AS relation_id,
+        |       count(DISTINCT o_orderkey) AS n_member_ways,
+        |       count(*) AS n_points,
+        |       min(p_size * 100) / 100.0 AS bbox_min_lon,
+        |       CAST(min(round(p_retailprice * 100)) AS DOUBLE) / 100.0 AS bbox_min_lat,
+        |       max(p_size * 100) / 100.0 AS bbox_max_lon,
+        |       CAST(max(round(p_retailprice * 100)) AS DOUBLE) / 100.0 AS bbox_max_lat,
+        |       CAST(0 AS BIGINT) AS n_unresolved
+        |FROM nation
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |GROUP BY n_nationkey
+        |ORDER BY relation_id""".stripMargin
+    ) { (s, d) =>
+      // RELATION-OF-RELATIONS resolution (VERDICT r14 item 3; reference
+      // README.md:80-81 — relations take geometry from member nodes AND
+      // ways, transitively through member relations). Fixture mapping:
+      // nation-relations (id-space-shifted by 25e6) contain customer-
+      // relations contain ways contain nodes — one real nesting level,
+      // resolved by the generic bounded-depth [[nestedClosure]]; the
+      // oracle states the same closure as the flat join chain it
+      // flattens to at this depth, with the loud n_unresolved column
+      // pinned to zero (nothing in the fixture exceeds the bound —
+      // cycles and over-deep chains are spec-pinned on synthetic edges
+      // instead, Round15OpsSpec).
+      val base = lit(25000000L)
+      val roots = T.nation(s, d).select(
+        (base + col("n_nationkey")).as("root_id"),
+        (base + col("n_nationkey")).as("rel_id"))
+      val relEdges = T.customer(s, d).select(
+        (base + col("c_nationkey")).as("parent_id"), col("c_custkey").as("child_id"))
+      val (closure, unresolved) = nestedClosure(roots, relEdges, maxDepth = 4)
+      val wayMembers = T.orders(s, d).select(
+        col("o_custkey").as("rel_id"), col("o_orderkey").as("way_id"))
+      val agged = closure
+        .join(wayMembers, Seq("rel_id"))
+        .join(T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+              col("way_id") === col("l_orderkey"))
+        .join(nodes(s, d), col("l_partkey") === col("node_id"))
+        .groupBy(col("root_id"))
+        .agg(
+          countDistinct(col("way_id")).as("n_member_ways"),
+          count(lit(1)).as("n_points"),
+          (min(col("lon_c")) / 100.0).as("bbox_min_lon"),
+          (min(col("lat_c")) / 100.0).as("bbox_min_lat"),
+          (max(col("lon_c")) / 100.0).as("bbox_max_lon"),
+          (max(col("lat_c")) / 100.0).as("bbox_max_lat"))
+      agged.join(unresolved, Seq("root_id"), "left")
+        .select(col("root_id").as("relation_id"), col("n_member_ways"),
+                col("n_points"), col("bbox_min_lon"), col("bbox_min_lat"),
+                col("bbox_max_lon"), col("bbox_max_lat"),
+                coalesce(col("n_unresolved"), lit(0L)).as("n_unresolved"))
         .orderBy(col("relation_id"))
     },
 

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 invariants: bounded-depth relation-of-relations resolution
+  * (`nestedClosure` / `osm_relation_nested`). The oracled key can only
+  * exercise the fixture's single real nesting level with zero
+  * rejections, so the hostile shapes — chains past the bound and
+  * membership CYCLES (both occur in real OSM data) — are pinned here on
+  * synthetic edge tables.
+  */
+class Round15OpsSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  private def roots(ids: Long*) =
+    ids.toDF("root_id").select(col("root_id"), col("root_id").as("rel_id"))
+
+  test("osm_relation_nested: oracled key resolves the nation>customer>way chain, zero rejects") {
+    val got = SparkEntry.queries("osm_relation_nested")(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getLong(7) == 0L), "fixture nesting is within the bound")
+    // cross-check one nation against the flat chain
+    val nat = got.head.getLong(0) - 25000000L
+    val expect = T.customer(spark, sf).where(col("c_nationkey") === nat)
+      .join(T.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+      .join(T.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(got.head.getLong(2) == expect, "n_points must equal the flat-join row count")
+  }
+
+  test("nestedClosure: a chain deeper than the bound is rejected loudly, not dropped silently") {
+    // 1 -> 2 -> 3 -> 4: with maxDepth = 2 the closure reaches {1,2,3}
+    // and node 3's unexpanded member (4) must be REPORTED.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("parent_id", "child_id")
+    val (closure, unresolved) = operators.OsmKernels.nestedClosure(roots(1L), edges, maxDepth = 2)
+    assert(closure.collect().map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+    val u = unresolved.collect()
+    assert(u.length == 1 && u.head.getLong(0) == 1L && u.head.getLong(1) == 1L,
+      s"root 1 must report exactly its one over-deep member: ${u.toSeq}")
+    // and a bound that covers the chain resolves it fully with no reject
+    val (c4, u4) = operators.OsmKernels.nestedClosure(roots(1L), edges, maxDepth = 3)
+    assert(c4.collect().map(_.getLong(1)).toSet == Set(1L, 2L, 3L, 4L))
+    assert(u4.collect().isEmpty)
+  }
+
+  test("nestedClosure: a membership cycle terminates and is reported, never looped on") {
+    // 10 -> 11 -> 10 (a 2-cycle, as real OSM relation data contains):
+    // the unrolled plan terminates by construction; the closure is the
+    // cycle's node set; the frontier at the bound still has children,
+    // so the root reports unresolved members.
+    val edges = Seq((10L, 11L), (11L, 10L)).toDF("parent_id", "child_id")
+    val (closure, unresolved) = operators.OsmKernels.nestedClosure(roots(10L), edges, maxDepth = 4)
+    assert(closure.collect().map(_.getLong(1)).toSet == Set(10L, 11L),
+      "distinct closure of a 2-cycle is its two members")
+    val u = unresolved.collect()
+    assert(u.length == 1 && u.head.getLong(0) == 10L && u.head.getLong(1) >= 1L,
+      s"the cycle must surface as unresolved members at the bound: ${u.toSeq}")
+  }
+
+  test("nestedClosure: a diamond contributes each reached relation once") {
+    // 20 -> {21, 22} -> 23: relation 23 reachable twice, must appear once.
+    val edges = Seq((20L, 21L), (20L, 22L), (21L, 23L), (22L, 23L))
+      .toDF("parent_id", "child_id")
+    val (closure, _) = operators.OsmKernels.nestedClosure(roots(20L), edges, maxDepth = 3)
+    val rels = closure.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rels.length == rels.distinct.length, "closure must be a SET of (root, rel)")
+    assert(rels.map(_._2).toSet == Set(20L, 21L, 22L, 23L))
+  }
+}
