@@ -88,6 +88,34 @@ object EmbeddingOps {
     * consumer that only needs assignments (the registered query, the IVF
     * index build) saves one Spark job per iteration.
     */
+  /** Build-once IVF layout root for a dataset (conf-keyed per session):
+    * spherical-k-means assignments written `partitionBy(cid)` plus the
+    * k-row codebook next to it. Shared by `sim_ivf_partitioned` (ANN
+    * probe = partition pruning) and `dedup_semantic_kmeans` (SemDeDup
+    * blocks = the same cells) — one trained layout, two consumers, the
+    * way a real lake amortizes its index.
+    */
+  private[graft] def ivfRoot(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val confKey = s"spark.sql.graft.ivfdir:$d"
+    s.conf.getOption(confKey).getOrElse {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      val e = T.embeddings(s, d)
+      val (assigned, _) = kmeans(e, k = 8, iters = 2)
+      e.join(assigned.select(col("vec_id"), col("cid")), "vec_id")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/index")
+      assigned.join(e, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("micro", expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("micro")).cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> CAST(p.m / 1e6 AS FLOAT))").as("centroid"))
+        .write.mode("overwrite").parquet(s"$dir/codebook")
+      s.conf.set(confKey, dir)
+      dir
+    }
+  }
+
   def kmeans(e: DataFrame, k: Int, iters: Int,
              trackInertia: Boolean = false): (DataFrame, Seq[Double]) = {
     val vecs = e.select(col("vec_id"),
@@ -408,25 +436,9 @@ object EmbeddingOps {
       // every run, contradicting the "build once" design). The codebook
       // (cid → centroid floats) persists NEXT TO the index: a real lake
       // would store both artifacts together, and the probe must not
-      // retrain to learn cell centers.
-      val confKey = s"spark.sql.graft.ivfdir:$d"
-      val root = s.conf.getOption(confKey).getOrElse {
-        val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-        val e = T.embeddings(s, d)
-        val (assigned, _) = kmeans(e, k = 8, iters = 2)
-        e.join(assigned.select(col("vec_id"), col("cid")), "vec_id")
-          .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/index")
-        assigned.join(e, "vec_id")
-          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .withColumn("micro", expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
-          .groupBy(col("cid"), col("pos"))
-          .agg((sum(col("micro")).cast("double") / count(lit(1))).as("m"))
-          .groupBy(col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> CAST(p.m / 1e6 AS FLOAT))").as("centroid"))
-          .write.mode("overwrite").parquet(s"$dir/codebook")
-        s.conf.set(confKey, dir)
-        dir
-      }
+      // retrain to learn cell centers. (Shared via [[ivfRoot]] —
+      // `dedup_semantic_kmeans` blocks on the same layout.)
+      val root = ivfRoot(s, d)
       // --- probe (the steady-state query): codebook scan picks nprobe
       // cells. The ONLY collect in any operator, and deliberately so:
       // 3 rows of k-row codebook METADATA (bounded by k, never

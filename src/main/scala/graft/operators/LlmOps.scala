@@ -231,7 +231,7 @@ object LlmOps {
     * float summation-order noise (~1e-15) cannot flip membership vs the
     * oracle.
     */
-  private val cosTau = 0.358
+  private[graft] val cosTau = 0.358
 
   val all: Seq[Q] = Seq(
     Q(
@@ -697,6 +697,45 @@ object LlmOps {
       e.select(col("vec_id"), col("label"))
         .join(graft.Gate.bcast(dups), Seq("vec_id"), "left")
         .select(col("vec_id"), col("label"),
+                col("dup_cos").isNull.as("kept"), col("dup_cos"))
+        .orderBy(col("vec_id"))
+    },
+
+    // SemDeDup proper (VERDICT r14 item 5): `dedup_semantic` blocks on
+    // the fixture `label` — a stand-in no real corpus has. This variant
+    // derives the blocks from the DATA exactly as Abbas et al. do —
+    // k-means cells — and takes them from the IVF LAYOUT the session
+    // already trains for `sim_ivf_partitioned` ([[graft.operators
+    // .EmbeddingOps.ivfRoot]]): one trained partitionBy(cid) lake
+    // layout, two consumers (ANN probe prunes partitions; dedup blocks
+    // on them). The one-hop keep-lowest-id rule at cosine ≥ τ runs
+    // inside each cell; the cell equi-key — never a cartesian — bounds
+    // the pairwise cost at O(Σ cell²·d). Approximate BY DESIGN (a pair
+    // split across cells survives; sign-LSH was measured WORSE here —
+    // this fixture's ≥ τ pairs sit at 63-69°, where 8 sign bits are
+    // nearly uncorrelated: single-probe caught 5/198 true pairs vs the
+    // cells' 68/198 and the fixture label's own 12/198). No SQL oracle
+    // (trained blocks); Round15OpsSpec pins (a) every drop is a TRUE
+    // ≥ τ near-dup under global brute force, (b) measured pair coverage
+    // beats the label blocking, with recall vs both references
+    // reported, (c) the plan: cell-equi-keyed join, cosine residual,
+    // no cartesian.
+    Q.smoke("dedup_semantic_kmeans") { (s, d) =>
+      val root = graft.operators.EmbeddingOps.ivfRoot(s, d)
+      val idxSchema = T.embeddings(s, d).schema
+        .add("cid", org.apache.spark.sql.types.LongType)
+      val e = s.read.schema(idxSchema).parquet(s"$root/index")
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val dups = e.select(col("cid"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .join(e.select(col("cid"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
+              Seq("cid"))
+        .where(col("vec_b") < col("vec_a"))
+        .where(cosine("ea", "eb") >= cosTau)
+        .groupBy(col("vec_a").as("vec_id"))
+        .agg(round(max(cosine("ea", "eb")), 6).as("dup_cos"))
+      e.select(col("vec_id"), col("cid"))
+        .join(graft.Gate.bcast(dups), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
                 col("dup_cos").isNull.as("kept"), col("dup_cos"))
         .orderBy(col("vec_id"))
     },

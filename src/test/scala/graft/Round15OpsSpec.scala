@@ -58,6 +58,62 @@ class Round15OpsSpec extends GraftSuite {
       s"the cycle must surface as unresolved members at the bound: ${u.toSeq}")
   }
 
+  test("dedup_semantic_kmeans: drops are TRUE near-dups; cells out-cover the fixture label") {
+    val got = SparkEntry.queries("dedup_semantic_kmeans")(spark, sf).collect()
+    assert(got.length == T.embeddings(spark, sf).count())
+    val cellDropped = got.filterNot(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(cellDropped.nonEmpty, "the cells must surface near-dup drops")
+    // global brute-force truth (500 vectors -> 125k pairs, driver-cheap):
+    // one-hop keep-lowest-id rule with NO blocking at all
+    val vecs = T.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val globalDropped = (for {
+      i <- vecs.indices; j <- 0 until i
+      if cos(vecs(i)._2, vecs(j)._2) >= graft.operators.LlmOps.cosTau
+    } yield vecs(i)._1).toSet
+    assert(cellDropped.subsetOf(globalDropped),
+      s"a cell-blocked drop must be a genuine >= tau pair: ${(cellDropped -- globalDropped).take(5)}")
+    // Coverage comparison against the label-blocked reference
+    // (`dedup_semantic`): labels are NOT the truth here — the fixture's
+    // >= tau pairs are mostly cross-label — so the meaningful pin is
+    // that the DATA-DRIVEN cells recover at least as much of the global
+    // drop set as the label stand-in, with both recalls reported.
+    val labelDropped = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+      .filterNot(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(labelDropped.nonEmpty && labelDropped.subsetOf(globalDropped))
+    val cellRecall = cellDropped.size.toDouble / globalDropped.size
+    val labelRecall = labelDropped.size.toDouble / globalDropped.size
+    assert(cellRecall >= labelRecall,
+      f"k-means cells ($cellRecall%.3f of global truth) must not trail the fixture label ($labelRecall%.3f)")
+    assert(cellRecall >= 0.2, f"cell recall $cellRecall%.3f fell below the measured floor")
+    info(f"dedup_semantic_kmeans recall vs global truth: $cellRecall%.3f " +
+      f"(label-blocked reference: $labelRecall%.3f; overlap vs label drops: " +
+      s"${(cellDropped & labelDropped).size}/${labelDropped.size})")
+  }
+
+  test("dedup_semantic_kmeans: the self-join is equi-keyed on the IVF cell, cosine is residual") {
+    val df = SparkEntry.queries("dedup_semantic_kmeans")(spark, sf)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString()
+    // The cell column must DRIVE the join (hash keys), with the
+    // pairwise cosine only as a residual condition on cell-equal
+    // candidates — at fixture scale AQE broadcasts the small side, past
+    // the budget both sides exchange on `cid` and reuse; either way the
+    // key is what bounds the cost at O(sum cell^2 * d).
+    assert("""Join \[cid""".r.findFirstIn(p).isDefined,
+      s"the pairwise join must be equi-keyed on the IVF cell; plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no unkeyed pairwise product anywhere in the plan")
+  }
+
   test("nestedClosure: a diamond contributes each reached relation once") {
     // 20 -> {21, 22} -> 23: relation 23 reachable twice, must appear once.
     val edges = Seq((20L, 21L), (20L, 22L), (21L, 23L), (22L, 23L))
