@@ -912,6 +912,68 @@ object TrainingOps {
           .coalesce(1).localCheckpoint()
       }
       dist.select(col("node"), col("d").as("dist")).orderBy(col("node"))
+    },
+
+    // Convergence-detected BFS (VERDICT r14 item 6) — the variant
+    // `graph_shortest_path`'s scale note promises: UNBOUNDED depth via
+    // frontier-delta iteration instead of a fixed unroll, stopping when
+    // the frontier drains, with a LOUD iteration budget (a pathological
+    // or adversarial graph aborts with the round count, never spins).
+    // Same planted entity graph and source as the depth-6 key, so at
+    // fixture diameter the two agree node-for-node (Round15OpsSpec pins
+    // that, plus exactness on a diameter-11 chain the unroll cannot
+    // reach, plus the loud budget). No SQL oracle: the stopping rule is
+    // a runtime property, not a fixed-point SQL can state.
+    Q.smoke("graph_shortest_path_conv") { (s, d) =>
+      val und = T.documents(s, d)
+        .select(expr("doc_id % 50").as("a"), expr("(doc_id DIV 50) % 50").as("b"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      val edges = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+      bfsConverged(edges, source = 0L)
+        .select(col("node"), col("d").as("dist")).orderBy(col("node"))
     }
   )
+
+  /** Frontier-delta single-source BFS, iterated TO CONVERGENCE: each
+    * round expands only the nodes first reached last round (the delta,
+    * not the whole dist table), anti-joins out everything already
+    * settled, and stops when the frontier is empty — the per-round
+    * count IS the convergence test, one deliberately tiny action per
+    * round. `localCheckpoint` after every round truncates lineage (the
+    * dedup_clusters lesson: a k-deep iterative plan tree costs more
+    * than the data it caches), so round k+1 plans a fresh join no
+    * matter the depth. The round budget is a LOUD failure: exceeding it
+    * throws with the live frontier size rather than silently spinning —
+    * raise `maxRounds` consciously for a genuinely deep graph. Scale
+    * shape per round: frontier size-gate-broadcasts onto the
+    * shuffle-partitioned edge fact (shuffle fallback above budget), one
+    * distinct on dst, one anti-join against the |V|-sized dist table.
+    */
+  private[graft] def bfsConverged(edges: org.apache.spark.sql.DataFrame, source: Long,
+                                  maxRounds: Int = 64): org.apache.spark.sql.DataFrame = {
+    val s = edges.sparkSession
+    val e = edges.localCheckpoint() // corpus-derived: scan once, not once per round
+    var dist = s.range(1).select(lit(source).as("node"), lit(0L).as("d")).localCheckpoint()
+    var frontier = dist.select(col("node"))
+    var round = 0
+    var live = 1L
+    while (live > 0) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"bfsConverged: frontier still live ($live nodes) after $maxRounds rounds — " +
+            "graph deeper than the budget; raise maxRounds explicitly")
+      val reached = e.join(Gate.bcast(frontier.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      frontier = reached.join(dist, Seq("node"), "left_anti").localCheckpoint()
+      live = frontier.count()
+      if (live > 0)
+        dist = dist.union(frontier.select(col("node"), lit(round.toLong).as("d")))
+          .localCheckpoint()
+    }
+    dist
+  }
 }

@@ -114,6 +114,37 @@ class Round15OpsSpec extends GraftSuite {
       "no unkeyed pairwise product anywhere in the plan")
   }
 
+  test("graph_shortest_path_conv: agrees with the depth-6 unroll on the fixture graph") {
+    val conv = SparkEntry.queries("graph_shortest_path_conv")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unrolled = SparkEntry.queries("graph_shortest_path")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the unroll truncates at 6; convergence must agree on everything
+    // the unroll reaches and only ever ADD strictly-deeper nodes
+    assert(conv.view.filterKeys(unrolled.contains).toMap == unrolled,
+      "convergence and unroll must agree on all depth<=6 nodes")
+    assert((conv.keySet -- unrolled.keySet).forall(n => conv(n) > 6),
+      "nodes only convergence reaches must be strictly deeper than the unroll bound")
+  }
+
+  test("bfsConverged: exact distances on a diameter-11 chain the depth-6 unroll cannot reach") {
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = chain.union(chain.select(col("dst"), col("src")))
+    val got = operators.TrainingOps.bfsConverged(edges, source = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 11L).map(i => i -> i).toMap,
+      s"chain distances must be exact to the full diameter: $got")
+  }
+
+  test("bfsConverged: exceeding the round budget fails loudly with the live frontier") {
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      operators.TrainingOps.bfsConverged(chain, source = 0L, maxRounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("after 3 rounds") && ex.getMessage.contains("frontier"),
+      s"budget failure must name the budget and the live frontier: ${ex.getMessage}")
+  }
+
   test("nestedClosure: a diamond contributes each reached relation once") {
     // 20 -> {21, 22} -> 23: relation 23 reachable twice, must appear once.
     val edges = Seq((20L, 21L), (20L, 22L), (21L, 23L), (22L, 23L))
