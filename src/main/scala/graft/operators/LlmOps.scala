@@ -568,6 +568,56 @@ object LlmOps {
     },
 
     Q(
+      "split_leakage_safe",
+      s"""WITH RECURSIVE $duckVecs,
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS dot
+         |      FROM x a JOIN x b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+         |      GROUP BY 1, 2),
+         |pe AS (SELECT va, vb FROM p JOIN nrm na ON va = na.vec_id JOIN nrm nb ON vb = nb.vec_id
+         |       WHERE dot / (na.n * nb.n) >= $cosTau),
+         |e AS (SELECT va AS src, vb AS dst FROM pe UNION ALL SELECT vb, va FROM pe),
+         |reach AS (
+         |  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         |c AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT vec_id, cluster_id,
+         |       CASE WHEN md5(CAST(cluster_id AS VARCHAR)) < 'e6' THEN 'train'
+         |            WHEN md5(CAST(cluster_id AS VARCHAR)) < 'f3' THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM c ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      // LEAKAGE-SAFE train/val/test split — the curation step naive
+      // random splits get wrong: if near-duplicates straddle train and
+      // test, the eval set leaks into training (the contamination the
+      // text_contamination keys screen AFTER the fact; this prevents it
+      // BY CONSTRUCTION). The split key is the near-dup CLUSTER
+      // representative (dedup_clusters' min-id component label), not
+      // the document: every member of a cluster hashes to the same
+      // split, so no ≥ τ pair can ever cross the boundary. The hash is
+      // a cross-engine-identical md5-prefix compare ('e6'/'f3' hex
+      // string thresholds ≈ 90/5/5): deterministic under re-runs,
+      // repartitioning, and engine choice — rand() would re-deal the
+      // corpus every rebuild. Scale shape: the component step is the
+      // O(log n)-round star contraction dedup_clusters pins; the split
+      // itself is a map-only projection on its output.
+      val e = T.embeddings(s, d)
+      val p = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
+        .join(e.select(col("vec_id").as("vb"), col("label"), col("embedding").as("eb")), Seq("label"))
+        .where(col("va") < col("vb") && cosine("ea", "eb") >= cosTau)
+        .select(col("va"), col("vb"))
+      val edges = p.unionByName(p.select(col("vb").as("va"), col("va").as("vb")))
+        .toDF("src", "dst").cache()
+      val (labels, _) = connectedComponents(e.select(col("vec_id").as("id")), edges)
+      edges.unpersist()
+      val h = md5(col("cluster_id").cast("string"))
+      labels.select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+        .withColumn("split",
+          when(h < "e6", "train").when(h < "f3", "val").otherwise("test"))
+        .orderBy(col("vec_id"))
+    },
+
+    Q(
       "sim_cosine_topk",
       s"""WITH $duckVecs,
          |q AS (SELECT i, v AS qv FROM x WHERE vec_id = 0),

@@ -114,6 +114,43 @@ class Round15OpsSpec extends GraftSuite {
       "no unkeyed pairwise product anywhere in the plan")
   }
 
+  test("split_leakage_safe: no near-dup pair straddles a split boundary; fractions sane") {
+    val got = SparkEntry.queries("split_leakage_safe")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val split = got.map(x => x._1 -> x._3).toMap
+    // the leakage guarantee, checked at PAIR level against the same
+    // tau-graph the clusters came from (not just cluster-level, which
+    // the split-by-cluster construction makes trivially true)
+    val e = T.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var pairs = 0
+    for (i <- e.indices; j <- 0 until i
+         if e(i)._3 == e(j)._3 && cos(e(i)._2, e(j)._2) >= graft.operators.LlmOps.cosTau) {
+      pairs += 1
+      assert(split(e(i)._1) == split(e(j)._1),
+        s"near-dup pair (${e(j)._1}, ${e(i)._1}) straddles splits " +
+          s"${split(e(j)._1)}/${split(e(i)._1)} — that is eval leakage")
+    }
+    assert(pairs > 0, "the fixture must contain near-dup pairs for the guarantee to bite")
+    // fractions: hash thresholds 'e6'/'f3' target ~90/5/5 of CLUSTERS
+    val frac = got.groupBy(_._3).view.mapValues(_.length.toDouble / got.length).toMap
+    assert(frac.getOrElse("train", 0.0) > 0.75 && frac.getOrElse("train", 0.0) < 0.98,
+      s"train fraction out of band: $frac")
+    assert(frac.keySet.subsetOf(Set("train", "val", "test")))
+    // determinism: a re-run deals the identical split
+    val again = SparkEntry.queries("split_leakage_safe")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == split, "the split must be a pure function of the data, not of the run")
+  }
+
   test("graph_shortest_path_conv: agrees with the depth-6 unroll on the fixture graph") {
     val conv = SparkEntry.queries("graph_shortest_path_conv")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
