@@ -224,7 +224,14 @@ object EventOps {
     val scores = Array.ofDim[Long](n2, math.max(nd, 1))
     for (d <- 0 until nd) {
       val order = (0 until n2).sortBy { i =>
-        (BigDecimal(rows(i).getDecimal(2 + d)), BigDecimal(rows(i).getDecimal(1)))
+        // same fail-loud contract as the distributed arm's raise_error:
+        // a NULL/overflowed key aborts with the tie id, never mis-sorts
+        val kd = rows(i).getDecimal(2 + d)
+        val td = rows(i).getDecimal(1)
+        require(kd != null && td != null,
+          s"globalNtileMulti(driver): NULL ranking key '${dims(d)._1}' or tie " +
+            s"for ${rows(i).get(0)}")
+        (BigDecimal(kd), BigDecimal(td))
       }
       var j = 0
       while (j < n2) { scores(order(j))(d) = scoreOf(j + 1L); j += 1 }
