@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** SURVEY.md §2.K — LLM-training-data pipeline operators over
   * `documents` / `embeddings` (BASELINE.json north_star extension surface).
@@ -63,7 +64,9 @@ object LlmOps {
     *
     * `vertices` needs an `id` column; `edges` needs `src`/`dst`
     * (direction irrelevant — canonicalised internally). Returns (labels
-    * as (id, lbl), rounds-to-fixpoint); THROWS past `maxIters`. */
+    * as (id, lbl), rounds-to-fixpoint — 0 when the size-gated driver
+    * union-find arm answered, see the gate below); THROWS past
+    * `maxIters`. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIters: Int = 20): (DataFrame, Int) = {
     // canonical directed edge set: src > dst, no self-loops, distinct —
@@ -99,6 +102,45 @@ object LlmOps {
     }
     var it = 0
     var nE = e.count()
+    // Size-gated driver fast path (the Gate.bcast pattern applied to
+    // compute, same as globalNtileMulti's ntileDriver arm): the component
+    // structure is fully determined by the EDGE set alone — corpus-shrunk
+    // (near-dup pairs, not documents) and already counted for the loop
+    // below, so the gate is free. Under the budget, collect the canonical
+    // edges, union-find with path compression on the driver (union by
+    // min, so roots ARE component minima — the identical label the star
+    // contraction converges to), and re-enter the plan as a broadcast
+    // label map; vertices outside every edge label themselves through the
+    // same coalesce both arms share. Skips ~5 contraction rounds × 4 jobs
+    // of pure scheduling at test scale; above the budget (a 100 TB raw-web
+    // crawl's near-dup graph CAN exceed any driver heap) the distributed
+    // contraction below takes over silently — bit-identical labels,
+    // Round15OpsSpec pins the two arms equal on a shared random graph.
+    val gateEdges = vertices.sparkSession.conf
+      .getOption("spark.sql.graft.ccDriverGateEdges").map(_.toLong).getOrElse(4000000L)
+    val longIds = e.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (nE > 0 && nE <= gateEdges && longIds) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      for (row <- e.select(col("src"), col("dst")).toLocalIterator().asScala) {
+        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val entries = parent.keySet().asScala.toSeq.map(k => (k, find(k)))
+      val lblMap = broadcast(
+        vertices.sparkSession.createDataFrame(entries).toDF("id", "root"))
+      val labels = vertices.select(col("id"))
+        .join(lblMap, Seq("id"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("lbl"))
+      return (labels, 0)
+    }
     var converged = nE == 0
     while (!converged && it < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint()

@@ -296,18 +296,47 @@ class PropertySpec extends GraftSuite {
     val verts = (0L until n.toLong).toDF("id")
     val fwd = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
     val edges = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
-    val (labels, rounds) = operators.LlmOps.connectedComponents(verts, edges)
-    assert(rounds <= 15, s"O(log n) contraction expected ≤15 rounds on a $n-chain, took $rounds")
-    assert(labels.where($"lbl" =!= 0L).isEmpty, "one chain component, min label 0")
-    assert(labels.count() === n.toLong, "every vertex labelled")
-    // an isolated vertex set has no edges: zero contraction rounds
-    val (iso, r0) = operators.LlmOps.connectedComponents(verts, fwd.limit(0))
-    assert(r0 === 0)
-    assert(iso.where($"lbl" =!= $"id").isEmpty, "isolated vertices label themselves")
-    // pathological depth vs budget: fail loudly, never return half-labels
-    intercept[IllegalArgumentException] {
-      operators.LlmOps.connectedComponents(verts, edges, maxIters = 1)
-    }
+    // force the DISTRIBUTED contraction arm — this test pins its round
+    // bound, which the size-gated driver union-find (gate=0 disables it)
+    // would trivially satisfy without exercising the contraction at all
+    spark.conf.set("spark.sql.graft.ccDriverGateEdges", "0")
+    try {
+      val (labels, rounds) = operators.LlmOps.connectedComponents(verts, edges)
+      assert(rounds <= 15, s"O(log n) contraction expected ≤15 rounds on a $n-chain, took $rounds")
+      assert(labels.where($"lbl" =!= 0L).isEmpty, "one chain component, min label 0")
+      assert(labels.count() === n.toLong, "every vertex labelled")
+      // an isolated vertex set has no edges: zero contraction rounds
+      val (iso, r0) = operators.LlmOps.connectedComponents(verts, fwd.limit(0))
+      assert(r0 === 0)
+      assert(iso.where($"lbl" =!= $"id").isEmpty, "isolated vertices label themselves")
+      // pathological depth vs budget: fail loudly, never return half-labels
+      intercept[IllegalArgumentException] {
+        operators.LlmOps.connectedComponents(verts, edges, maxIters = 1)
+      }
+    } finally spark.conf.unset("spark.sql.graft.ccDriverGateEdges")
+  }
+
+  test("connectedComponents driver union-find arm is bit-interchangeable with the contraction") {
+    // Both arms must label every vertex with its component MINIMUM id —
+    // the driver arm unions by min, the distributed arm contracts to the
+    // star root. Pinned on a seeded random graph with chains, a diamond,
+    // singletons, and duplicate/reversed edges (the canonicalisation the
+    // arms share), plus the chain worst case.
+    val rnd = new scala.util.Random(421)
+    val n = 400
+    val verts = (0L until n.toLong).toDF("id")
+    val es = Seq.fill(300)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (398L, 399L), (399L, 398L))
+    val edges = es.toDF("src", "dst")
+    val (driver, dr) = operators.LlmOps.connectedComponents(verts, edges)
+    assert(dr === 0, "under the default gate the driver arm must answer")
+    spark.conf.set("spark.sql.graft.ccDriverGateEdges", "0")
+    try {
+      val (dist, dd) = operators.LlmOps.connectedComponents(verts, edges)
+      assert(dd > 0, "gate=0 must run the distributed contraction")
+      assert(driver.exceptAll(dist).isEmpty && dist.exceptAll(driver).isEmpty,
+        "driver and distributed labels must be identical")
+    } finally spark.conf.unset("spark.sql.graft.ccDriverGateEdges")
   }
 
   test("asof-join emulation picks the latest quote at or before each trade") {
