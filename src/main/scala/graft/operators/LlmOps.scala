@@ -660,6 +660,49 @@ object LlmOps {
     },
 
     Q(
+      "dedup_soft_weight",
+      s"""WITH RECURSIVE $duckVecs,
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS dot
+         |      FROM x a JOIN x b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+         |      GROUP BY 1, 2),
+         |pe AS (SELECT va, vb FROM p JOIN nrm na ON va = na.vec_id JOIN nrm nb ON vb = nb.vec_id
+         |       WHERE dot / (na.n * nb.n) >= $cosTau),
+         |e AS (SELECT va AS src, vb AS dst FROM pe UNION ALL SELECT vb, va FROM pe),
+         |reach AS (
+         |  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         |c AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT cluster_id AS vec_id, CAST(count(*) AS BIGINT) AS weight
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      // SOFT dedup — keep one representative per near-dup cluster and
+      // carry the cluster SIZE as a sample weight, instead of silently
+      // discarding the duplicates' evidence of importance: a document
+      // crawled 40 times is worth more than one crawled once, and
+      // hard-dropping flattens exactly that signal (the re-weighting
+      // recipe loss-weighted training pipelines use; dedup_exact /
+      // dedup_clusters are the hard-drop variants). Representative = the
+      // component MINIMUM id — dedup_clusters' canonical label, so
+      // weights join back to any of its outputs by construction. Scale
+      // shape: the component step is the size-gated/star-contraction
+      // [[connectedComponents]]; the weighting is one count per label.
+      val e = T.embeddings(s, d)
+      val p = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
+        .join(e.select(col("vec_id").as("vb"), col("label"), col("embedding").as("eb")), Seq("label"))
+        .where(col("va") < col("vb") && cosine("ea", "eb") >= cosTau)
+        .select(col("va"), col("vb"))
+      val edges = p.unionByName(p.select(col("vb").as("va"), col("va").as("vb")))
+        .toDF("src", "dst").cache()
+      val (labels, _) = connectedComponents(e.select(col("vec_id").as("id")), edges)
+      edges.unpersist()
+      labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("weight"))
+        .select(col("lbl").as("vec_id"), col("weight"))
+        .orderBy(col("vec_id"))
+    },
+
+    Q(
       "sim_cosine_topk",
       s"""WITH $duckVecs,
          |q AS (SELECT i, v AS qv FROM x WHERE vec_id = 0),
@@ -1150,6 +1193,78 @@ object LlmOps {
              sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
              expr("(1000000 * sum(IF(nd >= 2, 1L, 0L))) DIV count(1)").cast("long")
                .as("dup_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "dedup_span_trim",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id, i, list_aggregate(w[i:i+9], 'string_agg', ' ') AS span
+        |  FROM w, unnest(range(1, len(w) - 8)) AS t(i)),
+        |c AS (SELECT span FROM (SELECT span, count(DISTINCT doc_id) AS nd
+        |                        FROM s GROUP BY span) WHERE nd >= 2),
+        |sd AS (SELECT s.doc_id, s.i, s.span FROM s JOIN c USING (span)),
+        |f1 AS (SELECT span, min(doc_id) AS fd FROM sd GROUP BY span),
+        |f2 AS (SELECT sd.span, f1.fd, min(sd.i) AS fp
+        |       FROM sd JOIN f1 ON sd.span = f1.span AND sd.doc_id = f1.fd
+        |       GROUP BY 1, 2),
+        |dp AS (
+        |  SELECT DISTINCT sd.doc_id, j
+        |  FROM sd JOIN f2 ON sd.span = f2.span, unnest(range(sd.i, sd.i + 10)) AS t(j)
+        |  WHERE NOT (sd.doc_id = f2.fd AND sd.i = f2.fp)),
+        |toks AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS j FROM w),
+        |keep AS (
+        |  SELECT t.doc_id, t.j, t.tok
+        |  FROM toks t LEFT JOIN dp ON t.doc_id = dp.doc_id AND t.j = dp.j
+        |  WHERE dp.j IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS trimmed,
+        |               count(*) AS n_kept FROM keep GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |       CAST(len(w.w) AS BIGINT) AS n_tokens,
+        |       CAST(len(w.w) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+        |       coalesce(agg.trimmed, '') AS trimmed
+        |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+        |ORDER BY w.doc_id""".stripMargin
+    ) { (s, d) =>
+      // The REMOVAL step text_span_dedup only scores: rewrite every
+      // document dropping each cross-doc duplicated 10-token span except
+      // its FIRST occurrence (min (doc_id, pos) — Lee et al.'s
+      // "Deduplicating Training Data Makes Language Models Better" keeps
+      // one copy of every duplicated substring; C4-style removal of all
+      // copies would erase both sides of an exact-dup pair). A token is
+      // removed iff some non-first duplicated span covers it; the
+      // surviving tokens rejoin in order, so the doc shrinks instead of
+      // being dropped. Scale shape: spans and counts are text_span_dedup's
+      // corpus-sized two-pass dictionary (hashes, size-gated broadcast);
+      // the cover set only materialises for docs that actually contain
+      // removable boilerplate (explode is 10 × |non-first dup spans|,
+      // NOT corpus tokens — the doc table itself never explodes), and the
+      // rewrite is one higher-order filter against each doc's sorted
+      // cover array. Oracle carries raw span strings; Spark ships
+      // xxhash64 longs (the 2^-64 collision argument of hashedShingles).
+      val docs = T.documents(s, d)
+      val spans = docs.select(col("doc_id"),
+        posexplode(graft.functions.HashedWordGramsSeq(col("text"), 10)).as(Seq("pos", "h")))
+      val dupH = spans.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        .where(col("nd") >= 2).select(col("h"))
+      val dup = spans.join(graft.Gate.bcast(dupH), "h")
+      val first = dup.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      val cov = dup.join(graft.Gate.bcast(first), "h")
+        .where(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+        .select(col("doc_id"), explode(expr("sequence(pos, pos + 9)")).as("j"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("j"))).as("cov"))
+      docs.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+          expr("array_join(filter(split(text, ' '), (tok, j) -> " +
+               "cov IS NULL OR NOT array_contains(cov, j)), ' ')").as("trimmed"))
         .orderBy(col("doc_id"))
     },
 

@@ -191,4 +191,40 @@ class Round15OpsSpec extends GraftSuite {
     assert(rels.length == rels.distinct.length, "closure must be a SET of (root, rel)")
     assert(rels.map(_._2).toSet == Set(20L, 21L, 22L, 23L))
   }
+
+  test("dedup_span_trim: token accounting is exact and clean docs pass through verbatim") {
+    val docs = T.documents(spark, sf).select(col("doc_id"), col("text"))
+    val got = SparkEntry.queries("dedup_span_trim")(spark, sf)
+    assert(got.count() == docs.count(), "one output row per document")
+    // n_kept(trimmed) must equal n_tokens - n_removed, counting '' as 0
+    val bad = got.where(
+      when(col("trimmed") === "", lit(0L))
+        .otherwise(size(split(col("trimmed"), " ")).cast("long"))
+        =!= col("n_tokens") - col("n_removed")).count()
+    assert(bad == 0, "kept-token count must reconcile with n_tokens - n_removed")
+    // the fixture's planted boilerplate must actually trigger removal
+    val removed = got.agg(sum(col("n_removed"))).head.getLong(0)
+    assert(removed > 0, "planted cross-doc spans must be trimmed")
+    // a doc with nothing removed is byte-identical to its input
+    val touched = got.join(docs, "doc_id")
+      .where(col("n_removed") === 0 && col("trimmed") =!= col("text")).count()
+    assert(touched == 0, "n_removed = 0 docs must round-trip unchanged")
+  }
+
+  test("dedup_soft_weight: weights partition the corpus; reps survive one-hop dedup") {
+    val emb = T.embeddings(spark, sf)
+    val got = SparkEntry.queries("dedup_soft_weight")(spark, sf).cache()
+    // cluster sizes are a PARTITION of the corpus: Σ weight = |embeddings|
+    assert(got.agg(sum(col("weight"))).head.getLong(0) == emb.count(),
+      "soft dedup must conserve total sample mass")
+    assert(got.where(col("weight") > 1).count() > 0,
+      "planted near-dup clusters must yield weights > 1")
+    // a component minimum has no lower-id tau-neighbor, so every
+    // representative must also survive dedup_embedding's one-hop cut
+    val survivors = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .select(col("vec_id"))
+    val orphans = got.select(col("vec_id")).except(survivors).count()
+    assert(orphans == 0, "cluster minima must be one-hop dedup survivors")
+    got.unpersist()
+  }
 }
