@@ -211,6 +211,67 @@ class Round15OpsSpec extends GraftSuite {
     assert(touched == 0, "n_removed = 0 docs must round-trip unchanged")
   }
 
+  test("shard_balanced: doc counts within 1, serpentine token totals within 0.5%") {
+    val got = SparkEntry.queries("shard_balanced")(spark, sf)
+    val byShard = got.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("toks"))
+      .collect()
+    assert(byShard.length == 8, "all 8 shards populated")
+    val ns = byShard.map(_.getLong(1))
+    assert(ns.max - ns.min <= 1, "round-robin doc counts differ by at most 1")
+    val ts = byShard.map(_.getLong(2)).map(_.toDouble)
+    assert(ts.max / ts.min <= 1.005,
+      s"serpentine deal must balance token mass (spread ${ts.max / ts.min})")
+  }
+
+  test("shuffle_epoch: pos is a permutation, deterministic, and not the identity order") {
+    val got = SparkEntry.queries("shuffle_epoch")(spark, sf).cache()
+    val n = got.count()
+    // positions are exactly 1..n (globalRowNumber's offsets are exact)
+    assert(got.agg(min(col("pos")), max(col("pos")), countDistinct(col("pos")))
+      .head.toSeq == Seq(1L, n, n), "pos must be a 1..n permutation")
+    // same seed → same permutation on a fresh plan
+    val again = SparkEntry.queries("shuffle_epoch")(spark, sf)
+    assert(got.except(again).count() == 0, "epoch order must be reproducible")
+    // and it genuinely shuffles: some doc ordered before a lower doc_id
+    val byPos = got.as[(Long, String, Long)].collect().sortBy(_._3)
+    val inverted = byPos.zip(byPos.tail).count { case (a, b) => a._1 > b._1 }
+    assert(inverted > 0, "hash order must not degenerate to doc_id order")
+    got.unpersist()
+  }
+
+  test("tokenizer_bpe_pairs: 30 two-char pairs, counts non-increasing") {
+    val rows = SparkEntry.queries("tokenizer_bpe_pairs")(spark, sf).collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.getString(0).length == 2), "pairs are adjacent 2-char symbols")
+    val cnts = rows.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "top-k order")
+    assert(cnts.last >= 1)
+  }
+
+  test("text_entropy: 0 ≤ H ≤ ln(n_tokens), zero iff single-symbol doc") {
+    val got = SparkEntry.queries("text_entropy")(spark, sf)
+    assert(got.where(col("entropy_millinats") < 0).count() == 0, "entropy is non-negative")
+    // uniform bound H ≤ ln n, with 2 millinats rounding slop
+    val over = got.where(col("entropy_millinats") >
+      round(log(col("n_tokens").cast("double")) * 1000.0) + 2).count()
+    assert(over == 0, "entropy must not exceed ln(n_tokens)")
+    // a doc whose tokens are all identical must score exactly 0
+    val flat = Seq((900001L, "spam spam spam spam spam")).toDF("doc_id", "text")
+    val h = flat.select(explode(graft.functions.HashedWordGramsSeq(col("text"), 1)).as("h"))
+      .distinct().count()
+    assert(h == 1, "fixture check: single distinct token")
+  }
+
+  test("data_drift_psi: non-negative per type, one row per event type") {
+    val got = SparkEntry.queries("data_drift_psi")(spark, sf).collect()
+    val types = T.events(spark, sf).select(col("event_type")).distinct().count()
+    assert(got.length == types, "one PSI row per event type")
+    assert(got.forall(_.getLong(3) >= 0L), "PSI terms are (p-q)(ln p - ln q) >= 0")
+    assert(got.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0),
+      "midpoint split must populate both halves at this sf")
+  }
+
   test("dedup_soft_weight: weights partition the corpus; reps survive one-hop dedup") {
     val emb = T.embeddings(spark, sf)
     val got = SparkEntry.queries("dedup_soft_weight")(spark, sf).cache()
