@@ -2397,8 +2397,91 @@ object OsmKernels {
       }
       dist.select(col("node"), round(col("dist"), 1).as("dist_m"))
         .orderBy(col("node"))
+    },
+
+    // Convergence-detected WEIGHTED routing (VERDICT r14 "what's
+    // missing" item 2) — the full pgRouting-class single-source
+    // shortest distance `osm_route_dist`'s depth-3 oracle deliberately
+    // bounds: frontier-delta Bellman–Ford iterated until no node's
+    // distance improves, with a LOUD round budget (termination is
+    // guaranteed without it — relaxation strictly decreases a finite
+    // path-sum set — but a planet-scale graph that somehow exceeds the
+    // budget should abort with the live frontier, not spin silently).
+    // Same cached road-graph index, same source, same left-associated
+    // 0.1-rounded edge-weight sums as the oracled key, so distances are
+    // deterministic under re-runs and repartitioning; no SQL oracle —
+    // the stopping rule is a runtime property, not a fixed point DuckDB
+    // can state (Round15OpsSpec pins agreement with the depth-3 key
+    // where 3 hops suffice, exactness on a long weighted chain the
+    // unroll cannot reach, and the loud budget).
+    Q.smoke("osm_route_dist_conv") { (s, d) =>
+      val confKey = s"spark.sql.graft.roadgraphdir:$d"
+      val root = s.conf.getOption(confKey).getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft_roadgraph").toString
+        roadGraph(s, d).select(col("from_node"), col("to_node"), col("length_m"))
+          .write.mode("overwrite").parquet(s"$dir/edges")
+        s.conf.set(confKey, dir)
+        dir
+      }
+      val rg = s.read.parquet(s"$root/edges")
+      val und = rg.select(col("from_node").as("u"), col("to_node").as("v"),
+                          col("length_m").as("w"))
+        .unionAll(rg.select(col("to_node"), col("from_node"), col("length_m")))
+      val srcRow = T.lineitem(s, d).agg(min(col("l_partkey"))).head
+      import s.implicits._
+      if (srcRow.isNullAt(0))
+        Seq.empty[(Long, Double)].toDF("node", "dist_m")
+      else
+        relaxConverged(und, srcRow.getLong(0))
+          .select(col("node"), round(col("dist"), 1).as("dist_m"))
+          .orderBy(col("node"))
     }
   )
+
+  /** Frontier-delta single-source WEIGHTED shortest distance, iterated
+    * TO CONVERGENCE — `bfsConverged`'s relaxation-valued sibling: each
+    * round relaxes only edges out of the nodes whose distance improved
+    * last round (any further improvement must propagate through one of
+    * them), min-collapses the candidates, and keeps the strict
+    * improvers as the next frontier; an empty frontier IS convergence.
+    * Strict `<` guards termination against zero-weight cycles, and
+    * `localCheckpoint` per round truncates the lineage exactly as in
+    * the iterative-op family (dedup_clusters / bfsConverged). Scale
+    * shape per round: the delta frontier size-gate-broadcasts onto the
+    * shuffle-partitioned edge fact, one min-collapse on dst, one
+    * left-join against the |V|-sized dist table; the tiny frontier
+    * count is the convergence action. Distances stay deterministic:
+    * every candidate is a left-associated sum of the 0.1-rounded edge
+    * weights along its path, and min() picks from identical candidate
+    * sets on any partitioning.
+    */
+  private[graft] def relaxConverged(edges: org.apache.spark.sql.DataFrame, source: Long,
+                                    maxRounds: Int = 128): org.apache.spark.sql.DataFrame = {
+    val s = edges.sparkSession
+    val e = edges.localCheckpoint() // derived index: scan once, not once per round
+    var dist = s.range(1).select(lit(source).as("node"), lit(0.0).as("dist")).localCheckpoint()
+    var frontier = dist
+    var round = 0
+    var live = 1L
+    while (live > 0) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"relaxConverged: frontier still live ($live nodes) after $maxRounds rounds — " +
+            "graph needs more relaxation rounds than the budget; raise maxRounds explicitly")
+      val cand = e.join(graft.Gate.bcast(frontier.withColumnRenamed("node", "u")), Seq("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      frontier = cand.join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left")
+        .where(col("old").isNull || col("dist") < col("old"))
+        .select(col("node"), col("dist")).localCheckpoint()
+      live = frontier.count()
+      if (live > 0)
+        dist = dist.unionByName(frontier)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")).localCheckpoint()
+    }
+    dist
+  }
 
   /** Shared routing-edge dataflow (rationale at `osm_road_graph`):
     * junction-split way edges with way_id / edge_seq / from / to /

@@ -192,6 +192,30 @@ class Round15OpsSpec extends GraftSuite {
     assert(rels.map(_._2).toSet == Set(20L, 21L, 22L, 23L))
   }
 
+  test("osm_route_dist_conv: never worse than the depth-3 unroll, covers at least its nodes") {
+    val conv = SparkEntry.queries("osm_route_dist_conv")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d3 = SparkEntry.queries("osm_route_dist")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d3.keySet.subsetOf(conv.keySet), "convergence must reach every ≤3-hop node")
+    // min over a superset of paths, then a monotone round: conv ≤ depth-3
+    assert(d3.forall { case (n, v) => conv(n) <= v },
+      "converged distance can never exceed the 3-round bound")
+  }
+
+  test("relaxConverged: exact on a weighted chain the depth-3 unroll cannot reach; loud budget") {
+    val chain = (0L until 10L).map(i => (i, i + 1, 2.5)).toDF("u", "v", "w")
+    val und = chain.unionByName(chain.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val got = operators.OsmKernels.relaxConverged(und, source = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 11, "all 11 chain nodes reached")
+    assert((0L to 10L).forall(i => got(i) == 2.5 * i), "weighted distances exact")
+    val boom = intercept[IllegalStateException] {
+      operators.OsmKernels.relaxConverged(und, source = 0L, maxRounds = 2)
+    }
+    assert(boom.getMessage.contains("frontier still live"), "budget overflow is loud")
+  }
+
   test("dedup_span_trim: token accounting is exact and clean docs pass through verbatim") {
     val docs = T.documents(spark, sf).select(col("doc_id"), col("text"))
     val got = SparkEntry.queries("dedup_span_trim")(spark, sf)
