@@ -17,18 +17,34 @@ import org.apache.spark.sql.functions._
   *                    + stopword floor; rejected docs are quarantined, not
   *                    dropped silently.
   *   3. exact dedup — md5(norm) keep-min-doc_id (`dedup_exact`).
-  *   4. near dedup  — word-3-gram Jaccard ≥ τ via frequency-ordered prefix
-  *                    filtering (`dedup_ngram_jaccard`), higher doc_id of
-  *                    each pair dropped (min-id canonical, `dedup_clusters`
-  *                    semantics for the shallow pair graph).
-  *   5. pack        — ceil(len/4) token estimate, 2048-token packs by
+  *   4. near dedup  — word-3-gram Jaccard ≥ τ pairs via frequency-ordered
+  *                    prefix filtering (`dedup_ngram_jaccard`), closed to
+  *                    CONNECTED COMPONENTS (`dedup_clusters`' star
+  *                    contraction — one-hop pair-dropping under-merges
+  *                    chains a-b-c); only each component's min-id
+  *                    representative survives, CARRYING the component
+  *                    size as `sample_weight` (`dedup_soft_weight`): a
+  *                    doc crawled 40× keeps its evidence of importance
+  *                    instead of being flattened to 1.
+  *   5. split       — leakage-safe train/val/test (`split_leakage_safe`):
+  *                    md5-prefix of the component REPRESENTATIVE
+  *                    ('e6'/'f3' hex ≈ 90/5/5), so no ≥ τ pair can ever
+  *                    straddle a boundary — contamination prevented by
+  *                    construction.
+  *   6. pack        — ceil(len/4) token estimate, 2048-token packs by
   *                    running budget per shard (`text_pack_sequences`).
-  *   6. write       — lake partitioned by (lang, pgosm-style snapshot
-  *                    date); pack assignment stays within a partition so
-  *                    shards rebuild independently at 100 TB.
+  *   7. shard       — serpentine deal on the per-lang size-sorted rank
+  *                    (`shard_balanced`): 8 loader shards per lang with
+  *                    near-equal token totals.
+  *   8. write       — lake partitioned by (lang, pgosm-style snapshot
+  *                    date), rows sorted within files by the epoch-1
+  *                    shuffle key (`shuffle_epoch`) so the training order
+  *                    is baked in and reproducible; pack/shard assignment
+  *                    stays within a partition so shards rebuild
+  *                    independently at 100 TB.
   *
-  * Every keep/drop decision keys on content (hashes), never rand() — the
-  * same corpus rebuilds identically under any partitioning.
+  * Every keep/drop/split/order decision keys on content (hashes), never
+  * rand() — the same corpus rebuilds identically under any partitioning.
   *
   * Usage: CorpusCurationJob <sfDir> <outDir> [snapshotDate]
   */
@@ -55,12 +71,12 @@ object CorpusCurationJob {
       .where(col("rn") === 1).drop("rn", "h")
   }
 
-  /** doc_ids to drop: higher id of every word-3-gram Jaccard ≥ τ pair,
-    * candidates from PPJoin-style frequency-ordered prefix filtering
-    * (never all-pairs; see LlmOps.dedup_ngram_jaccard for the measured
+  /** Verified word-3-gram Jaccard ≥ τ pairs (doc_a < doc_b), candidates
+    * from PPJoin-style frequency-ordered prefix filtering (never
+    * all-pairs; see LlmOps.dedup_ngram_jaccard for the measured
     * rationale).
     */
-  def nearDupVictims(docs: DataFrame): DataFrame = {
+  def nearDupPairs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = docs.select(col("doc_id"),
       expr("""array_distinct(transform(
@@ -85,7 +101,42 @@ object CorpusCurationJob {
     cand.join(graft.Gate.bcast(ga), "doc_a").join(graft.Gate.bcast(gb), "doc_b")
       .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
       .where(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= Tau)
-      .select(col("doc_b").as("doc_id")).distinct()
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Near-dup component label per document: (doc_id, rep) where rep is
+    * the min-id member of the doc's ≥ τ pair-graph component (identity
+    * for docs in no pair). One-hop victim-dropping under-merges chains
+    * (a~b, b~c but a!~c keeps both a and c only if you close the
+    * components); the star contraction closes them in O(log n) rounds.
+    */
+  def nearDupComponents(docs: DataFrame): DataFrame = {
+    val pairs = nearDupPairs(docs)
+    val (labels, _) = graft.operators.LlmOps.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    labels.select(col("id").as("doc_id"), col("lbl").as("rep"))
+  }
+
+  /** Leakage-safe split column off the component representative — every
+    * member of a near-dup cluster hashes identically, so no ≥ τ pair
+    * straddles train/test (split_leakage_safe's md5-prefix device,
+    * 'e6'/'f3' hex thresholds ≈ 90/5/5). */
+  def splitOf(rep: Column): Column = {
+    val h = md5(rep.cast("string"))
+    when(h < "e6", "train").when(h < "f3", "val").otherwise("test")
+  }
+
+  /** 8-way serpentine shard off a per-lang size-sorted rank
+    * (shard_balanced's deal, per-partition form: the per-lang window is
+    * the documented per-shard scale path, embarrassingly parallel). */
+  def shardSequences(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens").desc, col("doc_id"))
+    docs.withColumn("rk", row_number().over(w).cast("long") - 1)
+      .withColumn("shard",
+        expr(s"CASE WHEN (rk DIV $n) % 2 = 0 THEN rk % $n ELSE ${n - 1} - rk % $n END"))
+      .drop("rk")
   }
 
   /** 2048-token pack assignment by running budget in doc order, computed
@@ -125,12 +176,19 @@ object CorpusCurationJob {
        gated.where(!col("passes")).drop("passes"))
     }
     val exact = dedupExact(kept).cache()
-    val victims = nearDupVictims(exact)
-    val unique = exact.join(victims, Seq("doc_id"), "left_anti")
-    val packed = packSequences(unique)
+    val comps = nearDupComponents(exact)
+    val weights = comps.groupBy(col("rep")).agg(count(lit(1)).as("sample_weight"))
+    // survivors = component representatives, carrying the cluster mass
+    val unique = exact
+      .join(weights.withColumnRenamed("rep", "doc_id"), Seq("doc_id"))
+      .withColumn("split", splitOf(col("doc_id")))
+    val packed = shardSequences(packSequences(unique))
+      .withColumn("shuffle_key", md5(concat(lit("epoch1:"), col("doc_id").cast("string"))))
       .withColumn("snapshot_date", lit(snapshotDate))
 
-    packed.write.mode("overwrite")
+    packed
+      .sortWithinPartitions(col("shuffle_key")) // epoch-1 training order, baked into the files
+      .write.mode("overwrite")
       .partitionBy("lang", "snapshot_date")
       .parquet(s"$outDir/corpus")
     quarantined.withColumn("snapshot_date", lit(snapshotDate))
@@ -141,7 +199,8 @@ object CorpusCurationJob {
     println(s"""{"job":"corpus_curation","date":"$snapshotDate","in":${raw.count()},""" +
             s""""kept":${out.count()},"quarantined":${spark.read.parquet(s"$outDir/quarantine").count()},""" +
             s""""packs":${out.select(col("lang"), col("pack_id")).distinct().count()},""" +
-            s""""tokens":${out.agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0)}}""")
+            s""""tokens":${out.agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0)},""" +
+            s""""mass":${out.agg(coalesce(sum(col("sample_weight")), lit(0L))).head.getLong(0)}}""")
     spark.stop()
   }
 }

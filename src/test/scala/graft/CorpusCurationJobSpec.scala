@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end invariants of the training-corpus pipeline unit
   * (plans.CorpusCurationJob): dedup really removes the planted near-dups,
-  * nothing is silently dropped, and the whole run is deterministic under
-  * re-execution — the reproducibility property a 100 TB corpus rebuild
-  * depends on.
+  * nothing is silently dropped (soft weights conserve the corpus mass),
+  * the split is leakage-safe by construction, shards balance, and the
+  * whole run is deterministic under re-execution — the reproducibility
+  * property a 100 TB corpus rebuild depends on.
   */
 class CorpusCurationJobSpec extends GraftSuite {
   import plans.CorpusCurationJob._
@@ -15,13 +16,16 @@ class CorpusCurationJobSpec extends GraftSuite {
     val raw = normalize(T.documents(spark, sf))
     val kept = raw.where(qualityGate)
     val exact = dedupExact(kept).cache()
-    val victims = nearDupVictims(exact)
-    val unique = exact.join(victims, Seq("doc_id"), "left_anti")
-    (raw, kept, exact, packSequences(unique))
+    val comps = nearDupComponents(exact)
+    val weights = comps.groupBy(col("rep")).agg(count(lit(1)).as("sample_weight"))
+    val unique = exact
+      .join(weights.withColumnRenamed("rep", "doc_id"), Seq("doc_id"))
+      .withColumn("split", splitOf(col("doc_id")))
+    (raw, kept, exact, comps, shardSequences(packSequences(unique)))
   }
 
   test("curation pipeline: accounting, dedup completeness, determinism") {
-    val (raw, kept, exact, packed) = runStages()
+    val (raw, kept, exact, comps, packed) = runStages()
     val nRaw = raw.count()
     val nKept = kept.count()
     val nExact = exact.count()
@@ -31,6 +35,9 @@ class CorpusCurationJobSpec extends GraftSuite {
     assert(nOut > 0)
     // exact dedup: normalized text is unique afterwards
     assert(exact.select(col("norm_text")).distinct().count() == nExact)
+    // soft dedup conserves mass: cluster weights partition the corpus
+    assert(packed.agg(sum(col("sample_weight"))).head.getLong(0) == nExact,
+      "sample weights must sum to the pre-near-dedup doc count")
     // near-dup completeness: no surviving pair with word-3-gram J >= 0.8
     val grams = packed.select(col("doc_id"),
       expr("""array_distinct(transform(
@@ -42,16 +49,27 @@ class CorpusCurationJobSpec extends GraftSuite {
       .where(col("common").cast("double") /
              (size(col("a.g")) + size(col("b.g")) - col("common")) >= 0.8)
     assert(survivors.count() == 0, "near-duplicate pair survived curation")
+    // leakage safety: every member of a component inherits its rep's
+    // split, so no >= tau pair can straddle a boundary by construction
+    val straddle = comps.withColumn("member_split", splitOf(col("rep")))
+      .join(packed.select(col("doc_id").as("rep"), col("split")), Seq("rep"))
+      .where(col("member_split") =!= col("split"))
+    assert(straddle.count() == 0, "component member split diverged from its representative")
     // packs respect the budget for multi-doc packs (a single oversized doc
     // may exceed it; it still gets its own pack)
     val over = packed.groupBy(col("lang"), col("pack_id"))
       .agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("n"))
       .where(col("n") > 1 && col("t") > 2048 + 600) // one doc of slack
     assert(over.count() == 0, "multi-doc pack blew the token budget")
-    // determinism: a full re-run reproduces the same (doc_id, pack_id) set
-    val (_, _, _, packed2) = runStages()
-    assert(packed.select("doc_id", "pack_id").exceptAll(
-             packed2.select("doc_id", "pack_id")).isEmpty,
+    // serpentine shards: per-lang doc counts within 1
+    val shards = packed.groupBy(col("lang"), col("shard")).agg(count(lit(1)).as("n"))
+      .groupBy(col("lang")).agg((max(col("n")) - min(col("n"))).as("spread"))
+    assert(shards.where(col("spread") > 1).count() == 0,
+      "serpentine deal must keep per-lang shard doc counts within 1")
+    // determinism: a full re-run reproduces the same curated rows
+    val (_, _, _, _, packed2) = runStages()
+    assert(packed.select("doc_id", "pack_id", "shard", "split", "sample_weight").exceptAll(
+             packed2.select("doc_id", "pack_id", "shard", "split", "sample_weight")).isEmpty,
            "re-run diverged — curation must be content-keyed, not random")
   }
 }

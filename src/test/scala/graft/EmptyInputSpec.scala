@@ -45,8 +45,9 @@ class EmptyInputSpec extends GraftSuite {
     val raw = plans.CorpusCurationJob.normalize(T.documents(spark, emptyDir))
     val kept = raw.where(plans.CorpusCurationJob.qualityGate)
     val exact = plans.CorpusCurationJob.dedupExact(kept)
+    val comps = plans.CorpusCurationJob.nearDupComponents(exact)
     val unique = exact.join(
-      plans.CorpusCurationJob.nearDupVictims(exact), Seq("doc_id"), "left_anti")
+      comps.where(expr("doc_id != rep")).select("doc_id"), Seq("doc_id"), "left_anti")
     val packed = plans.CorpusCurationJob.packSequences(unique)
     packed.write.mode("overwrite").parquet(s"$out/corpus")
     assert(spark.read.parquet(s"$out/corpus").count() == 0)
