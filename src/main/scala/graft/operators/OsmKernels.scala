@@ -2459,6 +2459,54 @@ object OsmKernels {
                                     maxRounds: Int = 128): org.apache.spark.sql.DataFrame = {
     val s = edges.sparkSession
     val e = edges.localCheckpoint() // derived index: scan once, not once per round
+    // Size-gated driver fast path (the connectedComponents union-find
+    // arm's routing sibling): convergence-depth iteration costs one
+    // scheduling round-trip PER RELAXATION ROUND — ~0.25 s × graph
+    // diameter of pure overhead at any data size — while the answer is
+    // fully determined by the edge set alone. Under the budget, collect
+    // the edges and run heap Dijkstra on the driver; distances are
+    // bit-identical to the distributed fixpoint because both arms
+    // evaluate the SAME left-associated dist[u]+w path sums and take
+    // the same min over them (non-negative weights make Dijkstra's
+    // settled value that min). Above the budget — a planet graph's edge
+    // set can exceed any driver heap — the frontier-delta relaxation
+    // below takes over silently; Round15OpsSpec pins the arms equal
+    // with the gate forced off.
+    val nE = e.count()
+    val gateEdges = s.conf.getOption("spark.sql.graft.routeDriverGateEdges")
+      .map(_.toLong).getOrElse(4000000L)
+    val shapeOk = e.schema.fields.map(_.dataType) match {
+      case Array(org.apache.spark.sql.types.LongType,
+                 org.apache.spark.sql.types.LongType,
+                 org.apache.spark.sql.types.DoubleType) => true
+      case _ => false
+    }
+    if (nE <= gateEdges && shapeOk) {
+      import scala.jdk.CollectionConverters._
+      val adj = new java.util.HashMap[Long, java.util.ArrayList[(Long, Double)]]()
+      for (r <- e.toLocalIterator().asScala)
+        adj.computeIfAbsent(r.getLong(0), _ => new java.util.ArrayList[(Long, Double)]())
+          .add((r.getLong(1), r.getDouble(2)))
+      val best = new java.util.HashMap[Long, Double]()
+      val pq = new java.util.PriorityQueue[(Double, Long)](
+        11, java.util.Comparator.comparingDouble((p: (Double, Long)) => p._1))
+      best.put(source, 0.0); pq.add((0.0, source))
+      while (!pq.isEmpty) {
+        val (d0, u) = pq.poll()
+        if (d0 == best.get(u)) { // stale entries skip; settled = current best
+          val out = adj.get(u)
+          if (out != null) out.forEach { case (v, w) =>
+            val nd = d0 + w
+            // containsKey, not get-vs-null: a missing key's null would
+            // silently unbox to 0.0 under the primitive value type
+            if (!best.containsKey(v) || nd < best.get(v)) { best.put(v, nd); pq.add((nd, v)) }
+          }
+        }
+      }
+      val rows = best.entrySet().asScala.toSeq.map(kv => (kv.getKey.longValue(), kv.getValue.doubleValue()))
+      import s.implicits._
+      return rows.toDF("node", "dist")
+    }
     var dist = s.range(1).select(lit(source).as("node"), lit(0.0).as("dist")).localCheckpoint()
     var frontier = dist
     var round = 0
