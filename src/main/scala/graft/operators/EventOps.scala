@@ -860,6 +860,64 @@ object EventOps {
     },
 
     Q(
+      "event_bot_detect",
+      """WITH g AS (
+        |  SELECT user_id,
+        |         (epoch_ms(ts) - lag(epoch_ms(ts))
+        |            OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)) // 60000 AS gm
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, gm,
+        |         CAST(sum(gm) OVER (PARTITION BY user_id) AS BIGINT) AS sg,
+        |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM g WHERE gm IS NOT NULL),
+        |b AS (SELECT user_id, gm, n, sg // n AS mean FROM a),
+        |f AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n_gaps,
+        |             CAST(max(mean) AS BIGINT) AS mean_gap_min,
+        |             CAST(sum((gm - mean) * (gm - mean)) AS BIGINT) AS dev2
+        |      FROM b GROUP BY user_id)
+        |SELECT user_id, n_gaps, mean_gap_min, dev2,
+        |       (n_gaps >= 20 AND mean_gap_min > 0
+        |        AND 100 * dev2 <= 9 * n_gaps * mean_gap_min * mean_gap_min) AS is_bot
+        |FROM f ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      // Gap-regularity bot flag — the decision rule on top of
+      // event_interarrival's profile (humans are heavy-tailed, scrapers
+      // metronomic): flag users with ≥ 20 gaps whose coefficient of
+      // variation is ≤ 0.3. The whole test is EXACT INTEGER by
+      // construction: gaps floor to minutes (non-negative, so DIV ≡ //),
+      // the mean is the truncated integer mean (identical truncation
+      // both engines — documented variance coarsening, not a float),
+      // and CV² ≤ 0.09 becomes 100·Σd² ≤ 9·n·mean² — cross-multiplied
+      // integers, no division, no rounding boundary to flip. Magnitudes
+      // stay far inside BIGINT at minute resolution (Σd² ≤ n·span²
+      // ≈ 1e14 at a 60-day fixture; ms resolution would not — that is
+      // WHY the minutes floor exists). Scale shape: one user_id
+      // exchange feeds the lag window, the per-user stat windows, and
+      // the final aggregate — one shuffle total.
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("gap", col("ms") - lag(col("ms"), 1).over(wOrd))
+        .where(col("gap").isNotNull)
+        .withColumn("gm", expr("gap DIV 60000"))
+        .withColumn("sg", sum(col("gm")).over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("mean", expr("sg DIV n"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_gaps"),
+             max(col("mean")).as("mean_gap_min"),
+             sum((col("gm") - col("mean")) * (col("gm") - col("mean")))
+               .cast("long").as("dev2"))
+        .withColumn("is_bot",
+          col("n_gaps") >= 20 && col("mean_gap_min") > 0 &&
+            lit(100L) * col("dev2") <= lit(9L) * col("n_gaps")
+              * col("mean_gap_min") * col("mean_gap_min"))
+        .orderBy(col("user_id"))
+    },
+
+    Q(
       "event_seasonality",
       """WITH e AS (
         |  SELECT event_type,

@@ -311,6 +311,26 @@ class Round15OpsSpec extends GraftSuite {
     assert(h == 1, "fixture check: single distinct token")
   }
 
+  test("event_bot_detect: metronomic gaps flag, heavy-tailed gaps pass") {
+    // planted fixture: user 1 fires every 5 minutes exactly (scraper),
+    // user 2 with the same count but exponential-ish spread (human)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bot_fixture").toString
+    val base = 1700000000000L
+    val humanGaps = (1 to 30).map(i => ((i * 37) % 11 + 1) * 60000L * i) // wildly varying
+    val rows =
+      (0 to 30).map(i => (i.toLong, base + i * 300000L, 1L, "view", 1.0, "{}")) ++
+      humanGaps.scanLeft(base)(_ + _).zipWithIndex.map { case (t, i) =>
+        (100L + i, t, 2L, "view", 1.0, "{}") }
+    rows.toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), expr("timestamp_micros(ms * 1000)").as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("event_bot_detect")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got(1L), "zero-variance 5-minute cadence must flag as bot")
+    assert(!got(2L), "heavy-tailed human cadence must not flag")
+  }
+
   test("data_drift_psi: non-negative per type, one row per event type") {
     val got = SparkEntry.queries("data_drift_psi")(spark, sf).collect()
     val types = T.events(spark, sf).select(col("event_type")).distinct().count()
