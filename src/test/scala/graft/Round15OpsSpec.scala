@@ -311,6 +311,30 @@ class Round15OpsSpec extends GraftSuite {
     assert(h == 1, "fixture check: single distinct token")
   }
 
+  test("TokenizerBpeTrainJob: textbook merge order on the low/lower corpus; early stop") {
+    // Sennrich et al.'s classic example: {low x3, lower x2}. Hand-derived
+    // merge order under the (count desc, pair asc) tie-break:
+    //   (l,o)=5 -> (lo,w)=5 -> (e,r)=2 ties (low,e)=2, 'e' < 'low' wins
+    //   -> (low,er)=2 -> nothing left, early stop.
+    val docs = Seq((1L, "low low low"), (2L, "lower lower")).toDF("doc_id", "text")
+    val (merges, sym) = plans.TokenizerBpeTrainJob.train(docs, nMerges = 10)
+    assert(merges.map(m => (m._1, m._2)) ==
+      Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("low", "er")),
+      s"merge table diverged from the hand computation: $merges")
+    assert(merges.map(_._3) == Seq(5L, 5L, 2L, 2L), "selection-time counts")
+    // after full convergence every token is one symbol
+    val syms = sym.collect().map(_.getString(0)).toSet
+    assert(syms == Set("low", "lower"), s"final symbols: $syms")
+    // back-to-back occurrences all merge in one pass ("a b a b" case)
+    val pairRun = plans.TokenizerBpeTrainJob.applyMerge(
+      Seq("a b a b").toDF("sym"), "a", "b").head.getString(0)
+    assert(pairRun == "ab ab", "adjacent non-overlapping occurrences must both merge")
+    // overlapping runs merge left-first ("l l l" case)
+    val tripleRun = plans.TokenizerBpeTrainJob.applyMerge(
+      Seq("l l l").toDF("sym"), "l", "l").head.getString(0)
+    assert(tripleRun == "ll l", "overlapping run must merge greedily left-to-right")
+  }
+
   test("event_bot_detect: metronomic gaps flag, heavy-tailed gaps pass") {
     // planted fixture: user 1 fires every 5 minutes exactly (scraper),
     // user 2 with the same count but exponential-ish spread (human)
