@@ -703,6 +703,37 @@ object LlmOps {
     },
 
     Q(
+      "sim_mips_topk",
+      s"""WITH $duckVecs,
+         |q AS (SELECT i, v AS qv FROM x WHERE vec_id = 0)
+         |SELECT x.vec_id, round(sum(x.v * q.qv), 6) AS dot
+         |FROM x JOIN q ON x.i = q.i
+         |WHERE x.vec_id <> 0 GROUP BY 1
+         |ORDER BY dot DESC, vec_id
+         |LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      // Maximum-inner-product top-k — cosine's unnormalized sibling, the
+      // retrieval scoring recommenders and popularity-weighted rankers
+      // use (vector MAGNITUDE is signal; normalizing erases it, and MIPS
+      // famously is NOT nearest-neighbor search under any metric, which
+      // is why it gets its own key rather than riding sim_cosine_topk).
+      // Same scale shape as the cosine baseline: broadcast query vector,
+      // one corpus pass through the fused dot-product loop
+      // (functions.DotProduct — index-order double accumulation, bit-
+      // identical to the oracle's ordered sum), TakeOrderedAndProject
+      // keeps k per partition; ranking compares the 6-dp-rounded dot
+      // with vec_id tie-break so last-ulp noise can never reorder.
+      val e = T.embeddings(s, d)
+      val q = broadcast(e.where(col("vec_id") === 0).select(col("embedding").as("qe")))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .select(col("vec_id"),
+                round(graft.functions.DotProduct(col("embedding"), col("qe")), 6).as("dot"))
+        .orderBy(col("dot").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    Q(
       "sim_cosine_topk",
       s"""WITH $duckVecs,
          |q AS (SELECT i, v AS qv FROM x WHERE vec_id = 0),
