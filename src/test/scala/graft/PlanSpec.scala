@@ -498,6 +498,55 @@ class PlanSpec extends GraftSuite {
       "native merge-scan and union+window emulation must produce identical rows")
   }
 
+  test("tokenizer_bpe_pairs: generator pair-forming + fused top-k, no join, text-only scan") {
+    val p = plan("tokenizer_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), "top-30 must fuse, not global-sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "pairs must come from a generator, never a join")
+    assert(!p.contains("doc_id"), "scan must prune to the text column only")
+  }
+
+  test("text_entropy: fused unigram hasher over a doc_id+text pruned scan") {
+    val p = plan("text_entropy")
+    assert(p.contains("hashed_word_grams_seq"), "tokenization must be the fused byte-scan hasher")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      "scan must prune to doc_id and text")
+  }
+
+  test("sim_mips_topk: broadcast query through the fused dot product into TakeOrdered") {
+    val p = plan("sim_mips_topk")
+    assert(p.contains("dot_product"), "scoring must be the fused codegen expression")
+    assert(p.contains("BroadcastNestedLoopJoin"), "the 1-row query vector must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must fuse")
+  }
+
+  test("shuffle_epoch: globalRowNumber windows are partition-local over a range exchange") {
+    val (_, ns) = execNodes("shuffle_epoch")
+    val wins = ns.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "row_number must never run in a single-task unpartitioned window")
+    val range = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+    }
+    assert(range.nonEmpty, "the global rank must ride a range repartition")
+  }
+
+  test("data_drift_psi: every bounded-grid join broadcasts, no fact-side sort-merge") {
+    assert(!plan("data_drift_psi").contains("SortMergeJoin"),
+      "the types*24 grid must never shuffle-join")
+  }
+
+  test("event_bot_detect: ONE user_id exchange feeds lag, stat windows, and the aggregate") {
+    val (_, ns) = execNodes("event_bot_detect")
+    val hashEx = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.size == 1,
+      s"lag window, per-user stats, and the final aggregate must share one exchange, found ${hashEx.size}")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
