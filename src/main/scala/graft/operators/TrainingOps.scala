@@ -976,6 +976,44 @@ object TrainingOps {
     },
 
     Q(
+      "sample_curriculum",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         (1000000 * len(list_filter(string_split(lower(text), ' '),
+        |                        t -> list_contains(['the','a','of','and','to','is','in'], t))))
+        |           // len(string_split(text, ' ')) AS score_ppm
+        |  FROM documents),
+        |r AS (SELECT doc_id, score_ppm,
+        |             row_number() OVER (ORDER BY score_ppm DESC, doc_id) - 1 AS rk
+        |      FROM s),
+        |n AS (SELECT count(*) AS n FROM s)
+        |SELECT doc_id, CAST(score_ppm AS BIGINT) AS score_ppm,
+        |       CAST((rk * 10) // n AS BIGINT) AS stage
+        |FROM r, n ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Curriculum staging — order the corpus easy-first for curriculum
+      // training (Bengio et al.): stage 0 = the most natural-prose
+      // decile, stage 9 = the noisiest, by the stopword-density proxy
+      // (exact integer ppm — text_quality's stopword gate turned into a
+      // rank key; no float score to drift). Deciles come from the exact
+      // global rank, ntile's arithmetic applied directly
+      // (stage = ⌊10·rk/n⌋ — sizes differ by ≤ 1 by construction), so
+      // membership is deterministic under any partitioning/engine.
+      // Scale shape: [[globalRowNumber]]'s two bounded exchanges plus
+      // one 1-row count action; never a single-task window.
+      val sc = T.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("stop_hits",
+          expr("size(filter(split(lower(text), ' '), t -> t IN ('the','a','of','and','to','is','in')))").cast("long"))
+        .select(col("doc_id"), expr("(1000000 * stop_hits) DIV n_tokens").as("score_ppm"))
+      val n = sc.count()
+      globalRowNumber(sc, Seq(col("score_ppm").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("score_ppm"),
+          expr(s"((rn - 1) * 10) DIV $n").as("stage"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "tokenizer_bpe_pairs",
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

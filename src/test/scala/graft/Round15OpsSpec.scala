@@ -288,6 +288,22 @@ class Round15OpsSpec extends GraftSuite {
     got.unpersist()
   }
 
+  test("sample_curriculum: 10 near-equal stages, quality monotone across stage boundaries") {
+    val got = SparkEntry.queries("sample_curriculum")(spark, sf).cache()
+    val stages = got.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n"), min(col("score_ppm")).as("lo"), max(col("score_ppm")).as("hi"))
+      .orderBy(col("stage")).collect()
+    assert(stages.map(_.getLong(0)).toSeq == (0L to 9L), "exactly stages 0..9")
+    val sizes = stages.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "decile sizes differ by at most 1")
+    // easy-first: a later stage's best score never beats an earlier stage's worst
+    stages.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) >= b.getLong(3),
+        s"stage ${a.getLong(0)} min ${a.getLong(2)} < stage ${b.getLong(0)} max ${b.getLong(3)}")
+    }
+    got.unpersist()
+  }
+
   test("tokenizer_bpe_pairs: 30 two-char pairs, counts non-increasing") {
     val rows = SparkEntry.queries("tokenizer_bpe_pairs")(spark, sf).collect()
     assert(rows.length == 30)
