@@ -994,6 +994,27 @@ object LlmOps {
         .orderBy(col("doc_id"))
     },
 
+    // Compressibility quality screen (Gopher's "compression ratio"
+    // heuristic: text that DEFLATEs far below natural-prose ratios is
+    // repetitive boilerplate/spam; text that barely compresses is
+    // often binary-ish noise). ratio_ppm = 10⁶·deflate_bytes DIV
+    // raw_bytes — exact integer off the fused [[DeflateSize]]
+    // expression (level/strategy/zlib pinned → deterministic across
+    // executors and re-runs). No SQL oracle: DuckDB ships no DEFLATE
+    // surface — spec pins the repetitive≪natural ordering, the flag
+    // band, and bit-stable re-runs. Scale: pure scan-parallel
+    // projection, no shuffle before the output sort.
+    Q.smoke("text_compression_ratio") { (s, d) =>
+      val raw = greatest(length(col("text")).cast("long"), lit(1L))
+      T.documents(s, d)
+        .withColumn("n_bytes", raw)
+        .withColumn("deflate_bytes", graft.functions.DeflateSize(col("text")).cast("long"))
+        .withColumn("ratio_ppm", expr("(1000000 * deflate_bytes) DIV n_bytes"))
+        .select(col("doc_id"), col("n_bytes"), col("deflate_bytes"), col("ratio_ppm"),
+                col("ratio_ppm").between(200000L, 900000L).as("passes_compression"))
+        .orderBy(col("doc_id"))
+    },
+
     Q(
       "text_quality",
       """SELECT doc_id,

@@ -351,6 +351,25 @@ class Round15OpsSpec extends GraftSuite {
     assert(tripleRun == "ll l", "overlapping run must merge greedily left-to-right")
   }
 
+  test("text_compression_ratio: repetitive text compresses far below natural prose; bit-stable") {
+    val got = SparkEntry.queries("text_compression_ratio")(spark, sf)
+    assert(got.where(col("ratio_ppm") <= 0 || col("deflate_bytes") <= 0).count() == 0)
+    // planted contrast: 200x-repeated token vs varied text
+    val probe = Seq(
+      (1L, Seq.fill(200)("spam").mkString(" ")),
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 997}x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+              (lit(1000000L) * graft.functions.DeflateSize(col("text")).cast("long")
+                / greatest(length(col("text")), lit(1)).cast("long")).cast("long").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probe(1L) * 5 < probe(2L),
+      s"repeated token must compress >=5x better than varied text ($probe)")
+    // determinism: fresh plan, identical bytes
+    val again = SparkEntry.queries("text_compression_ratio")(spark, sf)
+    assert(got.exceptAll(again).isEmpty, "deflate sizes must be bit-stable across runs")
+  }
+
   test("event_bot_detect: metronomic gaps flag, heavy-tailed gaps pass") {
     // planted fixture: user 1 fires every 5 minutes exactly (scraper),
     // user 2 with the same count but exponential-ish spread (human)
