@@ -976,6 +976,93 @@ object TrainingOps {
     },
 
     Q(
+      "text_source_divergence",
+      s"""WITH t AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+         |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+         |sp AS (SELECT a.source AS sa, b.source AS sb
+         |       FROM n a JOIN n b ON a.source < b.source),
+         |ga AS (SELECT sp.sa, sp.sb, c.tok, c.c AS ca FROM sp JOIN c ON c.source = sp.sa),
+         |gb AS (SELECT sp.sa, sp.sb, c.tok, c.c AS cb FROM sp JOIN c ON c.source = sp.sb),
+         |gg AS (
+         |  SELECT coalesce(ga.sa, gb.sa) AS sa, coalesce(ga.sb, gb.sb) AS sb,
+         |         coalesce(ga.tok, gb.tok) AS tok,
+         |         coalesce(ga.ca, 0) AS ca, coalesce(gb.cb, 0) AS cb
+         |  FROM ga FULL JOIN gb ON ga.sa = gb.sa AND ga.sb = gb.sb AND ga.tok = gb.tok),
+         |f AS (
+         |  SELECT gg.sa, gg.sb, gg.ca, gg.cb, na.n AS na, nb.n AS nb
+         |  FROM gg JOIN n na ON na.source = gg.sa JOIN n nb ON nb.source = gg.sb),
+         |m AS (
+         |  SELECT sa, sb, na, nb,
+         |         CAST(round(500000000.0 * (
+         |           CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) * (${lnProbTpl("(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))")} - ${lnProbTpl("(((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0)")}) ELSE 0.0 END +
+         |           CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) * (${lnProbTpl("(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))")} - ${lnProbTpl("(((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) / 2.0)")}) ELSE 0.0 END)) AS BIGINT) AS term
+         |  FROM f)
+         |SELECT sa AS source_a, sb AS source_b,
+         |       CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+         |       CAST(sum(term) AS BIGINT) AS jsd_nanonats
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      // Pairwise Jensen–Shannon divergence between source-domain unigram
+      // distributions — the data-cartography readout behind mixture
+      // design (which sources are near-duplicates of each other in
+      // DISTRIBUTION, not document, space; JSD is KL's bounded symmetric
+      // cousin, ≤ ln 2). Per (a, b): JSD = ½Σ p·(ln p − ln m) +
+      // ½Σ q·(ln q − ln m), m = (p+q)/2 — every ln argument lives in
+      // (0,1], the shared template [[lnProbTpl]]'s domain, and each
+      // token's combined term rounds to integer NANOnats (terms are
+      // O(p·ln2); micronats would zero them) before the sum, so the
+      // total is an exact-integer chain over bit-identical IEEE terms.
+      // Scale shape: the corpus collapses ONCE to the (source, token)
+      // count table via the fused unigram hasher; everything pairwise
+      // happens on that collapsed table (|sources|²/2 pair tags, a
+      // full-outer hash join on (pair, token), broadcast totals) — the
+      // fact table never joins itself.
+      val c = T.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.HashedWordGramsSeq(col("text"), 1)).as("h"))
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+      val n = c.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val sp = n.select(col("source").as("sa"))
+        .join(n.select(col("source").as("sb")), col("sa") < col("sb"))
+      val p0 = "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+      val q0 = "(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+      val m0 = s"((($p0) + ($q0)) / 2.0)"
+      // ln p / ln q evaluate on the collapsed SIDES, leaving a single
+      // template instance after the full-outer join: four spliced
+      // 32-branch ladders in the join's codegen stage measured past
+      // Janino's method-size ceiling (interpreted fallback); one is the
+      // text_perplexity-proven size. Same template text on the same
+      // doubles, so the IEEE dataflow — and the oracle match — is
+      // unchanged.
+      val ga = sp.join(c.withColumnRenamed("source", "sa"), Seq("sa"))
+        .join(broadcast(n.select(col("source").as("sa"), col("n").as("na"))), Seq("sa"))
+        .select(col("sa"), col("sb"), col("h"), col("c").as("ca"),
+                expr(lnProbTpl("(CAST(c AS DOUBLE) / CAST(na AS DOUBLE))")).as("lnp"))
+      val gb = sp.join(c.withColumnRenamed("source", "sb"), Seq("sb"))
+        .join(broadcast(n.select(col("source").as("sb"), col("n").as("nb"))), Seq("sb"))
+        .select(col("sa"), col("sb"), col("h"), col("c").as("cb"),
+                expr(lnProbTpl("(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE))")).as("lnq"))
+      ga.join(gb, Seq("sa", "sb", "h"), "full")
+        .na.fill(0L, Seq("ca", "cb"))
+        .join(broadcast(n.select(col("source").as("sa"), col("n").as("na"))), Seq("sa"))
+        .join(broadcast(n.select(col("source").as("sb"), col("n").as("nb"))), Seq("sb"))
+        .withColumn("lnm", expr(lnProbTpl(m0)))
+        .withColumn("term", expr(
+          s"CAST(round(500000000.0 * (" +
+          s"CASE WHEN ca > 0 THEN $p0 * (lnp - lnm) ELSE 0.0 END + " +
+          s"CASE WHEN cb > 0 THEN $q0 * (lnq - lnm) ELSE 0.0 END)) AS BIGINT)"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(max(col("na")).cast("long").as("n_a"),
+             max(col("nb")).cast("long").as("n_b"),
+             sum(col("term")).cast("long").as("jsd_nanonats"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+                col("n_a"), col("n_b"), col("jsd_nanonats"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    Q(
       "sample_curriculum",
       """WITH s AS (
         |  SELECT doc_id,

@@ -351,6 +351,26 @@ class Round15OpsSpec extends GraftSuite {
     assert(tripleRun == "ll l", "overlapping run must merge greedily left-to-right")
   }
 
+  test("text_source_divergence: JSD within [0, ln2], identical distributions score 0") {
+    val got = SparkEntry.queries("text_source_divergence")(spark, sf)
+    val ln2nano = 693147181L
+    assert(got.where(col("jsd_nanonats") < 0 ||
+      col("jsd_nanonats") > ln2nano + 5000).count() == 0,
+      "JSD is bounded by ln 2 (modulo per-token nanonats rounding slop)")
+    // planted: two sources with IDENTICAL token distributions diverge by ~0;
+    // a disjoint-vocabulary pair sits at the ln 2 ceiling
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsd_fixture").toString
+    Seq((1L, "x y z x", "en", "sA", 7L), (2L, "x y z x", "en", "sB", 7L),
+        (3L, "q r s q", "en", "sC", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = SparkEntry.queries("text_source_divergence")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(math.abs(m(("sA", "sB"))) <= 10, s"identical distributions must score ~0: $m")
+    assert(math.abs(m(("sA", "sC")) - ln2nano) <= 5000,
+      s"disjoint vocabularies must sit at the ln 2 ceiling: $m")
+  }
+
   test("text_compression_ratio: repetitive text compresses far below natural prose; bit-stable") {
     val got = SparkEntry.queries("text_compression_ratio")(spark, sf)
     assert(got.where(col("ratio_ppm") <= 0 || col("deflate_bytes") <= 0).count() == 0)
