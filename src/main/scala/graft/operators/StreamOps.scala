@@ -132,6 +132,14 @@ object StreamOps {
       StreamingOps.runTransformWithStateDemo(s).orderBy(col("user_id"))
     },
 
+    // Streaming CMS: per-micro-batch sketches merge into one running
+    // grid — the unbounded-stream frequency screen whose state never
+    // grows. StreamingSpec pins merged ≡ batch-mode bit-for-bit and the
+    // one-sided bound.
+    Q.smoke("stream_count_min") { (s, _) =>
+      StreamingOps.runCountMinMergeDemo(s)
+    },
+
     // Stream-stream interval join: both sides watermarked, join condition
     // time-bounded → state expires. StreamingSpec asserts the in/out-of-
     // window pairs.

@@ -330,6 +330,49 @@ object StreamingOps {
       spark.table("ss_join")
     }
 
+  /** Streaming count–min sketch (`stream_count_min`): each micro-batch
+    * folds into its own CMS (partial+final aggregate on the executors)
+    * and merges into the running driver-held sketch in `foreachBatch` —
+    * the sketch-mergeability contract is exactly what makes one-pass
+    * frequency screens possible over an unbounded stream (the d×w grid
+    * is the ONLY state; it never grows with the data). Cell-wise merge
+    * is associative+commutative and the seed is pinned, so after any
+    * batch staging the merged sketch is BIT-IDENTICAL to the batch-mode
+    * sketch over the union — returned side by side per probe so the
+    * spec (and the smoke row count) pin est_stream == est_batch exactly,
+    * plus the one-sided est ≥ true bound.
+    */
+  def runCountMinMergeDemo(spark: SparkSession): DataFrame = withFewPartitions(spark) {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batches: Seq[Seq[Long]] = Seq(
+      (1L to 40L) ++ Seq.fill(10)(7L),
+      (20L to 60L) ++ Seq.fill(5)(7L) ++ Seq.fill(8)(13L),
+      (1L to 15L) ++ Seq.fill(3)(13L))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    var merged: org.apache.spark.util.sketch.CountMinSketch = null
+    val chk = java.nio.file.Files.createTempDirectory("graft_cms_chk").toString
+    val q = mem.toDF().toDF("k").writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sk = batch.stat.countMinSketch("k", 0.001, 0.99, 42)
+        // micro-batches execute serially; the driver-held grid is the
+        // stream's entire state
+        if (merged == null) merged = sk else merged.mergeInPlace(sk)
+        ()
+      }.start()
+    try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val all = batches.flatten
+    val batchSk = all.toDF("k").stat.countMinSketch("k", 0.001, 0.99, 42)
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    (1L to 60L).map { k =>
+      (k, merged.estimateCount(java.lang.Long.valueOf(k)),
+          batchSk.estimateCount(java.lang.Long.valueOf(k)),
+          exact.getOrElse(k, 0L))
+    }.toDF("k", "est_stream", "est_batch", "exact_n").orderBy(col("k"))
+  }
+
   /** Incremental file source → exactly-once batch hand-off
     * (`source_stream_file` + `sink_stream_foreachbatch`): the reference's
     * dump-then-load pattern (`osm_etl.py:88-91`) as a checkpointed

@@ -68,6 +68,18 @@ class StreamingSpec extends GraftSuite {
     assert(b(2L)._2 > 20.0, "ewma must tilt toward recent values vs the plain mean")
   }
 
+  test("stream_count_min: micro-batch-merged sketch is bit-identical to the batch sketch") {
+    val rows = streaming.StreamingOps.runCountMinMergeDemo(spark).collect()
+    assert(rows.length == 60)
+    // mergeability: cell-wise adds with a pinned seed make the staged
+    // merge indistinguishable from one batch fold
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2)),
+      "merged stream sketch must equal the batch sketch on every probe")
+    // one-sided CMS bound: estimates never undercount
+    assert(rows.forall(r => r.getLong(1) >= r.getLong(3)),
+      "count-min estimates must dominate the exact counts")
+  }
+
   test("stream-stream interval join matches in-window pairs and excludes out-of-window") {
     val rows = StreamingOps.runStreamStreamJoinDemo(spark)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
