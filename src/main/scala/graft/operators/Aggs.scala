@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Det, Q, T}
+import graft.{Det, Gate, Q, T}
 import graft.functions.WeightedAvg
 import org.apache.spark.sql.functions._
 
@@ -619,6 +619,44 @@ object Aggs {
                 round(lit(1.0) - col("sq").cast("double")
                       / (col("total").cast("double") * col("total").cast("double")), 8)
                   .as("gini"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    Q(
+      "agg_entropy",
+      s"""WITH c AS (
+         |  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1, 2),
+         |t AS (SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1),
+         |l AS (
+         |  SELECT c.o_orderpriority, c.n, t.total,
+         |         CAST(round(${TrainingOps.lnProbTpl("(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE))")} * 1000000.0) AS BIGINT) AS l
+         |  FROM c JOIN t USING (o_orderpriority))
+         |SELECT o_orderpriority, CAST(max(total) AS BIGINT) AS total,
+         |       CAST((-sum(n * l)) // max(total) AS BIGINT) AS entropy_micronats
+         |FROM l GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      // Shannon entropy of the status mix per priority — the metric
+      // `agg_gini` deliberately avoided while Σp·ln p rode libm's ln
+      // (cross-engine last-ulp hazard, stated in that row); the shared
+      // bit-deterministic template [[TrainingOps.lnProbTpl]] removes the
+      // hazard, so the deck now carries BOTH class-balance readouts
+      // (gini saturates near uniform; entropy keeps resolving — in
+      // micronats because the class space is tiny and millinats would
+      // quantize coarsely). Same exact-integer discipline as
+      // text_entropy: each class's ln(n/N) rounds BEFORE the
+      // count-weighted sum, H = (−Σ n·l) DIV N. Two bounded-key
+      // aggregates; the second sees |priorities|×|statuses| rows.
+      val c = T.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("o_orderpriority")).agg(sum(col("n")).as("total"))
+      c.join(Gate.bcast(t), "o_orderpriority")
+        .withColumn("l", expr(
+          s"CAST(round(${TrainingOps.lnProbTpl("(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))")} * 1000000.0) AS BIGINT)"))
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("total")).cast("long").as("total"),
+             expr("CAST((-sum(n * l)) DIV max(total) AS BIGINT)").as("entropy_micronats"))
         .orderBy(col("o_orderpriority"))
     },
 

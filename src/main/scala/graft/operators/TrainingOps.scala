@@ -43,7 +43,7 @@ object TrainingOps {
     * branch loses the m-range invariant — accuracy degrades gracefully
     * but cross-engine equality still holds (same template both sides).
     */
-  private def lnProbTpl(t: String): String = {
+  private[operators] def lnProbTpl(t: String): String = {
     val ks = (0 to 31).map { j =>
       val bound = 0.75 / math.pow(2, j) // exact: 3·2^(−2−j)
       (s"$t >= $bound", s"-$j.0", s"${math.pow(2, j)}")
