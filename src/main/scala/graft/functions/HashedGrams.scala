@@ -186,6 +186,45 @@ object HashedGramsCore {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** All adjacent in-token CHARACTER-pair codes ((b1 << 8) | b2), one
+    * int per pair position, multiplicity kept — the BPE merge-candidate
+    * stream (`tokenizer_bpe_pairs`), emitted from one byte scan instead
+    * of the interpreted transform-substring lambda it replaces (the
+    * SCALE.md interpreted-lambda rule: higher-order functions never
+    * reach codegen). BYTE-PAIR contract: codes are raw UTF-8 byte
+    * pairs, which equal character pairs only for ASCII corpora — the
+    * fixture's domain (the PgTrigrams ASCII contract, same rationale);
+    * non-ASCII corpora would need code-point staging first. Tokens
+    * split on single 0x20 bytes exactly like [[wordGramsSeq]]. */
+  def charPairCodes(s: UTF8String): UnsafeArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    var n = 0
+    var i = 0
+    // pair count = adjacent non-space byte pairs
+    while (i + 1 < nb) {
+      val a = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i + 1)
+      if (a != 0x20 && b != 0x20) n += 1
+      i += 1
+    }
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Int])
+    val out = new Array[Int](n)
+    var g = 0
+    i = 0
+    while (i + 1 < nb) {
+      val a = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i + 1)
+      if (a != 0x20 && b != 0x20) {
+        out(g) = ((a & 0xff) << 8) | (b & 0xff)
+        g += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Sorted distinct xxhash64 of pg_trgm-style padded word trigrams:
     * lowercase, split on single spaces, drop empty words, pad each word
     * to `"  w "`, shred to 3-char-grams, union over words. Mirrors the
@@ -377,6 +416,29 @@ case class HashedWordGramsSeq(child: Expression, n: Int) extends TextGramExpress
 object HashedWordGramsSeq {
   def apply(text: Column, n: Int): Column =
     GraftColumnBridge.column(HashedWordGramsSeq(GraftColumnBridge.expression(text), n))
+}
+
+/** See [[HashedGramsCore.charPairCodes]]. */
+case class CharPairCodes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "char_pair_codes"
+  override def nullSafeEval(input: Any): Any =
+    HashedGramsCore.charPairCodes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashedGramsCore.charPairCodes($s);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharPairCodes {
+  def apply(text: Column): Column =
+    GraftColumnBridge.column(CharPairCodes(GraftColumnBridge.expression(text)))
 }
 
 /** See [[HashedGramsCore.intersectCount]]. INPUT CONTRACT: both arrays

@@ -1117,18 +1117,19 @@ object TrainingOps {
       // the most frequent adjacent symbol pair, repeat): counts of every
       // adjacent character pair inside tokens, top 30 with a total
       // (count, pair) tie-break so the cut is deterministic. One
-      // iteration is the engine's job — the merge LOOP is driver logic
-      // whose every step is exactly this query over a rewritten symbol
-      // stream. Scale shape: per-row generator fan-out (no join forms
-      // the pairs), partial+final count on a charset²-bounded key, then
-      // TakeOrderedAndProject — the corpus never shuffles, only the
-      // bounded pair table does.
-      val toks = T.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .where(length(col("tok")) >= 2)
-      toks.select(explode(expr(
-          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      // iteration is the engine's job — the merge LOOP is
+      // plans.TokenizerBpeTrainJob re-running exactly this query over a
+      // rewritten symbol stream. Scale shape: the pair stream is the
+      // fused byte-scan [[graft.functions.CharPairCodes]] (one int per
+      // pair — the transform-substring lambda it replaced ran
+      // interpreted and allocated a 2-char string per position, the
+      // SCALE.md interpreted-lambda rule), partial+final count on the
+      // charset²-bounded INT key, TakeOrderedAndProject, and only the
+      // 30 winners convert back to strings — the corpus never shuffles.
+      T.documents(s, d)
+        .select(explode(graft.functions.CharPairCodes(col("text"))).as("pc"))
+        .groupBy(col("pc")).agg(count(lit(1)).as("cnt"))
+        .select(expr("concat(char(pc DIV 256), char(pc % 256))").as("pair"), col("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
         .limit(30)
     },
