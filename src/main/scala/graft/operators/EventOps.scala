@@ -1243,6 +1243,55 @@ object EventOps {
     },
 
     Q(
+      "event_seasonal_anomaly",
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, day, n, CAST((day + 4) % 7 AS BIGINT) AS dow FROM c),
+        |s AS (SELECT event_type, dow, quantile_cont(n, 0.5) AS med FROM d GROUP BY 1, 2),
+        |m AS (SELECT d.event_type, d.dow, s.med,
+        |             quantile_cont(abs(d.n - s.med), 0.5) AS mad
+        |      FROM d JOIN s ON d.event_type = s.event_type AND d.dow = s.dow
+        |      GROUP BY 1, 2, 3)
+        |SELECT d.event_type, d.day, d.dow, d.n,
+        |       round(m.med, 4) AS med, round(m.mad, 4) AS mad,
+        |       (abs(d.n - m.med) > 3 * m.mad) AS is_outlier
+        |FROM d JOIN m ON d.event_type = m.event_type AND d.dow = m.dow
+        |ORDER BY d.event_type, d.day""".stripMargin
+    ) { (s, d) =>
+      // SEASONAL robust anomaly flag — the same-day-of-week baseline the
+      // flat detectors miss in both directions: against a global median,
+      // every ordinary Saturday looks anomalous on a weekday-heavy
+      // corpus AND a quiet-weekend incident hides inside the weekday
+      // spread. Baseline per (type, dow): median and MAD of THAT dow's
+      // daily counts (event_anomaly_robust's recipe, keyed one level
+      // finer); the dow bucket is event_seasonality's engine-neutral
+      // (epoch_days + 4) % 7 integer formula. All medians interpolate
+      // exact integers (halves are exact dyadics), the flag compares
+      // identical IEEE expressions — no boundary day can flip. Scale:
+      // both percentile passes run over the days×types table, never
+      // facts; the (type, dow) baseline broadcasts back.
+      val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
+      val c = Caches.register(T.events(s, d)
+        .select(col("event_type"), day.as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+        .withColumn("dow", (col("day") + 4) % 7)
+        .persist())
+      val med = c.groupBy(col("event_type"), col("dow"))
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val m = c.join(Gate.bcast(med), Seq("event_type", "dow"))
+        .groupBy(col("event_type"), col("dow"), col("med"))
+        .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+      c.join(Gate.bcast(m), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("dow"), col("n"),
+                round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+                (abs(col("n") - col("med")) > lit(3) * col("mad")).as("is_outlier"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    Q(
       "event_conversion_window",
       """WITH v AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
