@@ -2298,6 +2298,73 @@ object OsmKernels {
     },
 
     Q(
+      "osm_geometry_qa",
+      """WITH memb AS (
+        |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref
+        |  FROM lineitem),
+        |pts AS (
+        |  SELECT m.way_id, m.pos, m.node_ref,
+        |         CAST(p_size AS BIGINT) * 100 AS lon_c,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS lat_c
+        |  FROM memb m JOIN part ON m.node_ref = p_partkey),
+        |w AS (
+        |  SELECT way_id,
+        |         list(node_ref ORDER BY pos, node_ref) AS refs,
+        |         list(lon_c * 100000000 + lat_c ORDER BY pos, node_ref) AS pk
+        |  FROM pts GROUP BY way_id),
+        |f AS (
+        |  SELECT way_id,
+        |         CAST(len(refs) AS BIGINT) AS n_pts,
+        |         CAST(len(list_filter(range(1, len(pk)), i -> pk[i] = pk[i + 1])) AS BIGINT) AS n_zero_len,
+        |         (len(refs) >= 2 AND refs[1] = refs[len(refs)]) AS is_ring,
+        |         CAST(len(refs) - len(list_distinct(refs))
+        |              - CASE WHEN len(refs) >= 2 AND refs[1] = refs[len(refs)] THEN 1 ELSE 0 END AS BIGINT) AS n_illegal_repeats,
+        |         CAST(len(list_distinct(pk)) AS BIGINT) AS n_distinct_pts
+        |  FROM w)
+        |SELECT way_id, n_pts, n_zero_len, is_ring, n_illegal_repeats,
+        |       (n_zero_len = 0 AND n_illegal_repeats = 0
+        |        AND NOT (is_ring AND n_distinct_pts < 3)) AS is_valid
+        |FROM f ORDER BY way_id""".stripMargin
+    ) { (s, d) =>
+      // Geometry validity report — the osmose/JOSM-validator QA pass a
+      // real OSM pipeline runs before assembly: per way, count
+      // zero-length segments (consecutive identical coordinates — they
+      // break simplification and length kernels), illegal repeated node
+      // refs (a ref may legitimately repeat ONCE, as a ring's closing
+      // point; any other repeat is a self-touch), and degenerate closed
+      // rings (< 3 distinct points — no interior). All EXACT-INTEGER on
+      // the fixed-point coords: points compare as a single injective
+      // BIGINT key (lon·10⁸ + lat, lat < 10⁸ by fixture construction),
+      // so no float epsilon to disagree cross-engine. Scale shape: the
+      // one ordered regroup every geometry kernel already pays
+      // (sort_array(collect_list)), then a map-only per-way projection —
+      // flags compute in-row, nothing re-shuffles.
+      val memb = T.lineitem(s, d).select(
+        col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+        col("l_partkey").as("node_ref"))
+      memb.join(nodes(s, d), col("node_ref") === col("node_id"))
+        .groupBy(col("way_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("node_ref"),
+             col("lon_c"), col("lat_c")))).as("a"))
+        .select(col("way_id"),
+          expr("transform(a, p -> p.node_ref)").as("refs"),
+          expr("transform(a, p -> p.lon_c * 100000000L + p.lat_c)").as("pk"))
+        .select(col("way_id"),
+          size(col("refs")).cast("long").as("n_pts"),
+          expr("IF(size(pk) >= 2, size(filter(sequence(0, size(pk) - 2), i -> pk[i] = pk[i + 1])), 0)")
+            .cast("long").as("n_zero_len"),
+          expr("size(refs) >= 2 AND refs[0] = refs[size(refs) - 1]").as("is_ring"),
+          expr("size(refs) - size(array_distinct(refs)) - IF(size(refs) >= 2 AND refs[0] = refs[size(refs) - 1], 1, 0)")
+            .cast("long").as("n_illegal_repeats"),
+          size(array_distinct(col("pk"))).cast("long").as("n_distinct_pts"))
+        .select(col("way_id"), col("n_pts"), col("n_zero_len"), col("is_ring"),
+          col("n_illegal_repeats"),
+          (col("n_zero_len") === 0 && col("n_illegal_repeats") === 0 &&
+            !(col("is_ring") && col("n_distinct_pts") < 3)).as("is_valid"))
+        .orderBy(col("way_id"))
+    },
+
+    Q(
       "osm_route_dist",
       """WITH RECURSIVE memb AS (
         |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref

@@ -192,6 +192,32 @@ class Round15OpsSpec extends GraftSuite {
     assert(rels.map(_._2).toSet == Set(20L, 21L, 22L, 23L))
   }
 
+  test("osm_geometry_qa: planted zero-length, illegal-repeat, and degenerate-ring ways flag") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qa_fixture").toString
+    // nodes: 1..3 distinct coords; 4 and 5 COINCIDENT
+    Seq((1L, 10, 900.0), (2L, 20, 900.0), (3L, 20, 910.0),
+        (4L, 30, 950.0), (5L, 30, 950.0))
+      .toDF("p_partkey", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // w1 open valid; w2 closed valid ring; w3 consecutive repeat;
+    // w4 degenerate 2-point ring; w5 zero-length via coincident nodes
+    Seq((1L, 1, 1L), (1L, 2, 2L), (1L, 3, 3L),
+        (2L, 1, 1L), (2L, 2, 2L), (2L, 3, 3L), (2L, 4, 1L),
+        (3L, 1, 1L), (3L, 2, 2L), (3L, 3, 2L),
+        (4L, 1, 1L), (4L, 2, 2L), (4L, 3, 1L),
+        (5L, 1, 4L), (5L, 2, 5L))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("osm_geometry_qa")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(1L) == (0L, false, 0L, true), "open way with distinct points is valid")
+    assert(got(2L) == (0L, true, 0L, true), "proper closed ring is valid")
+    assert(got(3L) == (1L, false, 1L, false), "consecutive repeat = zero-length + illegal repeat")
+    assert(got(4L) == (0L, true, 0L, false), "2-distinct-point ring is degenerate")
+    assert(got(5L) == (1L, false, 0L, false), "coincident distinct nodes = zero-length segment")
+  }
+
   test("osm_route_dist_conv: never worse than the depth-3 unroll, covers at least its nodes") {
     val conv = SparkEntry.queries("osm_route_dist_conv")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
