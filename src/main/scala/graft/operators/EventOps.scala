@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** CUPED output expressions, rendered ONCE and spliced verbatim into
+    * both the Spark selectExpr and the DuckDB oracle (the shared-text
+    * device every 1-row statistics formula here uses): θ from exact
+    * BIGINT moments, raw and covariate-adjusted lifts. One expression
+    * per line — the Spark side splits on ",\n". */
+  private[operators] val cupedSelect: String = {
+    val theta = "(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))"
+    Seq(
+      s"round($theta, 6) AS theta",
+      "round(CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a, 6) AS diff_raw",
+      s"round((CAST(sy_b AS DOUBLE) / n_b - $theta * (CAST(sx_b AS DOUBLE) / n_b - CAST(sx AS DOUBLE) / n)) - (CAST(sy_a AS DOUBLE) / n_a - $theta * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n)), 6) AS diff_cuped"
+    ).mkString(",\n")
+  }
+
   private val GapMs = 1800000L // 30 min session gap
 
   /** Exact global ntile(k) WITHOUT a single-partition window (the classic
@@ -1240,6 +1254,69 @@ object EventOps {
                 round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
                 (abs(col("n") - col("med")) > lit(3) * col("mad")).as("is_outlier"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    Q(
+      "event_ab_cuped",
+      s"""WITH b AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
+         |u AS (
+         |  SELECT user_id, user_id % 2 AS variant,
+         |         CAST(sum(CASE WHEN epoch_ms(ts) * 2 < b.lo + b.hi THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |         CAST(sum(CASE WHEN epoch_ms(ts) * 2 >= b.lo + b.hi THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |  FROM events, b GROUP BY user_id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx FROM u),
+         |a AS (SELECT
+         |  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         |  CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         |  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         |  CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+         |  FROM u)
+         |SELECT n_a, n_b, ${EventOps.cupedSelect}
+         |FROM a, m""".stripMargin
+    ) { (s, d) =>
+      // CUPED variance reduction (Deng et al., "Improving the
+      // Sensitivity of Online Controlled Experiments") — the modern
+      // experimentation readout on top of event_ab_test's z-test: the
+      // PRE-period activity x (first half of the time range, the exact
+      // integer-midpoint split data_drift_psi uses) is a covariate the
+      // randomization guarantees is treatment-independent, so adjusting
+      // the post-period metric y by θ·(x − x̄), θ = cov(x,y)/var(x),
+      // shrinks variance without biasing the lift. Exactness: θ's
+      // numerator and denominator are EXACT BIGINT moment combinations
+      // (n·Σxy − Σx·Σy over n·Σx² − (Σx)²) — one IEEE division; the
+      // adjusted-lift formula is a 1-row expression spliced as
+      // IDENTICAL text on both engines (event_ab_test's device). Scale:
+      // one user_id shuffle collapses the log; everything after is two
+      // global conditional aggregates (map-side partials) and a 1-row
+      // join; at raw-web user counts the moment sums would widen to
+      // DECIMAL(38) under the same formula.
+      val ev = T.events(s, d).select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      val bounds = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+      val u = ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ms") * 2 < col("lo") + col("hi"), 1).otherwise(0))
+               .cast("long").as("x"),
+             sum(when(col("ms") * 2 >= col("lo") + col("hi"), 1).otherwise(0))
+               .cast("long").as("y"))
+        .withColumn("variant", col("user_id") % 2)
+      val m = u.agg(count(lit(1)).cast("long").as("n"),
+                    sum(col("x")).cast("long").as("sx"),
+                    sum(col("y")).cast("long").as("sy"),
+                    sum(col("x") * col("y")).cast("long").as("sxy"),
+                    sum(col("x") * col("x")).cast("long").as("sxx"))
+      u.agg(
+          sum(when(col("variant") === 0, 1).otherwise(0)).cast("long").as("n_a"),
+          sum(when(col("variant") === 0, col("x")).otherwise(0)).cast("long").as("sx_a"),
+          sum(when(col("variant") === 0, col("y")).otherwise(0)).cast("long").as("sy_a"),
+          sum(when(col("variant") === 1, 1).otherwise(0)).cast("long").as("n_b"),
+          sum(when(col("variant") === 1, col("x")).otherwise(0)).cast("long").as("sx_b"),
+          sum(when(col("variant") === 1, col("y")).otherwise(0)).cast("long").as("sy_b"))
+        .crossJoin(broadcast(m))
+        .selectExpr(Seq("n_a", "n_b") ++ EventOps.cupedSelect.split(",\n").toSeq: _*)
     },
 
     Q(
