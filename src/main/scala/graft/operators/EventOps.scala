@@ -1303,19 +1303,23 @@ object EventOps {
              sum(when(col("ms") * 2 >= col("lo") + col("hi"), 1).otherwise(0))
                .cast("long").as("y"))
         .withColumn("variant", col("user_id") % 2)
-      val m = u.agg(count(lit(1)).cast("long").as("n"),
-                    sum(col("x")).cast("long").as("sx"),
-                    sum(col("y")).cast("long").as("sy"),
-                    sum(col("x") * col("y")).cast("long").as("sxy"),
-                    sum(col("x") * col("x")).cast("long").as("sxx"))
+      // pooled moments and per-arm cohort sums in ONE aggregate pass —
+      // two separate aggregates would each re-shuffle the event fact
+      // (or pay a cache that costs more than it saves at any scale:
+      // everything here is algebraic, so one partial+final pass carries
+      // all eleven counters; PlanSpec pins the single exchange)
       u.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
           sum(when(col("variant") === 0, 1).otherwise(0)).cast("long").as("n_a"),
           sum(when(col("variant") === 0, col("x")).otherwise(0)).cast("long").as("sx_a"),
           sum(when(col("variant") === 0, col("y")).otherwise(0)).cast("long").as("sy_a"),
           sum(when(col("variant") === 1, 1).otherwise(0)).cast("long").as("n_b"),
           sum(when(col("variant") === 1, col("x")).otherwise(0)).cast("long").as("sx_b"),
           sum(when(col("variant") === 1, col("y")).otherwise(0)).cast("long").as("sy_b"))
-        .crossJoin(broadcast(m))
         .selectExpr(Seq("n_a", "n_b") ++ EventOps.cupedSelect.split(",\n").toSeq: _*)
     },
 

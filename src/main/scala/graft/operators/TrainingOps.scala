@@ -1019,10 +1019,17 @@ object TrainingOps {
       // happens on that collapsed table (|sources|²/2 pair tags, a
       // full-outer hash join on (pair, token), broadcast totals) — the
       // fact table never joins itself.
+      // checkpointed: n, the pair grid, and BOTH join sides read this
+      // collapsed table — unmaterialized, every reference re-scans and
+      // re-hashes the document fact (measured 5 live fact scans in the
+      // executed plan; PlanSpec pins ≤1). localCheckpoint over persist:
+      // the row-store materialization measured cheaper than the
+      // columnar cache here, the graph_shortest_path lesson.
       val c = T.documents(s, d)
         .select(col("source"),
           explode(graft.functions.HashedWordGramsSeq(col("text"), 1)).as("h"))
         .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val n = c.groupBy(col("source")).agg(sum(col("c")).as("n"))
       val sp = n.select(col("source").as("sa"))
         .join(n.select(col("source").as("sb")), col("sa") < col("sb"))

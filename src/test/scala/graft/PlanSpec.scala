@@ -547,6 +547,48 @@ class PlanSpec extends GraftSuite {
       s"lag window, per-user stats, and the final aggregate must share one exchange, found ${hashEx.size}")
   }
 
+  test("event_ab_cuped: one user_id exchange; moments and cohorts are global conditional aggregates") {
+    val (_, ns) = execNodes("event_ab_cuped")
+    val hashEx = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.size <= 1,
+      s"the cached per-user collapse must be the only hash exchange, found ${hashEx.size}")
+    assert(!plan("event_ab_cuped").contains("SortMergeJoin"),
+      "the 1-row moment join must broadcast")
+  }
+
+  test("event_seasonal_anomaly: percentile passes run over the collapsed daily table, baselines broadcast") {
+    val p = plan("event_seasonal_anomaly")
+    assert(!p.contains("SortMergeJoin"), "the (type,dow) baseline joins must broadcast")
+  }
+
+  test("osm_geometry_qa: one regroup exchange, flags compute in-row") {
+    val (_, ns) = execNodes("osm_geometry_qa")
+    val hashEx = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.size <= 2,
+      s"node-resolve join + way regroup only, found ${hashEx.size} hash exchanges")
+  }
+
+  test("text_source_divergence: the corpus collapses once; pairwise work joins collapsed tables") {
+    // the collapsed (source, token) table localCheckpoints, so the
+    // pairwise plan must contain ZERO live scans of the document fact —
+    // before the checkpoint, every branch (n, grid, both join sides)
+    // re-scanned and re-hashed it (measured 5 live FileSourceScans)
+    val (_, ns) = execNodes("text_source_divergence")
+    val factScans = ns.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.tableIdentifier.toString.contains("documents") ||
+           f.metadata.get("Location").exists(_.contains("documents")) => f
+    }
+    assert(factScans.isEmpty,
+      s"the fact must scan once into the checkpointed collapse, found ${factScans.size} live scans")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join") {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
