@@ -274,6 +274,45 @@ object EmbeddingOps {
 
   val all: Seq[Q] = Seq(
     Q(
+      "emb_dim_stats",
+      """WITH x AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS v
+        |  FROM embeddings)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS BIGINT) AS sum_e4,
+        |       CAST(sum(v * v) AS BIGINT) AS sumsq_e8,
+        |       CAST(min(v) AS BIGINT) AS min_e4, CAST(max(v) AS BIGINT) AS max_e4,
+        |       CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin
+    ) { (s, d) =>
+      // Per-dimension embedding health report — the QA pass an embedding
+      // pipeline runs on every new model drop: dead dimensions (always
+      // ~0 → wasted index bytes and degenerate PQ codebooks), per-dim
+      // scale drift (one hot dimension dominates L2 distances), and the
+      // exact moment sums downstream whitening would consume. The
+      // established integer discipline: each float rounds ONCE to an
+      // exact 1e-4 grid (round() is away-from-zero in both engines; the
+      // r13 round()-safety rule holds at this magnitude), and
+      // everything after — sums, squares, min/max, dead count — is an
+      // exact BIGINT chain, order- and partitioning-invariant
+      // (n·Σv² ≤ ~2.5e15 at sf0.1, far inside BIGINT). Scale shape: one
+      // generator fan-out, one aggregate on the |dims|-bounded key.
+      T.embeddings(s, d)
+        .select(posexplode(expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"))
+          .as(Seq("dim", "v")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(col("v")).cast("long").as("sum_e4"),
+             sum(col("v") * col("v")).cast("long").as("sumsq_e8"),
+             min(col("v")).cast("long").as("min_e4"),
+             max(col("v")).cast("long").as("max_e4"),
+             sum(when(col("v") === 0, 1).otherwise(0)).cast("long").as("n_dead"))
+        .orderBy(col("dim"))
+    },
+
+    Q(
       "emb_normalize",
       """SELECT vec_id, i - 1 AS pos,
         |       CAST(round(CAST(v AS DOUBLE) / sqrt(n2) * 1000000) AS BIGINT) AS unit_micro
