@@ -354,6 +354,48 @@ object TrainingOps {
     },
 
     Q(
+      "text_novelty",
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+        |           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')))) AS g
+        |  FROM documents),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+        |SELECT grams.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN f.first_doc = grams.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST((1000000 * sum(CASE WHEN f.first_doc = grams.doc_id THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS novelty_ppm
+        |FROM grams JOIN f USING (g)
+        |GROUP BY grams.doc_id
+        |ORDER BY grams.doc_id""".stripMargin
+    ) { (s, d) =>
+      // Gram-level novelty score — the ingestion-order signal a
+      // dedupe-aware curriculum ranks on (a doc whose 5-grams all first
+      // appeared in EARLIER docs contributes nothing new even if no
+      // single pair clears a dedup threshold; text_span_dedup flags the
+      // spans, this scores the share): novelty = fraction of the doc's
+      // distinct word-5-grams whose FIRST occurrence (min doc_id — the
+      // dedup family's canonical order) is this doc, in exact integer
+      // ppm. Scale shape: grams ride the fused sorted-distinct hasher;
+      // the first-occurrence table is one narrow groupBy on the gram
+      // key, then the probe joins grams back on the SAME key — the two
+      // exchanges share the partitioning, and nothing touches the fact
+      // twice. Docs under 5 tokens emit no grams and no row, both
+      // engines alike.
+      val grams = T.documents(s, d)
+        .select(col("doc_id"), explode(graft.functions.HashedWordGrams(col("text"), 5)).as("g"))
+      val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+             sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+               .cast("long").as("n_novel"))
+        .withColumn("novelty_ppm", expr("(1000000 * n_novel) DIV n_grams"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "text_contamination",
       """WITH grams AS (
         |  SELECT doc_id,
