@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** Retention-decay-fit output expressions — the cupedSelect device:
+    * OLS slope/intercept over exact BIGINT moment sums, plus the
+    * half-life the decay rate implies, rendered once for both engines. */
+  private[operators] val retentionFitSelect: String = {
+    val slope = "(CAST(n * stl - st * sl AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE))"
+    Seq(
+      s"round(-($slope), 6) AS lambda_milli",
+      s"round(CAST(sl AS DOUBLE) / n - $slope * (CAST(st AS DOUBLE) / n), 6) AS intercept_milli",
+      s"round(693.1471805599453 / (-($slope)), 4) AS half_life_days"
+    ).mkString(",\n")
+  }
+
   /** CUPED output expressions, rendered ONCE and spliced verbatim into
     * both the Spark selectExpr and the DuckDB oracle (the shared-text
     * device every 1-row statistics formula here uses): θ from exact
@@ -1254,6 +1266,63 @@ object EventOps {
                 round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
                 (abs(col("n") - col("med")) > lit(3) * col("mad")).as("is_outlier"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    Q(
+      "event_retention_fit",
+      s"""WITH f AS (
+         |  SELECT user_id, CAST(floor(min(epoch_ms(ts)) / 86400000) AS BIGINT) AS cohort_day
+         |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM f),
+         |a AS (
+         |  SELECT CAST(floor(epoch_ms(e.ts) / 86400000) AS BIGINT) - f.cohort_day AS o,
+         |         CAST(count(DISTINCT e.user_id) AS BIGINT) AS act
+         |  FROM events e JOIN f USING (user_id)
+         |  WHERE e.event_type = 'purchase'
+         |    AND CAST(floor(epoch_ms(e.ts) / 86400000) AS BIGINT) >= f.cohort_day
+         |  GROUP BY 1),
+         |p AS (
+         |  SELECT o, CAST(round(${TrainingOps.lnProbTpl("(CAST(act AS DOUBLE) / CAST(nu AS DOUBLE))")} * 1000.0) AS BIGINT) AS l
+         |  FROM a, nn WHERE o >= 1 AND act > 0),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(o) AS BIGINT) AS st,
+         |             CAST(sum(l) AS BIGINT) AS sl, CAST(sum(o * l) AS BIGINT) AS stl,
+         |             CAST(sum(o * o) AS BIGINT) AS stt FROM p)
+         |SELECT n AS n_points, ${EventOps.retentionFitSelect}
+         |FROM m""".stripMargin
+    ) { (s, d) =>
+      // Exponential retention-decay fit — the survival-curve summary a
+      // growth team reads off event_retention's cohort table: pooled
+      // retention r(o) = distinct day-o purchasers / signup population
+      // is linearized as ln r = ln a − λ·o and fitted by OLS, giving
+      // the decay rate and its implied half-life. Determinism is the
+      // full stack of established devices: exact epoch-day cohorts,
+      // each ln r through the SHARED template rounded to integer
+      // millinats BEFORE any sum, OLS moments as exact BIGINT
+      // combinations, and the slope/intercept/half-life formulas
+      // spliced as identical text (cupedSelect's device). Scale: the
+      // cohort table broadcasts onto the log once; the fit runs over
+      // the ≤|days| point table.
+      val day = floor(unix_millis(col("ts")) / 86400000L).cast("long")
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("event_type"), day.as("day"))
+      val f = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val nu = f.agg(count(lit(1)).cast("long").as("nu"))
+      val a = ev.where(col("event_type") === "purchase")
+        .join(Gate.bcast(f), "user_id")
+        .where(col("day") >= col("cohort_day"))
+        .groupBy((col("day") - col("cohort_day")).as("o"))
+        .agg(countDistinct(col("user_id")).cast("long").as("act"))
+      a.crossJoin(broadcast(nu))
+        .where(col("o") >= 1 && col("act") > 0)
+        .withColumn("l", expr(
+          s"CAST(round(${TrainingOps.lnProbTpl("(CAST(act AS DOUBLE) / CAST(nu AS DOUBLE))")} * 1000.0) AS BIGINT)"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(col("o")).cast("long").as("st"),
+             sum(col("l")).cast("long").as("sl"),
+             sum(col("o") * col("l")).cast("long").as("stl"),
+             sum(col("o") * col("o")).cast("long").as("stt"))
+        .selectExpr(Seq("n AS n_points") ++ EventOps.retentionFitSelect.split(",\n").toSeq: _*)
     },
 
     Q(
