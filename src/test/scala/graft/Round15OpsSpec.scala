@@ -416,6 +416,106 @@ class Round15OpsSpec extends GraftSuite {
     assert(got.exceptAll(again).isEmpty, "deflate sizes must be bit-stable across runs")
   }
 
+  test("agg_entropy: bounded by ln k; zero exactly when gini is zero") {
+    val ent = SparkEntry.queries("agg_entropy")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val gini = SparkEntry.queries("agg_gini")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val k = T.orders(spark, sf).select(col("o_orderstatus")).distinct().count()
+    val lnK = math.round(math.log(k.toDouble) * 1e6)
+    ent.foreach { case (g, h) =>
+      assert(h >= 0 && h <= lnK + k, s"entropy of $g out of [0, ln k]: $h")
+      assert((h == 0) == (gini(g) == 0.0), s"gini/entropy zero-sets must agree on $g")
+    }
+  }
+
+  test("emb_dim_stats: every dim sees every vector; moment inequality holds exactly") {
+    val rows = SparkEntry.queries("emb_dim_stats")(spark, sf).collect()
+    val nVec = T.embeddings(spark, sf).count()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val (n, s1, s2, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n == nVec, "each dimension must see the whole corpus")
+      assert(lo <= hi)
+      assert(n * s2 >= s1 * s1, "Cauchy–Schwarz on the exact integer moments")
+    }
+  }
+
+  test("text_novelty: first doc fully novel; novel counts partition the distinct-gram universe") {
+    val got = SparkEntry.queries("text_novelty")(spark, sf).cache()
+    val firstDoc = got.agg(min(col("doc_id"))).head.getLong(0)
+    assert(got.where(col("doc_id") === firstDoc).head.getLong(3) == 1000000L,
+      "the lowest doc id owns every one of its grams")
+    val universe = T.documents(spark, sf)
+      .select(explode(graft.functions.HashedWordGrams(col("text"), 5)).as("g"))
+      .distinct().count()
+    assert(got.agg(sum(col("n_novel"))).head.getLong(0) == universe,
+      "every distinct corpus gram is novel in exactly one document")
+    assert(got.where(col("novelty_ppm") < 0 || col("novelty_ppm") > 1000000).count() == 0)
+    got.unpersist()
+  }
+
+  test("event_retention_fit: internally consistent decay summary") {
+    val r = SparkEntry.queries("event_retention_fit")(spark, sf).head
+    val (n, lambda, half) = (r.getLong(0), r.getDouble(1), r.getDouble(3))
+    assert(n >= 3, "enough offsets to fit")
+    assert(!lambda.isNaN && !half.isNaN)
+    assert(math.abs(half - BigDecimal(693.1471805599453 / lambda)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      "half-life must be ln2 over the fitted decay rate")
+  }
+
+  test("event_ab_cuped: a pure-covariate metric adjusts an imbalanced raw lift to ~0") {
+    // planted: every user behaves IDENTICALLY pre and post (y = x), but
+    // arm 1 got the heavier users — raw lift is pure imbalance noise,
+    // CUPED (theta = 1) must cancel it
+    val dir = java.nio.file.Files.createTempDirectory("graft_cuped_fixture").toString
+    val base = 1700000000000L
+    val half = 50L * 86400000L
+    val rows = (1L to 40L).flatMap { u =>
+      val rate = if (u % 2 == 0) 4 + (u % 5).toInt else 2 + (u % 3).toInt
+      (0 until rate).flatMap { i =>
+        Seq((u * 1000 + i, base + i * 3600000L, u, "view", 1.0, "{}"),
+            (u * 1000 + 500 + i, base + half + i * 3600000L, u, "view", 1.0, "{}"))
+      }
+    }
+    rows.toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), expr("timestamp_micros(ms * 1000)").as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("event_ab_cuped")(spark, dir).head
+    val (theta, raw, adj) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(math.abs(theta - 1.0) < 1e-6, s"y = x must fit theta = 1 (got $theta)")
+    assert(math.abs(raw) > 0.5, s"arm imbalance must show in the raw lift (got $raw)")
+    assert(math.abs(adj) < 1e-6, s"CUPED must cancel the covariate imbalance (got $adj)")
+  }
+
+  test("event_seasonal_anomaly: a spiked Saturday flags; ordinary Saturdays do not") {
+    // weekdays 10 events/day, Saturdays 30 — regular rhythm; ONE
+    // Saturday at 100 is the real incident. A global median+MAD would
+    // flag every Saturday; the seasonal baseline must flag only the 100.
+    val dir = java.nio.file.Files.createTempDirectory("graft_season_fixture").toString
+    val day0 = 19700L // epoch day; (day+4)%7 gives its dow
+    val rows = (0 until 35).flatMap { d =>
+      val day = day0 + d
+      val dow = (day + 4) % 7
+      // day0 itself is a Saturday (dow 6), so Saturdays fall on d % 7 == 0;
+      // the incident is planted on the LAST one (d = 28)
+      val n = if (dow != 6) 10 else if (d == 28) 100 else 30
+      (0 until n).map(i => (day * 1000L + i, day * 86400000L + i * 60000L, i.toLong % 7, "view", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), expr("timestamp_micros(ms * 1000)").as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("event_seasonal_anomaly")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getBoolean(6)))
+    val flagged = got.filter(_._3)
+    assert(flagged.map(_._2).toSeq == Seq(100L),
+      s"only the spiked Saturday may flag, got ${flagged.toSeq}")
+    assert(got.count(g => g._2 == 30L) >= 3, "regular Saturdays present and unflagged")
+  }
+
   test("event_bot_detect: metronomic gaps flag, heavy-tailed gaps pass") {
     // planted fixture: user 1 fires every 5 minutes exactly (scraper),
     // user 2 with the same count but exponential-ish spread (human)
