@@ -274,6 +274,78 @@ object EmbeddingOps {
 
   val all: Seq[Q] = Seq(
     Q(
+      "emb_fps_sample",
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |s1 AS (SELECT min(vec_id) AS sid FROM q),
+        |d1 AS (SELECT v.vec_id,
+        |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(range(1, len(v.vq) + 1),
+        |                  i -> (v.vq[i] - s.vq[i]) * (v.vq[i] - s.vq[i]))),
+        |                (a, b) -> a + b) AS d
+        |       FROM q v, q s, s1 WHERE s.vec_id = s1.sid),
+        |s2 AS (SELECT vec_id AS sid FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+        |d2 AS (SELECT v.vec_id, least(d1.d,
+        |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(range(1, len(v.vq) + 1),
+        |                  i -> (v.vq[i] - s.vq[i]) * (v.vq[i] - s.vq[i]))),
+        |                (a, b) -> a + b)) AS d
+        |       FROM q v JOIN d1 ON v.vec_id = d1.vec_id, q s, s2 WHERE s.vec_id = s2.sid),
+        |s3 AS (SELECT vec_id AS sid FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT v.vec_id, least(d2.d,
+        |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(range(1, len(v.vq) + 1),
+        |                  i -> (v.vq[i] - s.vq[i]) * (v.vq[i] - s.vq[i]))),
+        |                (a, b) -> a + b)) AS d
+        |       FROM q v JOIN d2 ON v.vec_id = d2.vec_id, q s, s3 WHERE s.vec_id = s3.sid),
+        |s4 AS (SELECT vec_id AS sid FROM d3 ORDER BY d DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS sample_rank, sid AS vec_id FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), sid FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), sid FROM s3
+        |UNION ALL SELECT CAST(4 AS BIGINT), sid FROM s4
+        |ORDER BY sample_rank""".stripMargin
+    ) { (s, d) =>
+      // Farthest-point sampling (k-center greedy, k = 4) — the
+      // diversity/coreset selection family the hash-keyed samplers
+      // cannot express (stratified/temperature/fixed-k pick by CONTENT
+      // KEY; FPS picks by GEOMETRY: each round adds the vector farthest
+      // from every seed so far, the classic 2-approximation seed set
+      // for k-center and the diverse-subset recipe). Determinism is the
+      // emb_dim_stats grid: vectors quantize ONCE to exact 1e-4 BIGINTs,
+      // so every pairwise squared distance is an exact integer (≤ 64·
+      // (2·10⁴)² ≈ 2.6e10) — the argmax can never flip on float
+      // summation order — and ties break on vec_id. Scale shape: k−1
+      // corpus passes, each a map-only distance projection against ≤ k
+      // BROADCAST seed vectors folded with a running min, then one
+      // TakeOrdered(1); the corpus never shuffles and the driver holds
+      // k rows (the BPE-train loop discipline).
+      val q = T.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("vq"))
+        .localCheckpoint() // k-1 rescans: materialize the quantized corpus once
+      val k = 4
+      val first = q.orderBy(col("vec_id")).limit(1).collect()(0)
+      var seeds = Seq((1, first.getLong(0), first.getSeq[Long](1)))
+      var dist: DataFrame = null
+      for (r <- 2 to k) {
+        val sv = seeds.last._3
+        val litSeed = array(sv.map(lit): _*)
+        val dNew = expr("aggregate(transform(sequence(0, size(vq) - 1), " +
+          "i -> (vq[i] - sq[i]) * (vq[i] - sq[i])), 0L, (a, x) -> a + x)")
+        val scored = (if (dist == null) q.withColumn("sq", litSeed).withColumn("d", dNew)
+                      else dist.withColumn("sq", litSeed).withColumn("d", least(col("d"), dNew)))
+          .select(col("vec_id"), col("vq"), col("d"))
+        dist = scored.localCheckpoint()
+        val next = dist.orderBy(col("d").desc, col("vec_id").asc).limit(1).collect()(0)
+        seeds = seeds :+ ((r, next.getLong(0), next.getSeq[Long](1)))
+      }
+      import s.implicits._
+      seeds.map(x => (x._1.toLong, x._2)).toDF("sample_rank", "vec_id")
+        .orderBy(col("sample_rank"))
+    },
+
+    Q(
       "emb_dim_stats",
       """WITH x AS (
         |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,

@@ -441,6 +441,27 @@ class Round15OpsSpec extends GraftSuite {
     }
   }
 
+  test("emb_fps_sample: seeds are distinct and greedy-maximal at every round") {
+    val seeds = SparkEntry.queries("emb_fps_sample")(spark, sf)
+      .collect().map(r => r.getLong(1))
+    assert(seeds.length == 4 && seeds.distinct.length == 4, "four distinct seeds")
+    // greedy invariant: seed r+1 maximizes the min exact squared distance
+    // to seeds 1..r (recomputed brute-force on the same 1e-4 grid)
+    val q = T.embeddings(spark, sf).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("vq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (r <- 1 until 4) {
+      val sofar = seeds.take(r).map(q)
+      def minD(v: Long) = sofar.map(sv => d2(q(v), sv)).min
+      val (bestD, bestId) = q.keys.map(v => (minD(v), v))
+        .maxBy { case (dd, v) => (dd, -v) }
+      assert(seeds(r) == bestId && minD(seeds(r)) == bestD,
+        s"round ${r + 1} must pick the exact farthest point (tie-break lowest id)")
+    }
+  }
+
   test("text_novelty: first doc fully novel; novel counts partition the distinct-gram universe") {
     val got = SparkEntry.queries("text_novelty")(spark, sf).cache()
     val firstDoc = got.agg(min(col("doc_id"))).head.getLong(0)
