@@ -325,24 +325,30 @@ object EmbeddingOps {
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("vq"))
         .localCheckpoint() // k-1 rescans: materialize the quantized corpus once
       val k = 4
-      val first = q.orderBy(col("vec_id")).limit(1).collect()(0)
-      var seeds = Seq((1, first.getLong(0), first.getSeq[Long](1)))
-      var dist: DataFrame = null
-      for (r <- 2 to k) {
-        val sv = seeds.last._3
-        val litSeed = array(sv.map(lit): _*)
-        val dNew = expr("aggregate(transform(sequence(0, size(vq) - 1), " +
-          "i -> (vq[i] - sq[i]) * (vq[i] - sq[i])), 0L, (a, x) -> a + x)")
-        val scored = (if (dist == null) q.withColumn("sq", litSeed).withColumn("d", dNew)
-                      else dist.withColumn("sq", litSeed).withColumn("d", least(col("d"), dNew)))
-          .select(col("vec_id"), col("vq"), col("d"))
-        dist = scored.localCheckpoint()
-        val next = dist.orderBy(col("d").desc, col("vec_id").asc).limit(1).collect()(0)
-        seeds = seeds :+ ((r, next.getLong(0), next.getSeq[Long](1)))
-      }
       import s.implicits._
-      seeds.map(x => (x._1.toLong, x._2)).toDF("sample_rank", "vec_id")
-        .orderBy(col("sample_rank"))
+      // empty corpus: no seed to start from → empty sample (the
+      // EmptyInputSpec lane every driver-looping op needs)
+      val firstRows = q.orderBy(col("vec_id")).limit(1).collect()
+      if (firstRows.isEmpty) Seq.empty[(Long, Long)].toDF("sample_rank", "vec_id")
+      else {
+        val first = firstRows(0)
+        var seeds = Seq((1, first.getLong(0), first.getSeq[Long](1)))
+        var dist: DataFrame = null
+        for (r <- 2 to k) {
+          val sv = seeds.last._3
+          val litSeed = array(sv.map(lit): _*)
+          val dNew = expr("aggregate(transform(sequence(0, size(vq) - 1), " +
+            "i -> (vq[i] - sq[i]) * (vq[i] - sq[i])), 0L, (a, x) -> a + x)")
+          val scored = (if (dist == null) q.withColumn("sq", litSeed).withColumn("d", dNew)
+                        else dist.withColumn("sq", litSeed).withColumn("d", least(col("d"), dNew)))
+            .select(col("vec_id"), col("vq"), col("d"))
+          dist = scored.localCheckpoint()
+          val next = dist.orderBy(col("d").desc, col("vec_id").asc).limit(1).collect()(0)
+          seeds = seeds :+ ((r, next.getLong(0), next.getSeq[Long](1)))
+        }
+        seeds.map(x => (x._1.toLong, x._2)).toDF("sample_rank", "vec_id")
+          .orderBy(col("sample_rank"))
+      }
     },
 
     Q(
