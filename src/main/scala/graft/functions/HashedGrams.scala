@@ -194,18 +194,30 @@ object HashedGramsCore {
     * reach codegen). BYTE-PAIR contract: codes are raw UTF-8 byte
     * pairs, which equal character pairs only for ASCII corpora — the
     * fixture's domain (the PgTrigrams ASCII contract, same rationale);
-    * non-ASCII corpora would need code-point staging first. Tokens
-    * split on single 0x20 bytes exactly like [[wordGramsSeq]]. */
+    * non-ASCII corpora would need code-point staging first. The
+    * contract is ENFORCED: any byte >= 0x80 throws (ADVICE r15 — the
+    * divergence from the character-pair oracle used to be silent).
+    * Tokens split on single 0x20 bytes exactly like [[wordGramsSeq]]. */
   def charPairCodes(s: UTF8String): UnsafeArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val nb = s.numBytes()
     var n = 0
     var i = 0
-    // pair count = adjacent non-space byte pairs
+    // pair count = adjacent non-space byte pairs. The same pass enforces
+    // the ASCII contract LOUDLY (ADVICE r15): a byte >= 0x80 means the
+    // byte-pair stream would silently diverge from character pairs (and
+    // from real BPE symbols) — abort instead of producing wrong pairs.
     while (i + 1 < nb) {
       val a = org.apache.spark.unsafe.Platform.getByte(base, off + i)
       val b = org.apache.spark.unsafe.Platform.getByte(base, off + i + 1)
+      if (a < 0 || b < 0)
+        throw new IllegalArgumentException(
+          "char_pair_codes: non-ASCII byte 0x" +
+            Integer.toHexString((if (a < 0) a else b) & 0xff) +
+            " at offset " + (if (a < 0) i else i + 1) +
+            " — BPE pair codes are defined over ASCII corpora only; " +
+            "stage non-ASCII text to code points (or pre-filter) first")
       if (a != 0x20 && b != 0x20) n += 1
       i += 1
     }

@@ -95,25 +95,48 @@ object EmbeddingOps {
     * blocks = the same cells) — one trained layout, two consumers, the
     * way a real lake amortizes its index.
     */
+  /** Guards the build-once race (ADVICE r15): two concurrent consumers
+    * (`sim_ivf_partitioned`, `dedup_semantic_kmeans`) used to both train
+    * and write, orphaning the loser's temp dir. JVM-level lock because
+    * the conf registry is session-scoped and sessions share the JVM in
+    * local mode; the double-check inside re-reads the conf so the losing
+    * thread adopts the winner's layout instead of rebuilding. */
+  private[this] val ivfBuildLock = new Object
   private[graft] def ivfRoot(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val confKey = s"spark.sql.graft.ivfdir:$d"
-    s.conf.getOption(confKey).getOrElse {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-      val e = T.embeddings(s, d)
-      val (assigned, _) = kmeans(e, k = 8, iters = 2)
-      e.join(assigned.select(col("vec_id"), col("cid")), "vec_id")
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/index")
-      assigned.join(e, "vec_id")
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("micro", expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("micro")).cast("double") / count(lit(1))).as("m"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> CAST(p.m / 1e6 AS FLOAT))").as("centroid"))
-        .write.mode("overwrite").parquet(s"$dir/codebook")
-      s.conf.set(confKey, dir)
-      dir
-    }
+    // Cache contract: the layout is keyed by the dataset DIRECTORY and
+    // assumed immutable for the session (lake snapshots are); a consumer
+    // that mutates the embeddings in place must unset the conf key.
+    s.conf.getOption(confKey).getOrElse(ivfBuildLock.synchronized {
+      s.conf.getOption(confKey).getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+        val e = T.embeddings(s, d)
+        val (assigned, _) = kmeans(e, k = 8, iters = 2)
+        e.join(assigned.select(col("vec_id"), col("cid")), "vec_id")
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/index")
+        assigned.join(e, "vec_id")
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .withColumn("micro", expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+          .groupBy(col("cid"), col("pos"))
+          .agg((sum(col("micro")).cast("double") / count(lit(1))).as("m"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> CAST(p.m / 1e6 AS FLOAT))").as("centroid"))
+          .write.mode("overwrite").parquet(s"$dir/codebook")
+        // The layout dies with the application, not the filesystem: a
+        // temp dir that outlives the session is the orphan ADVICE flagged.
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+            }
+            rm(new java.io.File(dir))
+          }
+        })
+        s.conf.set(confKey, dir)
+        dir
+      }
+    })
   }
 
   def kmeans(e: DataFrame, k: Int, iters: Int,

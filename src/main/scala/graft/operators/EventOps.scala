@@ -118,8 +118,16 @@ object EventOps {
     val sampleCap = 128 // per input partition per dim; collected ≤ cap × parts × dims
     val sampleRows: Array[(Int, BigDecimal, BigDecimal, Long)] = df
       .select(explode(array(dims.zipWithIndex.map { case ((key, _), i) =>
-        struct(lit(i).as("d"), col(key).cast(dec).as("k"),
-               col(tie).cast(dec).as("t"))
+        // Same fail-loud widening as `entries` (ADVICE r15): without it a
+        // NULL/overflowing key reaches the driver as a null BigDecimal and
+        // `samples...sorted` dies in an opaque NPE BEFORE the documented
+        // loud error below can fire. All three cast sites now share it.
+        def loud(c: String) = coalesce(
+          col(c).cast(dec),
+          raise_error(concat(
+            lit(s"globalNtileMulti: sampler column '$c' is NULL or exceeds " +
+                "DECIMAL(28,2) for tie "), col(tie).cast("string"))).cast(dec))
+        struct(lit(i).as("d"), loud(key).as("k"), loud(tie).as("t"))
       }: _*)).as("e"))
       .select(col("e.d"), col("e.k"), col("e.t"))
       .as[(Int, BigDecimal, BigDecimal)]

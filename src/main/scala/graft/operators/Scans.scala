@@ -334,6 +334,106 @@ object Scans {
     },
 
     Q(
+      "source_osc",
+      """SELECT CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'create' WHEN 1 THEN 'modify' ELSE 'delete' END AS op,
+        |       'node' AS elem_type, s_suppkey AS id, s_suppkey % 5 + 1 AS version,
+        |       CAST(round(s_acctbal * 100) AS BIGINT) AS lat7,
+        |       CAST(s_nationkey AS BIGINT) * 1000000 + s_suppkey AS lon7,
+        |       s_name AS name, CAST(0 AS BIGINT) AS n_refs, CAST(0 AS BIGINT) AS n_members
+        |FROM supplier
+        |UNION ALL
+        |SELECT 'modify', 'way', 100000 + CAST(n_nationkey AS BIGINT), CAST(2 AS BIGINT),
+        |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), n_name,
+        |       (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey), CAST(0 AS BIGINT)
+        |FROM nation
+        |UNION ALL
+        |SELECT 'delete', 'relation', 200000 + CAST(r_regionkey AS BIGINT), CAST(3 AS BIGINT),
+        |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), r_name, CAST(0 AS BIGINT),
+        |       (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+        |FROM region
+        |ORDER BY elem_type, id""".stripMargin
+    ) { (s, d) =>
+      // REAL `.osc` (osmChange XML) replication-diff ingest
+      // (graft.sources.OsmChange) — the public diff feed whose weekly
+      // cadence the reference's full reload stands in for
+      // (osm_etl.py:13,45): create/modify/delete blocks, node lat/lon as
+      // exact 1e-7-degree integers (BigDecimal-scaled, never through a
+      // double), way <nd> refs, relation <member type/ref/role> triples.
+      // Layout staged once per (session, dataset): every change class
+      // and element kind, derived deterministically from the dim tables
+      // so the DuckDB oracle can recompute the expected rows from
+      // parquet — nodes from supplier (op cycles create/modify/delete),
+      // ways from nation carrying that nation's suppliers as refs,
+      // relation deletes from region carrying its nations as members.
+      // Files are written ONE PER PARTITION via foreachPartition (the
+      // sequence-file shape real feeds arrive in — file-granular
+      // parallelism is the scan's 100 TB partitioning), odd partitions
+      // gzipped: the reader's magic-byte gzip detection and multi-file
+      // parallel parse are both on the oracled path.
+      import s.implicits._
+      val confKey = s"spark.sql.graft.oscdir:$d"
+      val root = s.conf.getOption(confKey).getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft_osc").toString
+        val emptyMembers =
+          expr("CAST(array() AS ARRAY<STRUCT<mtype:STRING, mref:BIGINT, mrole:STRING>>)")
+        val nodes = T.supplier(s, d).select(
+          expr("CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'create' WHEN 1 THEN 'modify' ELSE 'delete' END").as("op"),
+          lit("node").as("elem_type"), col("s_suppkey").as("id"),
+          (col("s_suppkey") % 5 + 1).as("version"),
+          lit("2024-07-25T00:00:00Z").as("ts"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("lat7"),
+          (col("s_nationkey").cast("long") * 1000000 + col("s_suppkey")).as("lon7"),
+          map(lit("name"), col("s_name")).as("tags"),
+          expr("CAST(array() AS ARRAY<BIGINT>)").as("nd_refs"),
+          emptyMembers.as("members"))
+        val ways = T.nation(s, d)
+          .join(T.supplier(s, d).groupBy(col("s_nationkey"))
+                  .agg(expr("array_sort(collect_list(s_suppkey))").as("refs")),
+                col("n_nationkey") === col("s_nationkey"), "left")
+          .select(lit("modify").as("op"), lit("way").as("elem_type"),
+            (col("n_nationkey").cast("long") + 100000).as("id"),
+            lit(2L).as("version"), lit("").as("ts"),
+            lit(null).cast("long").as("lat7"), lit(null).cast("long").as("lon7"),
+            map(lit("name"), col("n_name")).as("tags"),
+            coalesce(col("refs"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("nd_refs"),
+            emptyMembers.as("members"))
+        val rels = T.region(s, d)
+          .join(T.nation(s, d).groupBy(col("n_regionkey"))
+                  .agg(expr("""array_sort(collect_list(struct(
+                              |  CAST('way' AS STRING) AS mtype,
+                              |  CAST(n_nationkey AS BIGINT) + 100000 AS mref,
+                              |  CAST('outer' AS STRING) AS mrole)))""".stripMargin).as("ms")),
+                col("r_regionkey") === col("n_regionkey"), "left")
+          .select(lit("delete").as("op"), lit("relation").as("elem_type"),
+            (col("r_regionkey").cast("long") + 200000).as("id"),
+            lit(3L).as("version"), lit("").as("ts"),
+            lit(null).cast("long").as("lat7"), lit(null).cast("long").as("lon7"),
+            map(lit("name"), col("r_name")).as("tags"),
+            expr("CAST(array() AS ARRAY<BIGINT>)").as("nd_refs"),
+            coalesce(col("ms"), emptyMembers).as("members"))
+        nodes.unionByName(ways).unionByName(rels)
+          .as[graft.sources.OsmChange.OscRow]
+          .foreachPartition { (it: Iterator[graft.sources.OsmChange.OscRow]) =>
+            val rows = it.toSeq
+            if (rows.nonEmpty) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val gz = pid % 2 == 1
+              graft.sources.OsmChange.write(
+                f"$dir%s/chunk_$pid%04d.osc" + (if (gz) ".gz" else ""), rows, gz)
+            }
+          }
+        s.conf.set(confKey, dir)
+        dir
+      }
+      graft.sources.OsmChange.read(s, root)
+        .select(col("op"), col("elem_type"), col("id"), col("version"),
+          col("lat7"), col("lon7"), element_at(col("tags"), "name").as("name"),
+          size(col("nd_refs")).cast("long").as("n_refs"),
+          size(col("members")).cast("long").as("n_members"))
+        .orderBy(col("elem_type"), col("id"))
+    },
+
+    Q(
       "sink_jdbc",
       """SELECT n_nationkey, n_regionkey, n_name
         |FROM nation

@@ -197,6 +197,68 @@ object StreamOps {
     // last-writer-wins within a batch is pinned by max version.
     // Returns the final snapshot: StreamingSpec asserts upsert /
     // delete / re-insert semantics against the hand-computed state.
+    // The same replication-apply loop fed by REAL `.osc` files
+    // (graft.sources.OsmChange) instead of a MemoryStream of tuples: the
+    // consumer polls sequence numbers (how OSM replication actually
+    // works — fetch state, apply sequence file N), each micro-batch
+    // parses its osmChange file and merges it into the versioned lake
+    // via OsmChange.applySnapshot (LWW by version, winning delete
+    // removes). Fixture mirrors stream_osm_upsert's logical ops exactly
+    // — update/delete/two-versions-in-one-file/re-insert — and
+    // StreamingSpec pins the two lanes to the identical final state, so
+    // the wire format and the MemoryStream semantics are provably the
+    // same dataflow. Sequence file 2 is gzipped: the magic-byte lane
+    // rides the streaming path too.
+    Q.smoke("stream_osc_apply") { (s, _) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.sources.OsmChange
+      import graft.sources.OsmChange.{OscMember, OscRow}
+      val base = java.nio.file.Files.createTempDirectory("graft_osc_apply")
+      def way(op: String, id: Long, v: Long, len: Double) =
+        OscRow(op, "way", id, v, "", None, None,
+               Map("length_m" -> len.toString), Nil, Nil)
+      // v0: the existing element store (two ways), OscRow payload shape
+      Seq(way("create", 1L, 1L, 10.0), way("create", 2L, 1L, 20.0))
+        .toDS().drop("op").write.parquet(s"$base/lake/v0")
+      // the replication sequence: file 1 updates way 1, deletes way 2,
+      // creates way 3 twice (v1 then v2 in DOCUMENT order — max version
+      // must win); file 2 re-inserts way 2 after its delete
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/feed/000001"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/feed/000002"))
+      OsmChange.write(s"$base/feed/000001/000001.osc", Seq(
+        way("modify", 1L, 2L, 11.0), way("delete", 2L, 2L, 0.0),
+        way("create", 3L, 1L, 30.0), way("modify", 3L, 2L, 31.0)))
+      OsmChange.write(s"$base/feed/000002/000002.osc.gz", Seq(
+        way("create", 2L, 3L, 22.0)), gzip = true)
+      val latest = new java.util.concurrent.atomic.AtomicReference(s"$base/lake/v0")
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = mem.toDF().toDF("seqno").writeStream
+        .option("checkpointLocation", s"$base/chk")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val ss = batch.sparkSession
+          // sequence numbers are feed-pointer metadata (a handful per
+          // poll), not data — collecting them is the consumer protocol
+          val seqs = batch.collect().map(_.getLong(0)).sorted
+          seqs.foreach { n =>
+            val delta = OsmChange.read(ss, f"$base%s/feed/$n%06d")
+            val next = OsmChange.applySnapshot(ss.read.parquet(latest.get()), delta)
+            val out = f"$base%s/lake/seq$n%06d"
+            next.write.mode("overwrite").parquet(out)
+            latest.set(out)
+          }
+          ()
+        }.start()
+      try {
+        mem.addData(1L); q.processAllAvailable()
+        mem.addData(2L); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(latest.get())
+        .select(col("id").as("way_id"), col("version"),
+                element_at(col("tags"), "length_m").cast("double").as("length_m"))
+        .orderBy(col("way_id"))
+    },
+
     Q.smoke("stream_osm_upsert") { (s, _) =>
       import s.implicits._
       implicit val sqlCtx = s.sqlContext

@@ -460,11 +460,11 @@ object TrainingOps {
       // the bloom guarantee), so the result — and the oracle — is
       // bit-identical to text_contamination's exact join. Grams ride as
       // xxhash64 longs (same fused hasher + collision bound as
-      // text_contamination). The probe is a Scala UDF by necessity
-      // (Spark's BloomFilter has no public expression); it wraps two
-      // hash probes of a broadcast bitmap,
-      // and the candidate rate it admits is what keeps the hot path off
-      // the shuffle, which dominates the codegen loss.
+      // text_contamination). The probe is the codegen'd
+      // functions.BloomMightContainLong expression (r15 item 5 de-UDF'd
+      // the per-row Scala wrapper): the serialized ~1.2 MB bitmap rides
+      // the expression tree once per stage and the probe stays inside
+      // the whole-stage-codegen span over the gram scan.
       // persist the gram stream: the bloom BUILD is its own aggregation
       // pass over the bench grams, and without materialization that pass
       // re-tokenizes the whole corpus before the corpus-side probe scans
@@ -485,9 +485,7 @@ object TrainingOps {
           // overfull bloom only raises FP rate (more exact-verify work,
           // same answer), so the capacity is a fixed budget, not a count()
           val bloom = bench.stat.bloomFilter("g", 1L << 20, 0.01)
-          val bbc = s.sparkContext.broadcast(bloom)
-          val mightHit = udf((g: Long) => bbc.value.mightContainLong(g))
-          corpus.where(mightHit(col("g")))
+          corpus.where(graft.functions.BloomMightContainLong(col("g"), bloom))
         }
       screened
         .join(graft.Gate.bcast(bench), "g")

@@ -127,31 +127,54 @@ object CorpusCurationJob {
     when(h < "e6", "train").when(h < "f3", "val").otherwise("test")
   }
 
-  /** 8-way serpentine shard off a per-lang size-sorted rank
+  /** 0=train, 1=val, 2=test — folded into pack/shard ids so the id
+    * alone names a split-pure unit (see [[packSequences]]). */
+  private def splitIx: Column =
+    when(col("split") === "train", 0L).when(col("split") === "val", 1L).otherwise(2L)
+
+  /** 8-way serpentine shard off a per-(lang, split) size-sorted rank
     * (shard_balanced's deal, per-partition form: the per-lang window is
-    * the documented per-shard scale path, embarrassingly parallel). */
+    * the documented per-shard scale path, embarrassingly parallel).
+    * Windows by (lang, split) — not lang alone — so a loader shard never
+    * mixes train/val/test docs: the shard is the unit a trainer mounts,
+    * and a split-impure shard would leak test docs into training even
+    * though each doc's own split column is correct. The split index is
+    * folded into the shard id (local*3 + splitIx) so (lang, shard) alone
+    * identifies a pure unit — a consumer cannot mix splits even if it
+    * ignores the split column. */
   def shardSequences(docs: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens").desc, col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("split")).orderBy(col("n_tokens").desc, col("doc_id"))
     docs.withColumn("rk", row_number().over(w).cast("long") - 1)
       .withColumn("shard",
-        expr(s"CASE WHEN (rk DIV $n) % 2 = 0 THEN rk % $n ELSE ${n - 1} - rk % $n END"))
+        expr(s"CASE WHEN (rk DIV $n) % 2 = 0 THEN rk % $n ELSE ${n - 1} - rk % $n END") * 3
+          + splitIx)
       .drop("rk")
   }
 
   /** 2048-token pack assignment by running budget in doc order, computed
-    * WITHIN each lang partition (a global window would funnel 100 TB
-    * through one task; per-shard packing is embarrassingly parallel).
+    * WITHIN each (lang, split) partition (a global window would funnel
+    * 100 TB through one task; per-shard packing is embarrassingly
+    * parallel). The split column joins lang in the partition key so a
+    * single 2048-token pack — the loader's training-sequence unit, with
+    * epoch order baked in — can never mix train/val/test docs; packing
+    * by lang alone would put test-cluster docs inside training packs and
+    * undo the leakage-safe split upstream. The split index is folded
+    * into the pack id (local*3 + splitIx) so (lang, pack_id) alone names
+    * a split-pure pack — purity does not depend on consumers also keying
+    * on the split column (CorpusCurationJobSpec asserts it at exactly
+    * that grain).
     */
   def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("split")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("n_tokens",
         expr("aggregate(split(norm_text, ' '), 0L, (acc, x) -> acc + CAST(ceil(length(x) / 4.0) AS BIGINT))"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / budget))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / budget) * 3 + splitIx)
       .drop("cum")
   }
 
@@ -198,7 +221,7 @@ object CorpusCurationJob {
     val out = spark.read.parquet(s"$outDir/corpus")
     println(s"""{"job":"corpus_curation","date":"$snapshotDate","in":${raw.count()},""" +
             s""""kept":${out.count()},"quarantined":${spark.read.parquet(s"$outDir/quarantine").count()},""" +
-            s""""packs":${out.select(col("lang"), col("pack_id")).distinct().count()},""" +
+            s""""packs":${out.select(col("lang"), col("split"), col("pack_id")).distinct().count()},""" +
             s""""tokens":${out.agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0)},""" +
             s""""mass":${out.agg(coalesce(sum(col("sample_weight")), lit(0L))).head.getLong(0)}}""")
     spark.stop()

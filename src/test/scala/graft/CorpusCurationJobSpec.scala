@@ -61,11 +61,24 @@ class CorpusCurationJobSpec extends GraftSuite {
       .agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("n"))
       .where(col("n") > 1 && col("t") > 2048 + 600) // one doc of slack
     assert(over.count() == 0, "multi-doc pack blew the token budget")
-    // serpentine shards: per-lang doc counts within 1
-    val shards = packed.groupBy(col("lang"), col("shard")).agg(count(lit(1)).as("n"))
-      .groupBy(col("lang")).agg((max(col("n")) - min(col("n"))).as("spread"))
+    // split purity (ADVICE r15): a pack is the loader's training-sequence
+    // unit and a shard is what a trainer mounts — neither may span two
+    // splits, or test docs leak into training despite correct per-doc
+    // split labels. Asserted at the (lang, id) grain: the id ALONE must
+    // name a pure unit (the split index is folded into it), so purity
+    // cannot be lost by a consumer that ignores the split column.
+    val packSplits = packed.groupBy(col("lang"), col("pack_id"))
+      .agg(countDistinct(col("split")).as("ns")).where(col("ns") > 1)
+    assert(packSplits.count() == 0, "a 2048-token pack mixed train/val/test docs")
+    val shardMix = packed.groupBy(col("lang"), col("shard"))
+      .agg(countDistinct(col("split")).as("ns")).where(col("ns") > 1)
+    assert(shardMix.count() == 0, "a loader shard mixed train/val/test docs")
+    // serpentine balance holds within each (lang, split) deal
+    val shards = packed.groupBy(col("lang"), col("split"), col("shard"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"), col("split")).agg((max(col("n")) - min(col("n"))).as("spread"))
     assert(shards.where(col("spread") > 1).count() == 0,
-      "serpentine deal must keep per-lang shard doc counts within 1")
+      "serpentine deal must keep per-(lang, split) shard doc counts within 1")
     // determinism: a full re-run reproduces the same curated rows
     val (_, _, _, _, packed2) = runStages()
     assert(packed.select("doc_id", "pack_id", "shard", "split", "sample_weight").exceptAll(

@@ -193,4 +193,70 @@ class OsmEtlJobSpec extends GraftSuite {
     assert(incWays.where(col("way_id") === ghost).count() === 0)
     assert(incWays.where(col("way_id") % 97 === 0).count() > 0)
   }
+
+  test("full reload == snapshot + .osc diff feed, through the real lake") {
+    // r15 verdict item 1 done-bar: the weekly full reload
+    // (`osm_etl.py:13,45`) is replaceable by the PUBLIC replication-diff
+    // format — a real `.osc` file (gzipped, through the wire bytes, not
+    // an in-memory DataFrame) applied to last week's node store must
+    // reproduce this week's store, and the REAL job run over the
+    // osc-reconstructed snapshot must produce a lake row-for-row equal
+    // to the full rebuild (WKB bytes and doubles included).
+    import spark.implicits._
+    import graft.sources.OsmChange
+    val tmp = java.nio.file.Files.createTempDirectory("graft_osc_etl").toString
+    val part = T.part(spark, sf)
+    val ghost = 900000001L // prev-only node → the feed deletes it
+    val firstKey = part.agg(min("p_partkey")).head.getLong(0)
+    val prevPart = part
+      .where(!(col("p_partkey") % 97 === 0)) // added since prev
+      .withColumn("p_retailprice", // attribute edits move lat_c
+        when(col("p_partkey") % 53 === 0, col("p_retailprice") + lit(7.0))
+          .otherwise(col("p_retailprice")))
+      .union(part.where(col("p_partkey") === firstKey).withColumn("p_partkey", lit(ghost)))
+    // element-store view of a part table: exactly the stores() mapping
+    // (node_id, lon_c, lat_c) with the routed attributes riding as tags
+    def store(p: org.apache.spark.sql.DataFrame) = p.select(
+      lit("node").as("elem_type"), col("p_partkey").as("id"),
+      lit(1L).as("version"), lit("").as("ts"),
+      round(col("p_retailprice") * 100).cast("long").as("lat7"),
+      (col("p_size").cast("long") * 100).as("lon7"),
+      map(lit("brand"), col("p_brand"), lit("type"), col("p_type"),
+          lit("name"), col("p_name")).as("tags"),
+      expr("CAST(array() AS ARRAY<BIGINT>)").as("nd_refs"),
+      expr("CAST(array() AS ARRAY<STRUCT<mtype:STRING,mref:BIGINT,mrole:STRING>>)").as("members"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/feed"))
+    OsmChange.write(s"$tmp/feed/wk.osc.gz",
+      OsmChange.diff(store(prevPart), store(part))
+        .as[OsmChange.OscRow].collect().sortBy(e => (e.elem_type, e.id)).toSeq,
+      gzip = true)
+    val applied = OsmChange.applySnapshot(store(prevPart),
+                                          OsmChange.read(spark, s"$tmp/feed"))
+    // reconstruct the element snapshot the job reads (the store mapping
+    // is invertible: lon_c/lat_c are exact integers) and run the REAL job
+    val recon = s"$tmp/recon"
+    applied.select(
+      col("id").as("p_partkey"),
+      element_at(col("tags"), "name").as("p_name"),
+      element_at(col("tags"), "brand").as("p_brand"),
+      element_at(col("tags"), "type").as("p_type"),
+      (col("lon7") / 100).cast("int").as("p_size"),
+      (col("lat7").cast("double") / 100.0).as("p_retailprice"))
+      .write.parquet(s"$recon/part.parquet")
+    for (t <- Seq("lineitem", "orders", "customer", "nation", "region"))
+      T(spark, sf, t).write.parquet(s"$recon/$t.parquet")
+    val (fullOut, oscOut) = (s"$tmp/full", s"$tmp/osc")
+    val fullCounts = plans.OsmEtlJob.run(spark, sf, fullOut, "2024-08-01").toMap
+    val oscCounts = plans.OsmEtlJob.run(spark, recon, oscOut, "2024-08-01").toMap
+    assert(oscCounts === fullCounts)
+    for (t <- Seq("ways", "relations", "areas", "layers")) {
+      val f = spark.read.parquet(s"$fullOut/$t")
+      val o = spark.read.parquet(s"$oscOut/$t")
+      val cols = f.columns.sorted.map(col(_))
+      assert(o.select(cols: _*).exceptAll(f.select(cols: _*)).count() === 0,
+             s"$t: osc-fed rows not in full rebuild")
+      assert(f.select(cols: _*).exceptAll(o.select(cols: _*)).count() === 0,
+             s"$t: full-rebuild rows not in osc-fed lake")
+    }
+  }
 }

@@ -90,8 +90,17 @@ class Round12bOpsSpec extends GraftSuite {
 
   test("text_bloom_contamination: bit-identical to the exact join (no false negatives survive)") {
     val exact = SparkEntry.queries("text_contamination")(spark, sf).collect().toSeq
-    val bloom = SparkEntry.queries("text_bloom_contamination")(spark, sf).collect().toSeq
+    val df = SparkEntry.queries("text_bloom_contamination")(spark, sf)
+    val bloom = df.collect().toSeq
     assert(exact.nonEmpty, "fixture must produce contaminated docs")
     assert(bloom == exact)
+    // r15 item 5: the probe is the codegen'd bloom_might_contain_long
+    // expression — the plan must be free of the Scala UDF it replaced,
+    // keeping the scan-side kill inside whole-stage codegen
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("udf("),
+      s"bloom probe must not be a Scala UDF:\n$p")
+    assert(p.contains("bloom_might_contain_long"),
+      s"plan must probe via the fused bloom expression:\n$p")
   }
 }
