@@ -56,14 +56,66 @@ object PostgisLoadJob {
     * bound); Derby (the offline stand-in) would pick CLOB, which breaks
     * ORDER BY/GROUP BY on read-back, so there we pin VARCHAR(512) — past
     * OSM's 255-char value limit. */
-  private def varcharPins(df: DataFrame, url: String): Option[String] = {
-    if (!url.startsWith("jdbc:derby:")) None
-    else {
-      val ss = df.schema.fields.collect {
-        case f if f.dataType == StringType => s"${f.name} VARCHAR(512)"
-      }
-      if (ss.isEmpty) None else Some(ss.mkString(", "))
+  private def varcharPins(df: DataFrame): Option[String] = {
+    val ss = df.schema.fields.collect {
+      case f if f.dataType == StringType => s"${f.name} VARCHAR(512)"
     }
+    if (ss.isEmpty) None else Some(ss.mkString(", "))
+  }
+
+  /** The exact CREATE TABLE DDL a Postgres load emits for a lake table
+    * (r15 item 3: the real serving hand-off, `README.md:70,76`), rendered
+    * through Spark's own PostgresDialect so the reviewable string IS what
+    * `df.write.jdbc` executes: WKB geometry lands as BYTEA — the
+    * server-side `ST_GeomFromWKB(wkb)` input PostGIS expects, exactly
+    * osm2pgsql's middle→COPY shape — tag/name strings as unbounded TEXT
+    * (OSM values have no useful fixed bound; a VARCHAR(n) would
+    * truncate-fail the load), ids as BIGINT, measures as FLOAT8.
+    * Note `createTableColumnTypes` is NOT the mechanism for these: that
+    * option only parses Spark SQL types (BYTEA/TEXT would be rejected) —
+    * the dialect mapping is already PostGIS-correct, which is why
+    * [[columnTypePins]] passes no overrides for a postgresql URL. Throws
+    * on any array/map/struct column ([[relational]] must run first).
+    */
+  def postgresDdl(table: String, df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    val dialect = JdbcDialects.get("jdbc:postgresql://localhost/osm")
+    s"CREATE TABLE $table (" +
+      JdbcUtils.schemaString(dialect, df.schema, caseSensitive = false, None) + ")"
+  }
+
+  /** Dialect-routed DDL pins: Derby (the offline stand-in) needs its
+    * VARCHAR pins; Postgres needs none — PostgresDialect's defaults are
+    * already the PostGIS-ready mapping [[postgresDdl]] renders. */
+  private[graft] def columnTypePins(df: DataFrame, url: String): Option[String] =
+    if (url.startsWith("jdbc:derby:")) varcharPins(df) else None
+
+  /** Postgres-native upsert template (`INSERT ... ON CONFLICT ... DO
+    * UPDATE`) for a lake table: the idempotent per-ROW load path a
+    * replication-diff consumer (`stream_osc_apply` / `OsmEtlJob
+    * --incremental`) uses against the serving DB, where the slice-replace
+    * mode below would delete too much. Spark's JDBC writer has no
+    * ON CONFLICT mode, so the canonical deployment is: append into an
+    * UNLOGGED staging table (`df.write.jdbc`), then execute this one
+    * statement server-side (`INSERT INTO target SELECT * FROM staging ON
+    * CONFLICT ...`) and truncate the stage — set-based, one round trip,
+    * exactly-once under retries because the conflict target makes the
+    * insert idempotent. JdbcSpec pins the emitted text.
+    */
+  def upsertSql(table: String, df: DataFrame, keyCols: Seq[String],
+                stagingTable: Option[String] = None): String = {
+    val cols = df.schema.fieldNames.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"upsertSql: key columns ${keyCols.mkString(",")} must exist in ${cols.mkString(",")}")
+    val updates = cols.filterNot(keyCols.contains)
+      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    val source = stagingTable match {
+      case Some(st) => s"SELECT ${cols.mkString(", ")} FROM $st"
+      case None     => s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    }
+    s"INSERT INTO $table (${cols.mkString(", ")}) $source " +
+      s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates"
   }
 
   /** Orchestration-level slice column stamped on every loaded row in
@@ -110,11 +162,11 @@ object PostgisLoadJob {
             val rel = raw.withColumn(SliceColumn, org.apache.spark.sql.functions.lit(label))
             JdbcIO.deleteSlice(url, target, SliceColumn, label, creds)
             JdbcIO.writeTable(rel, url, target,
-              columnTypes = varcharPins(rel, url), creds = creds) // append creates on first load
+              columnTypes = columnTypePins(rel, url), creds = creds) // append creates on first load
             Some(t -> raw.count())
           case None =>
             JdbcIO.writeTable(raw, url, target,
-              columnTypes = varcharPins(raw, url), overwrite = true, creds = creds)
+              columnTypes = columnTypePins(raw, url), overwrite = true, creds = creds)
             Some(t -> raw.count())
         }
       }

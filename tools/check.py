@@ -13,6 +13,7 @@ import math
 import pathlib
 import py_compile
 import re
+import subprocess
 import sys
 import tempfile
 
@@ -128,6 +129,14 @@ def structural_checks(out_dir: str, oracle: dict) -> int:
         except py_compile.PyCompileError as e:
             print(f"DAGLINT: {dag.name} does not compile: {e.msg[:200]}")
             fails += 1
+    # structural lane (r15 item 2): execute the DAG against Airflow API
+    # stubs and assert task ids / groups / dependency chain — syntax-only
+    # compile lets renamed tasks and broken chains rot silently
+    r = subprocess.run([sys.executable, str(repo / "tools" / "dag_check.py")],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout.strip() or r.stderr.strip()[:400])
+        fails += 1
     return fails
 
 

@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""Structural validation of dags/*.py WITHOUT Airflow installed.
+
+The deployment DAG (`dags/osm_spark_dag.py`) is the one user-facing
+artifact the scalatest suite cannot execute (Airflow is deliberately not
+a dependency of the engine), and `py_compile` alone only proves syntax —
+an API drift (renamed task, broken dependency chain, credentials leaking
+into a bash command) would ship silently. This harness executes the DAG
+file against minimal stub modules that record exactly what the Airflow
+scheduler would see — DAG registration, TaskGroup membership, `>>`
+dependency edges, operator kwargs — then asserts the structure mirrors
+the reference's chain (`/root/reference/osm_etl.py:93`:
+`run >> etl_us >> etl_eu >> dump`, here
+`etl_regions_osm >> curate_corpus >> load_postgis`).
+
+Run directly (exit 0 = clean) — invoked by tools/check.py per round and
+by the DagLintSpec scalatest lane, so the file cannot rot unnoticed.
+"""
+import pathlib
+import sys
+import types
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+# ---------------------------------------------------------------- stubs
+_DAGS = []
+_EDGES = []       # (upstream, downstream) pairs as the DAG file wires them
+_STACK = []       # container stack: DAG / TaskGroup context managers
+
+
+class _Chainable:
+    def __rshift__(self, other):  # a >> b
+        _EDGES.append((self, other))
+        return other
+
+    def __lshift__(self, other):  # a << b
+        _EDGES.append((other, self))
+        return other
+
+
+class BashOperator(_Chainable):
+    def __init__(self, task_id, bash_command=None, env=None, append_env=False, **kw):
+        self.task_id = task_id
+        self.bash_command = bash_command or ""
+        self.env = env or {}
+        self.append_env = append_env
+        if not _STACK:
+            raise AssertionError(f"task {task_id!r} created outside a DAG context")
+        _STACK[-1]._add(self)
+
+
+class TaskGroup(_Chainable):
+    def __init__(self, group_id, **kw):
+        self.group_id = group_id
+        self.tasks = []
+
+    def _add(self, t):
+        self.tasks.append(t)
+
+    def __enter__(self):
+        if not _STACK:
+            raise AssertionError(f"group {self.group_id!r} created outside a DAG context")
+        _STACK[-1]._add(self)
+        _STACK.append(self)
+        return self
+
+    def __exit__(self, *exc):
+        _STACK.pop()
+        return False
+
+
+class DAG:
+    def __init__(self, dag_id, **kw):
+        self.dag_id = dag_id
+        self.kwargs = kw
+        self.children = []
+        _DAGS.append(self)
+
+    def _add(self, t):
+        self.children.append(t)
+
+    def __enter__(self):
+        _STACK.append(self)
+        return self
+
+    def __exit__(self, *exc):
+        _STACK.pop()
+        return False
+
+
+class Variable:
+    # deploy-time config: the default arm is what the structure check sees
+    @staticmethod
+    def get(key, default=None):
+        return default if default is not None else f"{{var:{key}}}"
+
+
+def _install_stubs():
+    airflow = types.ModuleType("airflow")
+    airflow.DAG = DAG
+    operators = types.ModuleType("airflow.operators")
+    bash = types.ModuleType("airflow.operators.bash")
+    bash.BashOperator = BashOperator
+    utils = types.ModuleType("airflow.utils")
+    task_group = types.ModuleType("airflow.utils.task_group")
+    task_group.TaskGroup = TaskGroup
+    models = types.ModuleType("airflow.models")
+    models.Variable = Variable
+    for name, mod in [("airflow", airflow), ("airflow.operators", operators),
+                      ("airflow.operators.bash", bash), ("airflow.utils", utils),
+                      ("airflow.utils.task_group", task_group),
+                      ("airflow.models", models)]:
+        sys.modules[name] = mod
+
+
+# ------------------------------------------------------------ assertions
+def check() -> int:
+    fails = 0
+
+    def bad(msg):
+        nonlocal fails
+        print(f"DAGCHECK: {msg}")
+        fails += 1
+
+    _install_stubs()
+    dag_file = REPO / "dags" / "osm_spark_dag.py"
+    src = dag_file.read_text()
+    try:
+        exec(compile(src, str(dag_file), "exec"), {"__name__": "osm_spark_dag"})
+    except Exception as e:  # noqa: BLE001 — any failure here is the finding
+        bad(f"{dag_file.name} failed to execute under the Airflow API stubs: {e!r}")
+        return fails
+
+    if len(_DAGS) != 1:
+        bad(f"expected exactly one DAG, found {[d.dag_id for d in _DAGS]}")
+        return fails
+    dag = _DAGS[0]
+    if dag.dag_id != "osm_spark_dag":
+        bad(f"dag_id drifted: {dag.dag_id!r}")
+    if dag.kwargs.get("schedule_interval") != "@weekly":
+        bad(f"schedule drifted from the reference's @weekly (osm_etl.py:45): "
+            f"{dag.kwargs.get('schedule_interval')!r}")
+    if dag.kwargs.get("catchup") is not False:
+        bad("catchup must stay False (a backfill would re-run weekly full reloads)")
+
+    groups = {c.group_id: c for c in dag.children if isinstance(c, TaskGroup)}
+    tasks = {c.task_id: c for c in dag.children if isinstance(c, BashOperator)}
+    for gid in ("etl_regions_osm", "load_postgis"):
+        if gid not in groups:
+            bad(f"TaskGroup {gid!r} missing (the reference's fan-out shape, "
+                f"osm_etl.py:69-85)")
+    if "curate_corpus" not in tasks:
+        bad("curate_corpus task missing")
+    if fails:
+        return fails
+
+    etl_ids = sorted(t.task_id for t in groups["etl_regions_osm"].tasks)
+    load_ids = sorted(t.task_id for t in groups["load_postgis"].tasks)
+    if etl_ids != ["etl_colorado_osm", "etl_spain_osm"]:
+        bad(f"per-region ETL fan-out drifted: {etl_ids}")
+    if load_ids != ["load_colorado_postgis", "load_spain_postgis"]:
+        bad(f"per-region load fan-out drifted: {load_ids}")
+
+    # unique ids across the whole dag
+    all_ids = [t.task_id for g in groups.values() for t in g.tasks] + list(tasks)
+    if len(all_ids) != len(set(all_ids)):
+        bad(f"duplicate task ids: {sorted(all_ids)}")
+
+    # the reference's chain (osm_etl.py:93) re-expressed:
+    # etl fan-out -> curation -> serving load
+    def name(x):
+        return getattr(x, "group_id", None) or getattr(x, "task_id", None)
+
+    edges = {(name(a), name(b)) for a, b in _EDGES}
+    for e in [("etl_regions_osm", "curate_corpus"), ("curate_corpus", "load_postgis")]:
+        if e not in edges:
+            bad(f"dependency edge {e[0]} >> {e[1]} missing (chain mirrors "
+                f"osm_etl.py:93); found {sorted(edges)}")
+
+    # every task is a spark-submit of an engine job class
+    for t in list(tasks.values()) + [t for g in groups.values() for t in g.tasks]:
+        if "spark-submit" not in t.bash_command or "graft.plans." not in t.bash_command:
+            bad(f"{t.task_id}: bash_command is not a spark-submit of a graft job: "
+                f"{t.bash_command[:120]!r}")
+
+    # credentials discipline: the load tasks pass Postgres creds through
+    # env, never the command line (which leaks via logs / Spark UI)
+    for t in groups["load_postgis"].tasks:
+        if "password" in t.bash_command.lower():
+            bad(f"{t.task_id}: credential material in bash_command")
+        missing = {"GRAFT_PG_USER", "GRAFT_PG_PASSWORD"} - set(t.env)
+        if missing:
+            bad(f"{t.task_id}: credential env vars missing: {sorted(missing)}")
+
+    return fails
+
+
+if __name__ == "__main__":
+    n = check()
+    if n == 0:
+        print("DAGCHECK: osm_spark_dag.py structure OK "
+              "(1 dag, 2 groups, 5 tasks, chain etl>>curate>>load)")
+    sys.exit(1 if n else 0)
