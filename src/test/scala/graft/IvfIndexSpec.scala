@@ -31,6 +31,7 @@ class IvfIndexSpec extends GraftSuite {
     got.foreach { case (id, c) => assert(math.abs(all(id) - c) < 1e-9) }
     // bounded-approximation contract: most of the true top-10 found
     val recall = got.count { case (id, _) => bruteTop.contains(id) } / 10.0
-    assert(recall >= 0.5, s"recall@10 = $recall too low for nprobe=3 of 8 cells")
+    assert(recall >= operators.RecallFloors.simIvfPartitioned,
+      s"recall@10 = $recall too low for nprobe=3 of 8 cells")
   }
 }

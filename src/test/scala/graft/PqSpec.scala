@@ -83,6 +83,6 @@ class PqSpec extends GraftSuite {
       .map { case (vid, v) => vid -> exact(v) }
       .sortBy { case (vid, d) => (d, vid) }.take(10).map(_._1).toSet
     val recall = got.map(_._1).count(exactTop) / 10.0
-    assert(recall >= 0.4, s"rerank recall@10 $recall below floor (got ${got.map(_._1).toSeq})")
+    assert(recall >= operators.RecallFloors.simPqAdc, s"rerank recall@10 $recall below floor (got ${got.map(_._1).toSeq})")
   }
 }

@@ -93,7 +93,8 @@ class Round15OpsSpec extends GraftSuite {
     val labelRecall = labelDropped.size.toDouble / globalDropped.size
     assert(cellRecall >= labelRecall,
       f"k-means cells ($cellRecall%.3f of global truth) must not trail the fixture label ($labelRecall%.3f)")
-    assert(cellRecall >= 0.2, f"cell recall $cellRecall%.3f fell below the measured floor")
+    assert(cellRecall >= operators.RecallFloors.dedupSemanticKmeans,
+      f"cell recall $cellRecall%.3f fell below the measured floor")
     info(f"dedup_semantic_kmeans recall vs global truth: $cellRecall%.3f " +
       f"(label-blocked reference: $labelRecall%.3f; overlap vs label drops: " +
       s"${(cellDropped & labelDropped).size}/${labelDropped.size})")

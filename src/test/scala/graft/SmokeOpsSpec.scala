@@ -134,7 +134,7 @@ class SmokeOpsSpec extends GraftSuite {
     // flip prob ≈ 0.39 → analytic recall ≈ 0.34); measured 0.2 agrees
     // within 10-sample binomial noise. The exact-set pin above is the
     // primary guard; this band catches a systematically unfaithful hash.
-    assert(math.abs(measured - analytic) <= 0.2,
+    assert(math.abs(measured - analytic) <= operators.RecallFloors.simCosineLshAnalyticBand,
       s"recall@10 $measured strays from analytic $analytic")
   }
 
@@ -169,7 +169,7 @@ class SmokeOpsSpec extends GraftSuite {
     val recall = exact.keySet.intersect(ivf.keySet).size.toDouble / exact.size
     // 3 of 10 cells probed; label cells are NOT tight clusters on this
     // corpus, so demand better-than-random, not near-perfect
-    assert(recall >= 0.2, s"recall@10 too low: $recall")
+    assert(recall >= operators.RecallFloors.simCosineIvf, s"recall@10 too low: $recall")
   }
 
   test("udaf_imperative: custom TypedImperativeAggregate HLL tracks exact distincts") {
