@@ -308,18 +308,53 @@ object OsmKernels {
       s"aggregate($edges, CAST(0.0 AS DOUBLE), (acc, ea) -> acc + $crossPQ * $measure)"
   }
 
-  /** Equirectangular segment length in centi-units, with the Δlon leg
-    * scaled by cos(mid-latitude) — same TEMPLATE rendered for both
-    * engines (only the array/field accessors differ), so the expression
-    * trees and therefore every IEEE intermediate agree bit-for-bit.
+  /** WGS84-ellipsoid-corrected equirectangular segment length in
+    * centi-units — same TEMPLATE rendered for both engines (only the
+    * array/field accessors differ), so the expression trees and
+    * therefore every IEEE intermediate agree bit-for-bit.
     * 8.726646259971648e-5 = (π/180) / 100 / 2: centi-unit lat SUM →
     * mid-latitude in radians in one multiply.
+    *
+    * The spherical kernel (radius a everywhere) overstated equatorial
+    * meridians by +0.674% and understated polar parallels by −0.32%
+    * (the measured band table in SCALE.md / tools/spheroid_error.py).
+    * The r15-verdict item-8 upgrade scales each leg by its true local
+    * WGS84 radius, as degree-2 shared-literal polynomials in
+    * s² = sin²(mid-lat) = 1 − cos²(mid-lat):
+    *   Δlon leg ×  N(φ)/a = (1 − e²s²)^(−1/2)  ≈ 1 + (e²/2)s² + (3e⁴/8)s⁴
+    *   Δlat leg ×  M(φ)/a = (1−e²)(1 − e²s²)^(−3/2)
+    *                        ≈ (1−e²)(1 + (3e²/2)s² + (15e⁴/8)s⁴)
+    * with e² = f(2−f) = 0.0066943799901413165 (f = 1/298.257223563,
+    * the published WGS84 flattening). Truncation ≤ (35/16)e⁶ ≈ 6.5e-7
+    * relative — three orders below cosPoly's own 2.5e-5 bound, so the
+    * residual error is projection-only (0.006% measured worst
+    * band/shape, was 0.674%). Same bit-determinism rule as [[cosPoly]]: identical
+    * literals + identical Horner association in both engines, never
+    * libm pow/sqrt on the factor path (the one sqrt is the final
+    * hypotenuse, correctly rounded IEEE in both engines).
     */
   private def geoSeg(dlon: String, dlat: String, latSum: String): String = {
     val x = s"(CAST($latSum AS DOUBLE) * 8.726646259971648e-5)"
-    val dx = s"(CAST($dlon AS DOUBLE) * ${cosPoly(x)})"
-    val dy = s"CAST($dlat AS DOUBLE)"
+    val c = cosPoly(x)
+    val s2 = s"(1.0 - $c * $c)"
+    val nf = s"(1.0 + $s2 * (0.0033471899950706582 + $s2 * 1.680552129465167e-5))"
+    val mf = s"(0.9933056200098587 + $s2 * (0.009974347900033367 + $s2 * 8.34650937458643e-5))"
+    val dx = s"(CAST($dlon AS DOUBLE) * $c * $nf)"
+    val dy = s"(CAST($dlat AS DOUBLE) * $mf)"
     s"sqrt($dx * $dx + $dy * $dy)"
+  }
+
+  /** Ellipsoid-corrected area scale at reference latitude x (radians):
+    * cos(φ)·M(φ)N(φ)/a² — the true WGS84 area element over the
+    * spherical a²cos(φ) one. M·N/a² = (1−e²)(1−e²s²)^(−2)
+    * ≈ (1−e²)(1 + 2e²s² + 3e⁴s⁴) as a degree-2 shared-literal
+    * polynomial in s² = 1 − cos²(φ); truncation ≤ 4e⁶ ≈ 1.2e-6
+    * relative. Same shared-template bit-determinism rule as [[geoSeg]].
+    */
+  private def geoAreaScale(x: String): String = {
+    val c = cosPoly(x)
+    val s2 = s"(1.0 - $c * $c)"
+    s"($c * (0.9933056200098587 + $s2 * (0.013299130533377824 + $s2 * 0.00013354414999338287)))"
   }
 
   /** DuckDB mirror of [[wayRings]]: closed per-way coordinate lists +
@@ -504,6 +539,98 @@ object OsmKernels {
     },
 
     Q(
+      "osm_way_bearing",
+      """WITH pts AS (
+        |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref,
+        |         p_size * 100 AS lon_c, CAST(round(p_retailprice * 100) AS BIGINT) AS lat_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ways AS (
+        |  SELECT way_id,
+        |         list(lon_c ORDER BY pos, node_ref) AS lons,
+        |         list(lat_c ORDER BY pos, node_ref) AS lats
+        |  FROM pts GROUP BY way_id),
+        |segs AS (
+        |  SELECT way_id,
+        |         unnest(list_transform(range(2, len(lons) + 1),
+        |                i -> {dx: lons[i] - lons[i-1], dy: lats[i] - lats[i-1]})) AS s
+        |  FROM ways),
+        |nrm AS (
+        |  SELECT way_id,
+        |         CASE WHEN s.dy < 0 OR (s.dy = 0 AND s.dx < 0) THEN -s.dx ELSE s.dx END AS ndx,
+        |         abs(s.dy) AS ndy
+        |  FROM segs
+        |  WHERE NOT (s.dx = 0 AND s.dy = 0)),
+        |cls AS (
+        |  SELECT way_id,
+        |         CASE WHEN 12 * ndy < 5 * abs(ndx) THEN 'E-W'
+        |              WHEN 5 * ndy > 12 * abs(ndx) THEN 'N-S'
+        |              WHEN ndx > 0 THEN 'NE-SW'
+        |              ELSE 'NW-SE' END AS orientation
+        |  FROM nrm),
+        |cnt AS (
+        |  SELECT o_orderpriority AS highway_class, orientation,
+        |         count(*) AS n_segments
+        |  FROM cls JOIN orders ON way_id = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT highway_class, orientation, n_segments,
+        |       CAST((1000000 * n_segments) // sum(n_segments) OVER (PARTITION BY highway_class)
+        |            AS BIGINT) AS share_ppm
+        |FROM cnt
+        |ORDER BY highway_class, orientation""".stripMargin
+    ) { (s, d) =>
+      // Street-grid ORIENTATION histogram — the classic OSM urban-form
+      // analysis ("does this city grid run N-S or diagonal?"): each way
+      // segment classified into one of four undirected orientation bins
+      // (E-W, NE-SW, N-S, NW-SE), counted per highway class with a
+      // per-class ppm share. The determinism move: NO trig at all —
+      // a segment (dx, dy) is first direction-folded into the upper
+      // half-plane (dy<0, or dy=0 ∧ dx<0, negates both — undirected
+      // bearings live in [0°,180°)), then binned by exact INTEGER
+      // cross-multiplication against the rational boundary slopes 5/12
+      // and 12/5 (tan 22.5° = 0.414 ≈ 5/12, tan 67.5° = 2.414 ≈ 12/5 —
+      // a documented ±0.57° convention that keeps every comparison
+      // exact BIGINT, bit-identical in both engines, where atan2 would
+      // ride libm). Boundary rule pinned: a segment exactly ON the
+      // rational slope goes to the diagonal bin (both tests strict).
+      // Zero-length segments (duplicate nodes — an OSM data reality)
+      // are excluded before binning. Plan shape: the same single
+      // way-regroup as every length kernel → explode to segments
+      // (map-side, no extra shuffle) → broadcast class join → one
+      // bounded-key aggregate; share_ppm is exact integer division
+      // over a |classes×4|-row window — driver-cheap, never a funnel.
+      val segs = T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+                col("l_partkey").as("node_ref"))
+        .join(nodes(s, d), col("node_ref") === col("node_id"))
+        .groupBy(col("way_id"))
+        .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+        .select(col("way_id"),
+          explode(expr(
+            """zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
+              |         (a, b) -> struct(b.lon_c - a.lon_c AS dx, b.lat_c - a.lat_c AS dy))"""
+              .stripMargin)).as("s"))
+        .where(!(col("s.dx") === 0 && col("s.dy") === 0))
+        .select(col("way_id"),
+          expr("CASE WHEN s.dy < 0 OR (s.dy = 0 AND s.dx < 0) THEN -s.dx ELSE s.dx END").as("ndx"),
+          abs(col("s.dy")).as("ndy"))
+      val cls = T.orders(s, d)
+        .select(col("o_orderkey").as("way_id"), col("o_orderpriority").as("highway_class"))
+      val cnt = segs
+        .select(col("way_id"),
+          expr("""CASE WHEN 12 * ndy < 5 * abs(ndx) THEN 'E-W'
+                 |     WHEN 5 * ndy > 12 * abs(ndx) THEN 'N-S'
+                 |     WHEN ndx > 0 THEN 'NE-SW'
+                 |     ELSE 'NW-SE' END""".stripMargin).as("orientation"))
+        .join(graft.Gate.bcast(cls), "way_id")
+        .groupBy(col("highway_class"), col("orientation"))
+        .agg(count(lit(1)).as("n_segments"))
+      cnt
+        .withColumn("share_ppm",
+          expr("(1000000 * n_segments) DIV sum(n_segments) OVER (PARTITION BY highway_class)"))
+        .orderBy(col("highway_class"), col("orientation"))
+    },
+
+    Q(
       "osm_way_length_geodesic",
       s"""WITH pts AS (
          |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref,
@@ -531,12 +658,13 @@ object OsmKernels {
       // as 1113.2 m everywhere; real parallels shrink by cos(lat), so at
       // 60°N the planar number is 2× too long (PostGIS's geography
       // measures get this right, README.md:80-82). Equirectangular-with-
-      // cos(mid-latitude) per segment: Δlon scaled by [[cosPoly]] at the
-      // segment's mid-latitude, Δlat unscaled, one sqrt per segment —
-      // honest to ~0.5% at mid-latitudes for OSM-scale segments, and
-      // bit-deterministic cross-engine because the trig is a shared
-      // Maclaurin polynomial, never libm (SCALE.md documents both error
-      // bounds). The fixture's synthetic lat_c overflows ±90°, so the
+      // cos(mid-latitude) per segment, each leg further scaled by its
+      // local WGS84 radius (N(φ)/a for Δlon, M(φ)/a for Δlat — the r15
+      // item-8 flattening correction, see [[geoSeg]]): measured worst
+      // band error 0.006% vs Vincenty WGS84 (was 0.674% on the pure
+      // sphere, tools/spheroid_error.py), and bit-deterministic
+      // cross-engine because every trig/radius factor is a shared
+      // literal polynomial, never libm (SCALE.md documents the bounds). The fixture's synthetic lat_c overflows ±90°, so the
       // key folds it into the valid band ([lat_c % 18000] - 9000) BEFORE
       // measuring — same exact integer map in both engines. Same single
       // regroup shuffle as osm_way_length_m; the per-segment polynomial
@@ -590,7 +718,7 @@ object OsmKernels {
          |SELECT way_id,
          |       nrp AS n_ring_points,
          |       round((CAST(list_sum(vlats) AS DOUBLE) / CAST(len(vlats) AS DOUBLE)) * 0.01, 4) AS lat_ref,
-         |       round(CAST(abs(shoe) AS DOUBLE) * 619667.12 * ${cosPoly(
+         |       round(CAST(abs(shoe) AS DOUBLE) * 619667.12 * ${geoAreaScale(
              "((CAST(list_sum(vlats) AS DOUBLE) / CAST(len(vlats) AS DOUBLE)) * 1.7453292519943295e-4)")} / 1e6, 1) AS area_km2
          |FROM rings
          |ORDER BY way_id""".stripMargin
@@ -599,15 +727,17 @@ object OsmKernels {
     ) { (s, d) =>
       // GEODESIC ring area: the exact integer shoelace (same fold as
       // osm_way_area_m2, but over the ±90°-folded latitude) scaled by
-      // cos(mean ring latitude) — the equirectangular area correction
-      // (parallels shrink by cos(lat), so a planar cell's true area
-      // does too). The reference latitude is the ring's vertex MEAN:
-      // an exact integer sum divided by an exact count, one IEEE
-      // division — deterministic, unlike any centroid needing its own
-      // rounding. Shoelace stays exact-integer; ONE double product
-      // chain at the end (abs(shoe) → ×619667.12 → ×cosPoly), so the
-      // oracle hash can't drift. lat_ref (mean vertex latitude, 4dp)
-      // rides along for interpretability.
+      // cos(mean ring latitude) · M·N/a² — the equirectangular area
+      // correction (parallels shrink by cos(lat)) times the WGS84
+      // ellipsoid area-element factor (geoAreaScale; r15 item 8 — the
+      // sphere-radius term dominated the measured error table before).
+      // The reference latitude is the ring's vertex MEAN: an exact
+      // integer sum divided by an exact count, one IEEE division —
+      // deterministic, unlike any centroid needing its own rounding.
+      // Shoelace stays exact-integer; ONE double product chain at the
+      // end (abs(shoe) → ×619667.12 → ×geoAreaScale), so the oracle
+      // hash can't drift. lat_ref (mean vertex latitude, 4dp) rides
+      // along for interpretability.
       val latBar = "(CAST(aggregate(vlats, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) " +
         "/ CAST(size(vlats) AS DOUBLE))"
       T.lineitem(s, d)
@@ -643,7 +773,7 @@ object OsmKernels {
           // ~2e-9) before rounding — both engines then agree except with
           // ~3e-7 probability per row.
           round(expr(s"CAST(abs(shoe) AS DOUBLE)") * 619667.12 *
-            expr(cosPoly(s"($latBar * 1.7453292519943295e-4)")) / 1e6, 1).as("area_km2"))
+            expr(geoAreaScale(s"($latBar * 1.7453292519943295e-4)")) / 1e6, 1).as("area_km2"))
         .orderBy(col("way_id"))
     },
 
@@ -896,8 +1026,9 @@ object OsmKernels {
       // pure cell equi-join; the metric test `sqrt((Δlon·cosPoly(midlat))²
       // + Δlat²)·1113.2 ≤ R` only FILTERS the bounded candidate set,
       // never drives the join (join_spatial_grid's discipline). The trig
-      // is the shared Maclaurin polynomial — bit-identical doubles both
-      // engines, so even round(min(dist)) hashes stably. At planet scale
+      // and the WGS84 per-leg radius factors ([[geoSeg]]) are shared
+      // literal polynomials — bit-identical doubles both engines, so
+      // even round(min(dist)) hashes stably. At planet scale
       // the node store stays hash-partitioned by cell; each POI touches 9
       // cells regardless of corpus size.
       val ns = T.part(s, d).select(

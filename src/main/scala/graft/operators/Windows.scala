@@ -284,6 +284,78 @@ object Windows {
     },
 
     Q(
+      "win_lin_interp",
+      """WITH b AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |         CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |f AS (
+        |  SELECT event_id, user_id, ms, v,
+        |         last_value(v IGNORE NULLS) OVER wp AS pv,
+        |         last_value(CASE WHEN v IS NULL THEN NULL ELSE ms END IGNORE NULLS) OVER wp AS pm,
+        |         first_value(v IGNORE NULLS) OVER wn AS nv,
+        |         first_value(CASE WHEN v IS NULL THEN NULL ELSE ms END IGNORE NULLS) OVER wn AS nm
+        |  FROM b
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ms, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY ms, event_id
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, ms, v,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            WHEN pv IS NULL THEN nv
+        |            WHEN nv IS NULL THEN pv
+        |            WHEN nm = pm THEN pv
+        |            ELSE pv + (nv - pv) * (CAST(ms - pm AS DOUBLE) / CAST(nm - pm AS DOUBLE))
+        |       END AS v_interp
+        |FROM f
+        |ORDER BY user_id, ms, event_id""".stripMargin
+    ) { (s, d) =>
+      // Linear gap INTERPOLATION — win_fill_forward's sibling: instead
+      // of carrying the last reading flat across a gap (a step
+      // function), draw the line between the surrounding observations
+      // and read it off at each missing sample's own timestamp — the
+      // time-series resampling idiom (pandas interpolate('time'),
+      // TimescaleDB interpolate()). Two running-state passes over ONE
+      // (user_id) exchange + ONE (ms, event_id) sort: the forward frame
+      // carries (prev value, prev observed ms), the mirrored frame
+      // carries (next value, next ms) — Spark plans both Window nodes
+      // on the same sorted exchange (no second shuffle; the reversed
+      // frame is a backward scan, not a re-sort), each holding O(1)
+      // state per partition, so the key scales exactly like
+      // win_fill_forward at 100 TB. Determinism: the interpolation
+      // arithmetic is ONE shared expression text over exact integer ms
+      // and parquet-identical doubles — identical IEEE ops both
+      // engines, so the unrounded v_interp hashes bit-stably. Edges
+      // pinned: leading gap → next observation (backfill), trailing gap
+      // → previous (forward fill), all-null partition → NULL, equal
+      // surrounding timestamps → previous value (guards the 0/0).
+      val wp = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+                when(col("event_type") === "view", lit(null).cast("double"))
+                  .otherwise(col("value")).as("v"))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("pm", last(when(col("v").isNull, lit(null).cast("long"))
+          .otherwise(col("ms")), ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+        .withColumn("nm", first(when(col("v").isNull, lit(null).cast("long"))
+          .otherwise(col("ms")), ignoreNulls = true).over(wn))
+        .select(col("event_id"), col("user_id"), col("ms"), col("v"),
+          expr("""CASE WHEN v IS NOT NULL THEN v
+                 |     WHEN pv IS NULL THEN nv
+                 |     WHEN nv IS NULL THEN pv
+                 |     WHEN nm = pm THEN pv
+                 |     ELSE pv + (nv - pv) * (CAST(ms - pm AS DOUBLE) / CAST(nm - pm AS DOUBLE))
+                 |END""".stripMargin).as("v_interp"))
+        .orderBy(col("user_id"), col("ms"), col("event_id"))
+    },
+
+    Q(
       "win_rolling_median",
       """WITH c AS (
         |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,

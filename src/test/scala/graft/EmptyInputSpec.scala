@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Empty-input robustness: at 100 TB a partition batch, a fresh region,
   * or a filtered snapshot is routinely EMPTY, and an operator that
@@ -47,7 +47,8 @@ class EmptyInputSpec extends GraftSuite {
     val exact = plans.CorpusCurationJob.dedupExact(kept)
     val comps = plans.CorpusCurationJob.nearDupComponents(exact)
     val unique = exact.join(
-      comps.where(expr("doc_id != rep")).select("doc_id"), Seq("doc_id"), "left_anti")
+        comps.where(expr("doc_id != rep")).select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("split", plans.CorpusCurationJob.splitOf(col("doc_id")))
     val packed = plans.CorpusCurationJob.packSequences(unique)
     packed.write.mode("overwrite").parquet(s"$out/corpus")
     assert(spark.read.parquet(s"$out/corpus").count() == 0)

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 invariants for the keys added this round.
+  *
+  * `win_lin_interp`: the oracle pins cross-engine equality; here the
+  * SEMANTICS are pinned against an independent Scala recomputation
+  * (same IEEE ops ⇒ exact doubles), plus the single-exchange plan
+  * contract both Window passes must share.
+  *
+  * `osm_way_bearing`: the exact-integer octant rule is recomputed
+  * independently per segment and the full histogram compared; the
+  * ppm-share integer-division identity is asserted per class.
+  */
+class Round16OpsSpec extends GraftSuite {
+
+  test("win_lin_interp: observed rows pass through; gaps interpolate on the exact line") {
+    val rows = SparkEntry.queries("win_lin_interp")(spark, sf)
+      .select("user_id", "ms", "v", "v_interp").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+                 if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    // observed rows pass through untouched
+    rows.foreach { case (_, _, v, vi) =>
+      if (v.isDefined) assert(vi.contains(v.get), "non-null v must pass through")
+    }
+    // independent recomputation per user (same arithmetic text ⇒ same doubles)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val seq = rs.sortBy(r => (r._2)) // (ms) — event_id tiebreak is baked into row order upstream
+      seq.zipWithIndex.foreach { case ((_, ms, v, vi), i) =>
+        if (v.isEmpty) {
+          val prev = seq.take(i).reverse.find(_._3.isDefined)
+          val next = seq.drop(i + 1).find(_._3.isDefined)
+          val expect = (prev, next) match {
+            case (None, None)         => None
+            case (None, Some(n))      => n._3
+            case (Some(p), None)      => p._3
+            case (Some(p), Some(n)) if n._2 == p._2 => p._3
+            case (Some(p), Some(n)) =>
+              Some(p._3.get + (n._3.get - p._3.get) *
+                ((ms - p._2).toDouble / (n._2 - p._2).toDouble))
+          }
+          assert(vi == expect, s"gap at ms=$ms: got $vi want $expect")
+        }
+      }
+    }
+  }
+
+  test("win_lin_interp: both window passes share one user_id exchange") {
+    val plan = SparkEntry.queries("win_lin_interp")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashParts = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(hashParts == 1,
+      s"expected exactly one user_id hash exchange shared by both Window passes, got $hashParts:\n$plan")
+  }
+
+  test("osm_way_bearing: histogram equals an independent per-segment recomputation") {
+    // rebuild segments the way the kernel does, classify in plain Scala
+    val pts = T.lineitem(spark, sf)
+      .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+              col("l_partkey").as("node_ref"))
+      .join(T.part(spark, sf).select(
+        col("p_partkey").as("node_ref2"),
+        (col("p_size").cast("long") * 100).as("lon_c"),
+        round(col("p_retailprice") * 100).cast("long").as("lat_c")),
+        col("node_ref") === col("node_ref2"))
+      .select("way_id", "pos", "node_ref", "lon_c", "lat_c").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val cls = T.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def orient(dx: Long, dy: Long): Option[String] = {
+      if (dx == 0 && dy == 0) None
+      else {
+        val (ndx, ndy) = if (dy < 0 || (dy == 0 && dx < 0)) (-dx, -dy) else (dx, dy)
+        Some(
+          if (12 * ndy < 5 * math.abs(ndx)) "E-W"
+          else if (5 * ndy > 12 * math.abs(ndx)) "N-S"
+          else if (ndx > 0) "NE-SW"
+          else "NW-SE")
+      }
+    }
+    val expect = pts.groupBy(_._1).toSeq.flatMap { case (wayId, rs) =>
+      val ordered = rs.map(_._2).sortBy(p => (p._1, p._2))
+      ordered.zip(ordered.drop(1)).flatMap { case (a, b) =>
+        orient(b._3 - a._3, b._4 - a._4).map(o => (cls(wayId), o))
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = SparkEntry.queries("osm_way_bearing")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == expect, s"histogram mismatch: got $got want $expect")
+  }
+
+  test("osm_way_bearing: ppm shares are the exact integer-division identity per class") {
+    val rows = SparkEntry.queries("osm_way_bearing")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val total = rs.map(_._2).sum
+      rs.foreach { case (_, n, ppm) =>
+        assert(ppm == 1000000L * n / total, "share_ppm must be (1e6*n) DIV class_total")
+      }
+      val sumPpm = rs.map(_._3).sum
+      assert(sumPpm <= 1000000L && sumPpm > 1000000L - 4 * 1,
+        s"floor-division shares must sum to 1e6 minus < one ulp per bin, got $sumPpm")
+    }
+  }
+}

@@ -69,7 +69,23 @@ def cos_poly(x):
 
 
 def kernel_len(lat1_c, lon1_c, lat2_c, lon2_c):
-    """The engine's geoSeg on exact (double) centi-degree coordinates."""
+    """The engine's geoSeg on exact (double) centi-degree coordinates —
+    the r15 item-8 WGS84-corrected form: Δlon scaled by cos(mid-lat) ·
+    N(φ)/a, Δlat by M(φ)/a, both radius ratios as the degree-2
+    shared-literal polynomials in s² = 1 − cos²(mid-lat) that the Scala
+    template renders verbatim (OsmKernels.geoSeg)."""
+    x = (lat1_c + lat2_c) * 8.726646259971648e-5
+    c = cos_poly(x)
+    s2 = 1.0 - c * c
+    nf = 1.0 + s2 * (0.0033471899950706582 + s2 * 1.680552129465167e-5)
+    mf = 0.9933056200098587 + s2 * (0.009974347900033367 + s2 * 8.34650937458643e-5)
+    dx = (lon2_c - lon1_c) * c * nf
+    dy = (lat2_c - lat1_c) * mf
+    return math.sqrt(dx * dx + dy * dy) * 1113.2
+
+
+def kernel_len_sphere(lat1_c, lon1_c, lat2_c, lon2_c):
+    """The pre-r16 spherical kernel, kept for the before/after table."""
     x = (lat1_c + lat2_c) * 8.726646259971648e-5
     dx = (lon2_c - lon1_c) * cos_poly(x)
     dy = lat2_c - lat1_c
