@@ -333,14 +333,34 @@ object OsmKernels {
     * libm pow/sqrt on the factor path (the one sqrt is the final
     * hypotenuse, correctly rounded IEEE in both engines).
     */
-  private def geoSeg(dlon: String, dlat: String, latSum: String): String = {
+  /** The two per-segment WGS84 scale factors as expression-template
+    * strings over a latitude-SUM (two centi-unit latitudes added):
+    * f1 = cos(mid-lat)·N(φ)/a (the Δlon leg), f2 = M(φ)/a (the Δlat
+    * leg). Split out of [[geoSeg]] so a caller on a PAIR STREAM (the
+    * dwithin probe) can precompute them over the 36 001 possible
+    * integer latitude sums as a broadcast factor DIMENSION instead of
+    * inlining ~200 flops per candidate pair — Catalyst substitutes a
+    * projected alias into the join residual AND the downstream project,
+    * and the resulting generated method exceeds HotSpot's JIT size
+    * limit, leaving the hot loop interpreted (measured 21× on
+    * `osm_dwithin_count` before the factoring). Values are bit-equal to
+    * the inline form by construction: same literals, same association —
+    * [[geoSeg]] deliberately multiplies `dlon * (f1)`, never
+    * `(dlon * c) * nf`, so factored and inline evaluation share the
+    * exact IEEE op sequence. */
+  private def geoFactors(latSum: String): (String, String) = {
     val x = s"(CAST($latSum AS DOUBLE) * 8.726646259971648e-5)"
     val c = cosPoly(x)
     val s2 = s"(1.0 - $c * $c)"
     val nf = s"(1.0 + $s2 * (0.0033471899950706582 + $s2 * 1.680552129465167e-5))"
     val mf = s"(0.9933056200098587 + $s2 * (0.009974347900033367 + $s2 * 8.34650937458643e-5))"
-    val dx = s"(CAST($dlon AS DOUBLE) * $c * $nf)"
-    val dy = s"(CAST($dlat AS DOUBLE) * $mf)"
+    (s"($c * $nf)", mf)
+  }
+
+  private def geoSeg(dlon: String, dlat: String, latSum: String): String = {
+    val (f1, f2) = geoFactors(latSum)
+    val dx = s"(CAST($dlon AS DOUBLE) * $f1)"
+    val dy = s"(CAST($dlat AS DOUBLE) * $f2)"
     s"sqrt($dx * $dx + $dy * $dy)"
   }
 
@@ -628,6 +648,79 @@ object OsmKernels {
         .withColumn("share_ppm",
           expr("(1000000 * n_segments) DIV sum(n_segments) OVER (PARTITION BY highway_class)"))
         .orderBy(col("highway_class"), col("orientation"))
+    },
+
+    Q(
+      "osm_way_sinuosity",
+      """WITH pts AS (
+        |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref,
+        |         p_size * 100 AS lon_c, CAST(round(p_retailprice * 100) AS BIGINT) AS lat_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ways AS (
+        |  SELECT way_id,
+        |         list(lon_c ORDER BY pos, node_ref) AS lons,
+        |         list(lat_c ORDER BY pos, node_ref) AS lats
+        |  FROM pts GROUP BY way_id),
+        |m AS (
+        |  SELECT way_id, len(lons) - 1 AS n_segments,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(range(2, len(lons) + 1), i ->
+        |             sqrt(CAST((lons[i] - lons[i-1]) * (lons[i] - lons[i-1])
+        |                     + (lats[i] - lats[i-1]) * (lats[i] - lats[i-1]) AS DOUBLE)))),
+        |           (a, b) -> a + b) AS path,
+        |         sqrt(CAST((lons[-1] - lons[1]) * (lons[-1] - lons[1])
+        |                 + (lats[-1] - lats[1]) * (lats[-1] - lats[1]) AS DOUBLE)) AS chord
+        |  FROM ways)
+        |SELECT way_id, n_segments,
+        |       CASE WHEN chord = 0 THEN NULL ELSE round(path / chord, 4) END AS sinuosity,
+        |       CASE WHEN chord = 0 THEN 'CLOSED'
+        |            WHEN round(path / chord, 4) < 1.05 THEN 'STRAIGHT'
+        |            WHEN round(path / chord, 4) < 1.25 THEN 'WINDING'
+        |            ELSE 'TORTUOUS' END AS shape_class
+        |FROM m
+        |ORDER BY way_id""".stripMargin
+    ) { (s, d) =>
+      // Way SINUOSITY — path length over endpoint chord, the road-
+      // curviness measure (1 = perfectly straight; mountain switchbacks
+      // run 2+): the route-quality attribute navigation/safety consumers
+      // derive from the PostGIS way layer. Scale-INVARIANT by
+      // construction, so the planar centi-unit doubles divide directly —
+      // no meter factor, no trig, and both path and chord are the
+      // established correctly-rounded-sqrt/order-pinned-fold recipes, so
+      // the ratio is bit-identical cross-engine before its final-only
+      // 4-dp round (magnitude ~1 ⇒ ULP 2e-16 against a 5e-5 boundary —
+      // the r13 rounding rule holds with 11 orders to spare). The class
+      // label compares the ROUNDED value to exact decimal literals, so
+      // label and printed ratio can never disagree. Closed/degenerate
+      // ways (chord = 0 — loops are routine OSM data) are REPORTED as
+      // their own class, never divided through. Same single way-regroup
+      // as every length kernel; everything after is per-row arithmetic.
+      T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+                col("l_partkey").as("node_ref"))
+        .join(nodes(s, d), col("node_ref") === col("node_id"))
+        .groupBy(col("way_id"))
+        .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
+        .withColumn("n_segments", (size(col("pts")) - 1).cast("long"))
+        .withColumn("path",
+          expr("""aggregate(
+                 |  zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
+                 |           (a, b) -> sqrt(CAST((b.lon_c - a.lon_c) * (b.lon_c - a.lon_c)
+                 |                             + (b.lat_c - a.lat_c) * (b.lat_c - a.lat_c) AS DOUBLE))),
+                 |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("chord",
+          expr("""sqrt(CAST((element_at(pts, -1).lon_c - element_at(pts, 1).lon_c)
+                 |         * (element_at(pts, -1).lon_c - element_at(pts, 1).lon_c)
+                 |         + (element_at(pts, -1).lat_c - element_at(pts, 1).lat_c)
+                 |         * (element_at(pts, -1).lat_c - element_at(pts, 1).lat_c) AS DOUBLE))"""
+            .stripMargin))
+        .select(col("way_id"), col("n_segments"),
+          expr("CASE WHEN chord = 0 THEN NULL ELSE round(path / chord, 4) END").as("sinuosity"),
+          expr("""CASE WHEN chord = 0 THEN 'CLOSED'
+                 |     WHEN round(path / chord, 4) < 1.05 THEN 'STRAIGHT'
+                 |     WHEN round(path / chord, 4) < 1.25 THEN 'WINDING'
+                 |     ELSE 'TORTUOUS' END""".stripMargin).as("shape_class"))
+        .orderBy(col("way_id"))
     },
 
     Q(
@@ -1023,19 +1116,32 @@ object OsmKernels {
       // small side — it explodes to its 3×3 neighbor cells (cell edge
       // 500 centi-units ≥ the 449-centi-unit radius, so the halo is
       // sufficient) and size-gate-broadcasts onto the node store via a
-      // pure cell equi-join; the metric test `sqrt((Δlon·cosPoly(midlat))²
-      // + Δlat²)·1113.2 ≤ R` only FILTERS the bounded candidate set,
-      // never drives the join (join_spatial_grid's discipline). The trig
-      // and the WGS84 per-leg radius factors ([[geoSeg]]) are shared
-      // literal polynomials — bit-identical doubles both engines, so
-      // even round(min(dist)) hashes stably. At planet scale
-      // the node store stays hash-partitioned by cell; each POI touches 9
-      // cells regardless of corpus size.
+      // pure cell equi-join; the metric test only FILTERS the bounded
+      // candidate set, never drives the join (join_spatial_grid's
+      // discipline). The WGS84 trig/radius factors do NOT evaluate
+      // inline on the pair stream: latitudes are integer centi-units,
+      // so the per-pair (f1, f2) scale factors take exactly 36 001
+      // values — precomputed ONCE into a broadcast factor DIMENSION
+      // ([[geoFactors]]) and equi-joined on the latitude sum. Inlined,
+      // Catalyst substitutes ~200 flops of polynomial into the join
+      // residual AND the downstream project; the generated method blew
+      // past HotSpot's JIT size cap and the probe loop ran INTERPRETED
+      // (measured 21× on this key). At planet scale the same shape
+      // holds: the node store stays hash-partitioned by cell, each POI
+      // touches 9 cells regardless of corpus size, and the trig rides a
+      // 36 001-row broadcast, O(1) hash probe per pair. The factors are
+      // bit-equal to the oracle's inline template (same literals, same
+      // association — [[geoSeg]] multiplies dlon * (c·nf), never
+      // (dlon·c) · nf), so even round(min(dist)) hashes stably.
       val ns = T.part(s, d).select(
           col("p_partkey").as("node_id"),
           (col("p_size").cast("long") * 100).as("lon_c"),
           (round(col("p_retailprice") * 100).cast("long") % 18000 - 9000).as("vlat_c"),
           col("p_brand"))
+      val (f1T, f2T) = geoFactors("lat_sum")
+      val factors = Gate.bcast(s.range(-18000L, 18001L)
+        .select(col("id").as("lat_sum"))
+        .select(col("lat_sum"), expr(f1T).as("gf1"), expr(f2T).as("gf2")))
       val poi = ns.where(col("p_brand") === "Brand#4")
         .select(col("node_id").as("poi_id"), col("lon_c").as("plon"),
                 col("vlat_c").as("plat"))
@@ -1046,8 +1152,11 @@ object OsmKernels {
         .join(ns, expr("lon_c DIV 500") === col("cellx")
                   && expr("(vlat_c + 9000) DIV 500") === col("celly")
                   && col("node_id") =!= col("poi_id"))
+        .join(factors, col("plat") + col("vlat_c") === col("lat_sum"))
         .withColumn("dist_m", expr(
-          s"${geoSeg("(lon_c - plon)", "(vlat_c - plat)", "(plat + vlat_c)")} * 1113.2"))
+          """sqrt((CAST((lon_c - plon) AS DOUBLE) * gf1) * (CAST((lon_c - plon) AS DOUBLE) * gf1)
+            |   + (CAST((vlat_c - plat) AS DOUBLE) * gf2) * (CAST((vlat_c - plat) AS DOUBLE) * gf2))
+            | * 1113.2""".stripMargin))
         .where(col("dist_m") <= 500000.0)
         .groupBy(col("poi_id"))
         .agg(count(lit(1)).as("n_within"),

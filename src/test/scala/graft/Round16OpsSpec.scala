@@ -93,6 +93,50 @@ class Round16OpsSpec extends GraftSuite {
     assert(got == expect, s"histogram mismatch: got $got want $expect")
   }
 
+  test("osm_way_sinuosity: ratio equals an independent recomputation; classes honor the rounded thresholds") {
+    val pts = T.lineitem(spark, sf)
+      .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+              col("l_partkey").as("node_ref"))
+      .join(T.part(spark, sf).select(
+        col("p_partkey").as("node_ref2"),
+        (col("p_size").cast("long") * 100).as("lon_c"),
+        round(col("p_retailprice") * 100).cast("long").as("lat_c")),
+        col("node_ref") === col("node_ref2"))
+      .select("way_id", "pos", "node_ref", "lon_c", "lat_c").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val expect = pts.groupBy(_._1).map { case (wayId, rs) =>
+      val o = rs.map(_._2).sortBy(p => (p._1, p._2))
+      val path = o.zip(o.drop(1)).foldLeft(0.0) { case (acc, (a, b)) =>
+        val (dx, dy) = (b._3 - a._3, b._4 - a._4)
+        acc + math.sqrt((dx * dx + dy * dy).toDouble)
+      }
+      val (cx, cy) = (o.last._3 - o.head._3, o.last._4 - o.head._4)
+      val chord = math.sqrt((cx * cx + cy * cy).toDouble)
+      val sin4 = if (chord == 0.0) None
+                 else Some(BigDecimal(path / chord)
+                   .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      wayId -> ((o.length - 1).toLong, sin4)
+    }
+    val got = SparkEntry.queries("osm_way_sinuosity")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (wayId, nSeg) = (r.getLong(0), r.getLong(1))
+      val sin4 = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      val label = r.getString(3)
+      val (eSeg, eSin) = expect(wayId)
+      assert(nSeg == eSeg, s"way $wayId n_segments")
+      assert(sin4 == eSin, s"way $wayId sinuosity: got $sin4 want $eSin")
+      val eLabel = sin4 match {
+        case None                 => "CLOSED"
+        case Some(v) if v < 1.05  => "STRAIGHT"
+        case Some(v) if v < 1.25  => "WINDING"
+        case Some(_)              => "TORTUOUS"
+      }
+      assert(label == eLabel, s"way $wayId label: got $label want $eLabel")
+      sin4.foreach(v => assert(v >= 1.0 - 1e-9, s"sinuosity below 1 at way $wayId: $v"))
+    }
+  }
+
   test("osm_way_bearing: ppm shares are the exact integer-division identity per class") {
     val rows = SparkEntry.queries("osm_way_bearing")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))

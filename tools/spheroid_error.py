@@ -79,7 +79,9 @@ def kernel_len(lat1_c, lon1_c, lat2_c, lon2_c):
     s2 = 1.0 - c * c
     nf = 1.0 + s2 * (0.0033471899950706582 + s2 * 1.680552129465167e-5)
     mf = 0.9933056200098587 + s2 * (0.009974347900033367 + s2 * 8.34650937458643e-5)
-    dx = (lon2_c - lon1_c) * c * nf
+    # association matches geoSeg: dlon * (c*nf) — the factored form the
+    # dwithin broadcast factor dimension reuses bit-for-bit
+    dx = (lon2_c - lon1_c) * (c * nf)
     dy = (lat2_c - lat1_c) * mf
     return math.sqrt(dx * dx + dy * dy) * 1113.2
 
