@@ -614,36 +614,47 @@ object OsmKernels {
       // rational slope goes to the diagonal bin (both tests strict).
       // Zero-length segments (duplicate nodes — an OSM data reality)
       // are excluded before binning. Plan shape: the same single
-      // way-regroup as every length kernel → explode to segments
-      // (map-side, no extra shuffle) → broadcast class join → one
-      // bounded-key aggregate; share_ppm is exact integer division
-      // over a |classes×4|-row window — driver-cheap, never a funnel.
-      val segs = T.lineitem(s, d)
+      // way-regroup as every length kernel, then the FOUR bin counts
+      // fold per way INSIDE the array aggregate (one 4-long struct per
+      // way — no segment explode, so the class join probes |ways| rows,
+      // not |segments|) → broadcast class join → bounded-key sum →
+      // stack to rows; share_ppm is exact integer division over a
+      // |classes×4|-row window — driver-cheap, never a funnel. The
+      // in-fold rule is the same integer classification: for the E-W /
+      // N-S bands normalization cancels (both compare |dy| to |dx|),
+      // and on the diagonal band (dx≠0 ∧ dy≠0 by elimination) the
+      // folded ndx > 0 test reduces to dx·dy > 0.
+      val cls = T.orders(s, d)
+        .select(col("o_orderkey").as("way_id"), col("o_orderpriority").as("highway_class"))
+      val perWay = T.lineitem(s, d)
         .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
                 col("l_partkey").as("node_ref"))
         .join(nodes(s, d), col("node_ref") === col("node_id"))
         .groupBy(col("way_id"))
         .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
         .select(col("way_id"),
-          explode(expr(
-            """zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
-              |         (a, b) -> struct(b.lon_c - a.lon_c AS dx, b.lat_c - a.lat_c AS dy))"""
-              .stripMargin)).as("s"))
-        .where(!(col("s.dx") === 0 && col("s.dy") === 0))
-        .select(col("way_id"),
-          expr("CASE WHEN s.dy < 0 OR (s.dy = 0 AND s.dx < 0) THEN -s.dx ELSE s.dx END").as("ndx"),
-          abs(col("s.dy")).as("ndy"))
-      val cls = T.orders(s, d)
-        .select(col("o_orderkey").as("way_id"), col("o_orderpriority").as("highway_class"))
-      val cnt = segs
-        .select(col("way_id"),
-          expr("""CASE WHEN 12 * ndy < 5 * abs(ndx) THEN 'E-W'
-                 |     WHEN 5 * ndy > 12 * abs(ndx) THEN 'N-S'
-                 |     WHEN ndx > 0 THEN 'NE-SW'
-                 |     ELSE 'NW-SE' END""".stripMargin).as("orientation"))
+          expr("""aggregate(
+                 |  zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
+                 |           (a, b) -> struct(b.lon_c - a.lon_c AS dx, b.lat_c - a.lat_c AS dy)),
+                 |  struct(CAST(0 AS BIGINT) AS ew, CAST(0 AS BIGINT) AS ns,
+                 |         CAST(0 AS BIGINT) AS ne, CAST(0 AS BIGINT) AS nw),
+                 |  (acc, s) -> IF(s.dx = 0 AND s.dy = 0, acc,
+                 |    IF(12 * abs(s.dy) < 5 * abs(s.dx),
+                 |       struct(acc.ew + 1L AS ew, acc.ns AS ns, acc.ne AS ne, acc.nw AS nw),
+                 |    IF(5 * abs(s.dy) > 12 * abs(s.dx),
+                 |       struct(acc.ew AS ew, acc.ns + 1L AS ns, acc.ne AS ne, acc.nw AS nw),
+                 |    IF(s.dx * s.dy > 0,
+                 |       struct(acc.ew AS ew, acc.ns AS ns, acc.ne + 1L AS ne, acc.nw AS nw),
+                 |       struct(acc.ew AS ew, acc.ns AS ns, acc.ne AS ne, acc.nw + 1L AS nw))))))"""
+            .stripMargin).as("c"))
+      val cnt = perWay
         .join(graft.Gate.bcast(cls), "way_id")
-        .groupBy(col("highway_class"), col("orientation"))
-        .agg(count(lit(1)).as("n_segments"))
+        .groupBy(col("highway_class"))
+        .agg(sum(col("c.ew")).as("ew"), sum(col("c.ns")).as("ns"),
+             sum(col("c.ne")).as("ne"), sum(col("c.nw")).as("nw"))
+        .selectExpr("highway_class",
+          "stack(4, 'E-W', ew, 'N-S', ns, 'NE-SW', ne, 'NW-SE', nw) AS (orientation, n_segments)")
+        .where(col("n_segments") > 0)
       cnt
         .withColumn("share_ppm",
           expr("(1000000 * n_segments) DIV sum(n_segments) OVER (PARTITION BY highway_class)"))
