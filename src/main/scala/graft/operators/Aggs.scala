@@ -192,6 +192,57 @@ object Aggs {
     },
 
     Q(
+      "agg_weighted_median",
+      """WITH w AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |         CAST(l_quantity AS BIGINT) AS wt
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, v, sum(wt) AS wt FROM w GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v, wt,
+        |         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |         sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM g)
+        |SELECT l_returnflag,
+        |       CAST(max(tot) AS BIGINT) AS w_total,
+        |       CAST(min(v) AS DOUBLE) AS w_median
+        |FROM c WHERE 2 * cum >= tot
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      // WEIGHTED (lower) median — the "token-weighted median quality
+      // score" readout shape a curation pipeline reports (per-doc
+      // metrics weighted by how many tokens the doc contributes):
+      // here, quantity-weighted median unit price per return flag. EXACT
+      // by construction, no interpolation anywhere: weights collapse to
+      // one row per distinct 2-dp DECIMAL value first (the value table
+      // is bounded by the price domain, not the fact count — that
+      // pre-aggregation is what scales), the running weight is an exact
+      // BIGINT window sum in value order, and the answer is the
+      // smallest value whose doubled running weight reaches the total
+      // (the standard lower weighted median). Every comparison is
+      // integer, the final DECIMAL→DOUBLE cast is exact — nothing
+      // rounds, so the hash cannot drift. The per-flag window runs over
+      // the distinct-value table (|prices| rows), never the fact table.
+      import org.apache.spark.sql.expressions.Window
+      val g = T.lineitem(s, d)
+        .select(col("l_returnflag"),
+                col("l_extendedprice").cast("decimal(18,2)").as("v"),
+                col("l_quantity").cast("long").as("wt"))
+        .groupBy(col("l_returnflag"), col("v")).agg(sum(col("wt")).as("wt"))
+      val c = g
+        .withColumn("cum", sum(col("wt"))
+          .over(Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
+        .withColumn("tot", sum(col("wt"))
+          .over(Window.partitionBy(col("l_returnflag"))))
+      c.where(expr("2 * cum >= tot"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("tot")).as("w_total"),
+             min(col("v")).cast("double").as("w_median"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    Q(
       "agg_udaf_typed",
       """SELECT p_brand,
         |       round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) * p_size) AS DOUBLE) / sum(p_size), 4) AS wavg_price

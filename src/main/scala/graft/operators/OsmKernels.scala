@@ -1176,6 +1176,34 @@ object OsmKernels {
     },
 
     Q(
+      "osm_node_use_count",
+      """WITH u AS (
+        |  SELECT l_partkey AS node_id, count(DISTINCT l_orderkey) AS deg
+        |  FROM lineitem GROUP BY 1)
+        |SELECT deg AS way_degree, count(*) AS n_nodes
+        |FROM u GROUP BY 1
+        |ORDER BY way_degree""".stripMargin
+    ) { (s, d) =>
+      // Node USE-COUNT histogram — osm2pgsql's middle computes exactly
+      // this statistic (how many ways reference each node) to pick its
+      // node-storage strategy and to find shared nodes = INTERSECTIONS
+      // during geometry assembly (README.md:80-81); degree ≥ 2 nodes are
+      // where the road graph branches, so the histogram is the
+      // intersection-density readout of a region. Two bounded
+      // aggregations: distinct ways per node (shuffles the membership
+      // table once on node_id — the same key the way→node resolve
+      // shuffles on, so at planet scale this rides the bucketed layout
+      // for free), then a count over |nodes| rows into a handful of
+      // degree buckets. Everything is exact integers.
+      T.lineitem(s, d)
+        .groupBy(col("l_partkey").as("node_id"))
+        .agg(countDistinct(col("l_orderkey")).as("deg"))
+        .groupBy(col("deg").as("way_degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("way_degree"))
+    },
+
+    Q(
       "osm_way_area_m2",
       s"""WITH $duckRingsCte
          |SELECT way_id,

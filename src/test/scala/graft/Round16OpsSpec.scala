@@ -137,6 +137,37 @@ class Round16OpsSpec extends GraftSuite {
     }
   }
 
+  test("agg_weighted_median: equals the hand-computed lower weighted median per flag") {
+    val rows = T.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => (r.getString(0),
+                 BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+                 r.getDouble(2).toLong))
+    val expect = rows.groupBy(_._1).map { case (flag, rs) =>
+      val byV = rs.groupBy(_._2).map { case (v, g) => v -> g.map(_._3).sum }.toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      var cum = 0L
+      val med = byV.find { case (_, wt) => cum += wt; 2 * cum >= tot }.get._1
+      flag -> ((tot, med.toDouble))
+    }
+    val got = SparkEntry.queries("agg_weighted_median")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect, s"got $got want $expect")
+  }
+
+  test("osm_node_use_count: histogram equals an independent distinct-way recomputation") {
+    val refs = T.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = refs.groupBy(_._1).map { case (_, g) => g.map(_._2).distinct.size.toLong }
+      .groupBy(identity).map { case (deg, g) => deg -> g.size.toLong }
+    val got = SparkEntry.queries("osm_node_use_count")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"got $got want $expect")
+    // every node appears in >= 1 way by construction of the membership table
+    assert(!got.contains(0L))
+  }
+
   test("osm_way_bearing: ppm shares are the exact integer-division identity per class") {
     val rows = SparkEntry.queries("osm_way_bearing")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
