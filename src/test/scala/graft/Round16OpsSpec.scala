@@ -137,6 +137,24 @@ class Round16OpsSpec extends GraftSuite {
     }
   }
 
+  test("osm_dwithin_count: trig factors ride the broadcast dimension, never the join residual") {
+    // The r16 regression pin: inlining the WGS84 polynomial into the
+    // spatial join's residual condition pushed the generated method past
+    // HotSpot's JIT size cap and the probe loop ran interpreted (21×).
+    // The polynomial literal must appear ONLY in the factor dimension's
+    // own projection — never in a join condition or the pair-stream
+    // project above it.
+    val plan = SparkEntry.queries("osm_dwithin_count")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val poly = "8.726646259971648E-5"
+    plan.split("\n").foreach { line =>
+      if (line.contains("Join") || line.contains("dist_m"))
+        assert(!line.contains(poly),
+          s"polynomial inlined into the pair stream:\n$line")
+    }
+    assert(plan.contains(poly), "factor dimension build must still carry the polynomial")
+  }
+
   test("agg_weighted_median: equals the hand-computed lower weighted median per flag") {
     val rows = T.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity")).collect()
