@@ -814,6 +814,48 @@ object EventOps {
     },
 
     Q(
+      "event_ab_srm",
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |             / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+        |       CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |       / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_detected
+        |FROM c
+        |ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      // Sample-ratio mismatch — event_ab_test's HYGIENE sibling: before
+      // reading any z statistic, check that the 50/50 user-id hash split
+      // actually delivered 50/50 EXPOSURE per segment; a skewed split
+      // means assignment (or logging) is broken and every downstream
+      // readout is invalid. Per event-type segment: distinct exposed
+      // users per variant, then the 1-dof chi-square against the equal
+      // split via the exact algebraic identity (n_a−n_b)²/(n_a+n_b) —
+      // integer numerator and denominator, ONE IEEE division, compared
+      // unrounded against the standard 3.841 (95th percentile χ²₁)
+      // literal so both engines flag the same segments. Plan: one
+      // distinct shuffle on (event_type, user_id) — the log's natural
+      // key — then a bounded-key conditional aggregate; the chi-square
+      // is |segments| rows of arithmetic.
+      T.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("user_id") % 2 === 0, 1).otherwise(0)).cast("long").as("n_a"),
+             sum(when(col("user_id") % 2 === 1, 1).otherwise(0)).cast("long").as("n_b"))
+        .selectExpr("event_type", "n_a", "n_b",
+          """round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+            |      / CAST(n_a + n_b AS DOUBLE), 6) AS chi2""".stripMargin,
+          """CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+            |/ CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_detected""".stripMargin)
+        .orderBy(col("event_type"))
+    },
+
+    Q(
       "event_streaks",
       """WITH days AS (
         |  SELECT DISTINCT user_id,

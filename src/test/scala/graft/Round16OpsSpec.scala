@@ -186,6 +186,21 @@ class Round16OpsSpec extends GraftSuite {
     assert(!got.contains(0L))
   }
 
+  test("event_ab_srm: chi-square equals the exact identity on hand-counted exposure") {
+    val users = T.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).distinct
+    val expect = users.groupBy(_._1).map { case (et, g) =>
+      val na = g.count(_._2 % 2 == 0).toLong
+      val nb = g.size - na
+      val chi2 = ((na - nb) * (na - nb)).toDouble / (na + nb).toDouble
+      et -> ((na, nb, chi2 > 3.841))
+    }
+    val got = SparkEntry.queries("event_ab_srm")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got == expect, s"got $got want $expect")
+  }
+
   test("osm_way_bearing: ppm shares are the exact integer-division identity per class") {
     val rows = SparkEntry.queries("osm_way_bearing")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
