@@ -45,6 +45,58 @@ object Scans {
     },
 
     Q(
+      "scan_dpp",
+      s"""WITH f AS (
+         |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, o_totalprice
+         |  FROM orders),
+         |dim AS (
+         |  SELECT CAST(1993 + r_regionkey AS BIGINT) AS o_year
+         |  FROM region WHERE r_name IN ('ASIA', 'EUROPE'))
+         |SELECT f.o_year, count(*) AS n_orders,
+         |       ${Det.sqlDsum("o_totalprice")} AS sum_price
+         |FROM f JOIN dim ON f.o_year = dim.o_year
+         |GROUP BY f.o_year
+         |ORDER BY f.o_year""".stripMargin
+    ) { (s, d) =>
+      // DYNAMIC partition pruning — the runtime half of the pruning
+      // story `scan_pruned` covers statically: the years to keep are
+      // only known after FILTERING A DIM TABLE (the reference's
+      // region-selection pattern, osm_etl.py:20-28, when the selection
+      // lives in a config table instead of a literal), so no static
+      // PartitionFilter can exist at plan time. Spark plans a
+      // DynamicPruningExpression into the fact scan's PartitionFilters:
+      // the dim's broadcast is REUSED as the pruning filter, and
+      // non-matching partitions of the year-partitioned lake are never
+      // even listed — at 100 TB, touching 2 of 7 year partitions is the
+      // difference between a morning and a coffee break. The layout is
+      // a one-time conf-keyed partitionBy(o_year) write (join_bucketed's
+      // recipe — lake layout, not query cost); the dim join stays a
+      // broadcast; Round16OpsSpec pins `dynamicpruning` present in the
+      // scan's partition filters. Aggregates ride the exact-DECIMAL
+      // recipe, so the hash is partitioning-independent.
+      val confKey = s"spark.sql.graft.dppdir:$d"
+      val root = s.conf.getOption(confKey).getOrElse {
+        val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+        T.orders(s, d)
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(s"$dir/orders")
+        s.conf.set(confKey, dir)
+        dir
+      }
+      val dim = T.region(s, d)
+        .where(col("r_name").isin("ASIA", "EUROPE"))
+        .select((lit(1993) + col("r_regionkey")).cast("int").as("dim_year"))
+      // declared schema (partition column included): no inference pass
+      // over the lake, and an empty layout still yields the right shape
+      s.read.schema(T.orders(s, d).schema.add("o_year", "int")).parquet(s"$root/orders")
+        .join(broadcast(dim), col("o_year") === col("dim_year"))
+        .groupBy(col("o_year").cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+             Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_year"))
+    },
+
+    Q(
       "sink_parquet",
       s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
          |       count(*) AS n_orders,

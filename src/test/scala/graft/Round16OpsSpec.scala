@@ -186,6 +186,13 @@ class Round16OpsSpec extends GraftSuite {
     assert(!got.contains(0L))
   }
 
+  test("scan_dpp: the fact scan carries a DynamicPruningExpression in its partition filters") {
+    val plan = SparkEntry.queries("scan_dpp")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected runtime partition pruning in the fact scan:\n$plan")
+  }
+
   test("event_ab_srm: chi-square equals the exact identity on hand-counted exposure") {
     val users = T.events(spark, sf)
       .select(col("event_type"), col("user_id")).collect()
