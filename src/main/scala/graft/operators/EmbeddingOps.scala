@@ -673,6 +673,55 @@ object EmbeddingOps {
         .orderBy(col("vec_id"), col("pos"))
     },
 
+    Q(
+      "emb_binary_hamming",
+      """WITH b AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(embedding[1:32], x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)),
+        |           (a, v) -> a * 2 + v) AS w0,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(embedding[33:64], x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)),
+        |           (a, v) -> a * 2 + v) AS w1
+        |  FROM embeddings),
+        |q AS (SELECT w0 AS q0, w1 AS q1 FROM b WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |       CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS BIGINT) AS hamming
+        |FROM b, q
+        |ORDER BY hamming, vec_id
+        |LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      // BINARY quantization + Hamming retrieval — the third compression
+      // tier next to int8 (emb_quantize_int8) and PQ (emb_pq_quantize),
+      // and the one modern vector stores lead with: one SIGN BIT per
+      // dimension (64-dim vector → 8 bytes, 32× smaller than float32),
+      // candidate generation = XOR + POPCOUNT, the cheapest distance in
+      // existence. Codes pack MSB-first into two 32-bit words held in
+      // BIGINTs (never one 64-bit word: bit 63 through integer
+      // arithmetic would overflow the sign in BOTH engines) via an
+      // order-pinned integer fold — exact, partitioning-independent.
+      // Plan: map-only encode over the scan, the single query row
+      // broadcast-crossed onto the corpus, and the top-k is
+      // TakeOrderedAndProject (per-partition heaps + driver merge of K,
+      // never a global sort) with (hamming, vec_id) a total order. Only
+      // the SQL spelling differs per engine (xor(a,b) vs a ^ b) — the
+      // integers are identical.
+      val pack = (lo: Int) =>
+        s"""aggregate(slice(embedding, $lo, 32),
+           |  CAST(0 AS BIGINT),
+           |  (a, x) -> a * 2 + IF(x > 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))""".stripMargin
+      val b = T.embeddings(s, d).select(
+        col("vec_id"), col("label").cast("long").as("label"),
+        expr(pack(1)).as("w0"), expr(pack(33)).as("w1"))
+      val q = b.where(col("vec_id") === 0)
+        .select(col("w0").as("q0"), col("w1").as("q1"))
+      b.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(20)
+    },
+
     // Product-quantization encode: each 64-dim vector becomes PqM=16
     // nibble codes (see pqTrain — 16× smaller than float32, the
     // compression companion of the IVF cell layout). The registered

@@ -186,6 +186,23 @@ class Round16OpsSpec extends GraftSuite {
     assert(!got.contains(0L))
   }
 
+  test("emb_binary_hamming: codes and distances equal an independent bit-packing recomputation") {
+    val vecs = T.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def pack(v: Array[Float], lo: Int): Long =
+      v.slice(lo, lo + 32).foldLeft(0L)((a, x) => a * 2 + (if (x > 0) 1L else 0L))
+    val words = vecs.map { case (id, v) => id -> ((pack(v, 0), pack(v, 32))) }.toMap
+    val (q0, q1) = words(0L)
+    val expect = words.toSeq.map { case (id, (w0, w1)) =>
+      (id, java.lang.Long.bitCount(w0 ^ q0) + java.lang.Long.bitCount(w1 ^ q1))
+    }.sortBy(t => (t._2, t._1)).take(20)
+    val got = SparkEntry.queries("emb_binary_hamming")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2).toInt)).toSeq
+    assert(got == expect, s"got $got want $expect")
+    assert(got.head == ((0L, 0)), "the query vector must rank first at distance 0")
+  }
+
   test("scan_dpp: the fact scan carries a DynamicPruningExpression in its partition filters") {
     val plan = SparkEntry.queries("scan_dpp")(spark, sf)
       .queryExecution.executedPlan.toString
