@@ -599,6 +599,50 @@ object TrainingOps {
     },
 
     Q(
+      "tokenizer_oov_rate",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |vocab AS (
+        |  SELECT t FROM (
+        |    SELECT t, count(*) AS f FROM tok GROUP BY t
+        |    ORDER BY f DESC, t LIMIT 10)),
+        |j AS (
+        |  SELECT tok.source,
+        |         CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok LEFT JOIN vocab ON tok.t = vocab.t)
+        |SELECT source,
+        |       count(*) AS n_tokens,
+        |       CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       (1000000 * CAST(sum(oov) AS BIGINT)) // count(*) AS oov_ppm
+        |FROM j GROUP BY source
+        |ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      // Vocabulary COVERAGE — the tokenizer-health readout next to
+      // text_heavy_hitters' mining: fix a top-K corpus vocabulary
+      // (count-desc, token tie-break — a deterministic cut) and report
+      // each source slice's out-of-vocabulary token rate. A rising OOV
+      // ppm on one source is how tokenizer drift/contamination shows up
+      // operationally before perplexity moves. Two-pass dictionary
+      // shape (text_rarity's discipline): pass 1 collapses the token
+      // stream to #distinct-tokens counts (partial+final aggregate) and
+      // TakeOrderedAndProject cuts K rows; pass 2 re-scans the stream
+      // against the K-row vocab as a BROADCAST left join — membership
+      // never shuffles token occurrences. OOV ppm is exact integer
+      // division; everything on the wire is counts.
+      val tok = T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("t")).limit(10)
+        .select(col("t").as("vt"))
+      tok.join(broadcast(vocab), col("t") === col("vt"), "left")
+        .select(col("source"), when(col("vt").isNull, 1L).otherwise(0L).as("oov"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"))
+        .withColumn("oov_ppm", expr("(1000000 * n_oov) DIV n_tokens"))
+        .orderBy(col("source"))
+    },
+
+    Q(
       "text_url_extract",
       """SELECT doc_id,
         |       regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,

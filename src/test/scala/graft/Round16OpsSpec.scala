@@ -186,6 +186,23 @@ class Round16OpsSpec extends GraftSuite {
     assert(!got.contains(0L))
   }
 
+  test("tokenizer_oov_rate: rates equal an independent vocab-cut recomputation") {
+    val toks = T.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map(t => (r.getString(0), t)))
+    val vocab = toks.groupBy(_._2).map { case (t, g) => (t, g.size) }.toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(10).map(_._1).toSet
+    val expect = toks.groupBy(_._1).map { case (src, g) =>
+      val n = g.size.toLong
+      val oov = g.count(t => !vocab.contains(t._2)).toLong
+      src -> ((n, oov, 1000000L * oov / n))
+    }
+    val got = SparkEntry.queries("tokenizer_oov_rate")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, s"got $got want $expect")
+    assert(expect.values.exists(_._2 > 0), "fixture must exercise a non-trivial OOV tail")
+  }
+
   test("emb_binary_hamming: codes and distances equal an independent bit-packing recomputation") {
     val vecs = T.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
