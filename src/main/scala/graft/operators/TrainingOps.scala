@@ -154,6 +154,48 @@ object TrainingOps {
     },
 
     Q(
+      "sample_class_balance",
+      """WITH r AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(row_number() OVER (PARTITION BY label
+        |              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT CAST(min(cnt) AS BIGINT) AS m FROM (
+        |    SELECT count(*) AS cnt FROM embeddings GROUP BY label))
+        |SELECT label, rk, vec_id
+        |FROM r, m WHERE rk <= m.m
+        |ORDER BY label, rk""".stripMargin
+    ) { (s, d) =>
+      // Class-BALANCED downsample — sample_fixed_k's sibling where k is
+      // not a constant but the MINORITY class size: every label keeps
+      // exactly min-class-count rows, the standard majority-class
+      // downsampling step before training a classifier on skewed labels
+      // (keep-rate sampling can't guarantee equal classes; this does, by
+      // construction). Selection is the same content-independent md5-of-
+      // id ranking as sample_fixed_k — reproducible under retry and
+      // repartitioning where rand() is not. The minority size arrives
+      // as a ONE-ROW broadcast (count per label → global min), so the
+      // threshold join costs nothing. Ranking runs on the NARROW id
+      // table (two longs + a hash per row — at 100 TB you rank ids and
+      // semi-join payloads back, never sort payload rows); class count
+      // is bounded, so per-label rank state is one counter per class.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("label"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val r = T.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+      val m = T.embeddings(s, d)
+        .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+        .agg(min(col("cnt")).as("m"))
+      r.crossJoin(broadcast(m))
+        .where(col("rk") <= col("m"))
+        .select(col("label"), col("rk"), col("vec_id"))
+        .orderBy(col("label"), col("rk"))
+    },
+
+    Q(
       "text_rarity",
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

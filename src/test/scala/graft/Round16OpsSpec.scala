@@ -186,6 +186,23 @@ class Round16OpsSpec extends GraftSuite {
     assert(!got.contains(0L))
   }
 
+  test("sample_class_balance: every label keeps exactly the minority-class count") {
+    val got = SparkEntry.queries("sample_class_balance")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totals = T.embeddings(spark, sf).groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val m = totals.values.min
+    val perLabel = got.groupBy(_._1).map { case (l, g) => l -> g.map(_._3).toSet }
+    assert(perLabel.keySet == totals.keySet, "every label present")
+    perLabel.foreach { case (l, ids) =>
+      assert(ids.size.toLong == m, s"label $l kept ${ids.size}, want minority count $m")
+    }
+    // reproducibility: a second run selects the identical id set
+    val again = SparkEntry.queries("sample_class_balance")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == got.map(r => (r._1, r._3)).toSet)
+  }
+
   test("tokenizer_oov_rate: rates equal an independent vocab-cut recomputation") {
     val toks = T.documents(spark, sf)
       .select(col("source"), col("text")).collect()
