@@ -304,6 +304,36 @@ object Scalars {
     },
 
     Q(
+      "fn_collation",
+      """SELECT lower(p_brand) AS brand_ci,
+        |       count(*) AS n_parts,
+        |       count(DISTINCT p_type) AS n_types
+        |FROM part
+        |GROUP BY lower(p_brand)
+        |ORDER BY brand_ci""".stripMargin
+    ) { (s, d) =>
+      // Spark 4 COLLATION — case-insensitive grouping declared as a TYPE
+      // property (`collate(c, 'UTF8_LCASE')`) instead of materializing
+      // lower(c): the comparison/hash semantics live in the collated
+      // string type, so every downstream groupBy/join/sort on the column
+      // is case-insensitive without a rewritten expression at each use
+      // site (and without the lower() copy of a 100 TB string column on
+      // the wire — the collation key is computed inside the hash/compare
+      // itself). The group key is presented lower()ed so both engines
+      // print one canonical representative; for the fixture's ASCII
+      // domain the UTF8_LCASE equivalence classes are exactly lower()'s,
+      // which is what the DuckDB oracle states. Same partial+final
+      // aggregate shape as every groupBy.
+      T.part(s, d)
+        .groupBy(expr("collate(p_brand, 'UTF8_LCASE')").as("brand_key"))
+        .agg(count(lit(1)).as("n_parts"),
+             countDistinct(col("p_type")).as("n_types"))
+        .select(lower(col("brand_key")).cast("string").as("brand_ci"),
+                col("n_parts"), col("n_types"))
+        .orderBy(col("brand_ci"))
+    },
+
+    Q(
       "fn_hash",
       """SELECT c_custkey,
         |       md5(c_name)    AS name_md5,

@@ -186,6 +186,18 @@ class Round16OpsSpec extends GraftSuite {
     assert(!got.contains(0L))
   }
 
+  test("fn_collation: collated grouping equals lower()-keyed grouping") {
+    val expect = T.part(spark, sf)
+      .select(lower(col("p_brand")).as("b"), col("p_type")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (b, g) =>
+        b -> ((g.size.toLong, g.map(_._2).distinct.size.toLong))
+      }
+    val got = SparkEntry.queries("fn_collation")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, s"got $got want $expect")
+  }
+
   test("sample_class_balance: every label keeps exactly the minority-class count") {
     val got = SparkEntry.queries("sample_class_balance")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
