@@ -154,6 +154,66 @@ object TrainingOps {
     },
 
     Q(
+      "data_profile_columns",
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(o_orderstatus) AS nn1, count(DISTINCT o_orderstatus) AS nd1,
+        |         CAST(min(o_orderstatus) AS VARCHAR) AS mn1, CAST(max(o_orderstatus) AS VARCHAR) AS mx1,
+        |         count(o_orderpriority) AS nn2, count(DISTINCT o_orderpriority) AS nd2,
+        |         CAST(min(o_orderpriority) AS VARCHAR) AS mn2, CAST(max(o_orderpriority) AS VARCHAR) AS mx2,
+        |         count(o_custkey) AS nn3, count(DISTINCT o_custkey) AS nd3,
+        |         CAST(min(o_custkey) AS VARCHAR) AS mn3, CAST(max(o_custkey) AS VARCHAR) AS mx3,
+        |         count(o_totalprice) AS nn4, count(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS nd4,
+        |         CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn4,
+        |         CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx4
+        |  FROM orders)
+        |SELECT 'o_orderstatus' AS column_name, n_rows, nn1 AS n_nonnull, nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM a
+        |UNION ALL SELECT 'o_orderpriority', n_rows, nn2, nd2, mn2, mx2 FROM a
+        |UNION ALL SELECT 'o_custkey', n_rows, nn3, nd3, mn3, mx3 FROM a
+        |UNION ALL SELECT 'o_totalprice', n_rows, nn4, nd4, mn4, mx4 FROM a
+        |ORDER BY column_name""".stripMargin
+    ) { (s, d) =>
+      // Per-column data PROFILE — the dbt-test / Deequ-style table
+      // health report (completeness, cardinality, bounds) every lake
+      // load gates on before publishing: one row per profiled column
+      // with row count, non-null count, distinct count, and min/max as
+      // canonical strings. ONE pass over the table computes every
+      // column's aggregates side by side (partial+final, the multi
+      // DISTINCT rides RewriteDistinctAggregates' single tagged Expand
+      // — never a per-column rescan), then a 1-row stack unpivots to
+      // the report shape: at 100 TB the profile costs one scan
+      // regardless of how many columns it covers. Doubles canonicalize
+      // through DECIMAL(18,2) before the string cast so both engines
+      // print identical bounds (raw double→string formatting differs).
+      val a = T.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderstatus")).as("nn1"),
+        countDistinct(col("o_orderstatus")).as("nd1"),
+        min(col("o_orderstatus")).cast("string").as("mn1"),
+        max(col("o_orderstatus")).cast("string").as("mx1"),
+        count(col("o_orderpriority")).as("nn2"),
+        countDistinct(col("o_orderpriority")).as("nd2"),
+        min(col("o_orderpriority")).cast("string").as("mn2"),
+        max(col("o_orderpriority")).cast("string").as("mx2"),
+        count(col("o_custkey")).as("nn3"),
+        countDistinct(col("o_custkey")).as("nd3"),
+        min(col("o_custkey")).cast("string").as("mn3"),
+        max(col("o_custkey")).cast("string").as("mx3"),
+        count(col("o_totalprice")).as("nn4"),
+        countDistinct(col("o_totalprice").cast("decimal(18,2)")).as("nd4"),
+        min(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("mn4"),
+        max(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("mx4"))
+      a.selectExpr(
+          """stack(4,
+            |  'o_orderstatus',   n_rows, nn1, nd1, mn1, mx1,
+            |  'o_orderpriority', n_rows, nn2, nd2, mn2, mx2,
+            |  'o_custkey',       n_rows, nn3, nd3, mn3, mx3,
+            |  'o_totalprice',    n_rows, nn4, nd4, mn4, mx4)
+            |AS (column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)""".stripMargin)
+        .orderBy(col("column_name"))
+    },
+
+    Q(
       "sample_class_balance",
       """WITH r AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label,

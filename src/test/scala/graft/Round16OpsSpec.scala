@@ -186,6 +186,27 @@ class Round16OpsSpec extends GraftSuite {
     assert(!got.contains(0L))
   }
 
+  test("data_profile_columns: profile matches independently computed column stats") {
+    val rows = T.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_custkey")).collect()
+    val got = SparkEntry.queries("data_profile_columns")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+                                    r.getString(4), r.getString(5)))).toMap
+    assert(got.keySet == Set("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"))
+    val st = rows.map(_.getString(0))
+    assert(got("o_orderstatus") ==
+      ((rows.length.toLong, st.length.toLong, st.distinct.length.toLong, st.min, st.max)))
+    val ck = rows.map(_.getLong(1))
+    assert(got("o_custkey")._3 == ck.distinct.length.toLong)
+    assert(got("o_custkey")._4 == ck.min.toString && got("o_custkey")._5 == ck.max.toString)
+    // one-pass contract: the multi-DISTINCT must plan a single Expand, not per-column rescans
+    val plan = SparkEntry.queries("data_profile_columns")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).length <= 2 &&
+      "FileScan".r.findAllIn(plan).length == 1,
+      s"profile must cost one table scan:\n$plan")
+  }
+
   test("fn_collation: collated grouping equals lower()-keyed grouping") {
     val expect = T.part(spark, sf)
       .select(lower(col("p_brand")).as("b"), col("p_type")).collect()
