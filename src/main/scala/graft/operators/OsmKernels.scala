@@ -1953,6 +1953,62 @@ object OsmKernels {
         .orderBy(col("layer"), col("element_id"))
     },
 
+    Q(
+      "osm_tag_cooccurrence",
+      """WITH t AS (
+        |  SELECT p_partkey,
+        |         list_filter([
+        |           CASE WHEN p_size >= 25 THEN 'heavy' END,
+        |           CASE WHEN p_retailprice > 970 THEN 'premium' END,
+        |           CASE WHEN p_type = 'PROMO' THEN 'promo' END,
+        |           CASE WHEN p_size < 10 THEN 'small' END,
+        |           CASE WHEN p_brand LIKE 'Brand#4%' THEN 'brand4' END
+        |         ], x -> x IS NOT NULL) AS tags
+        |  FROM part),
+        |e1 AS (SELECT p_partkey, tags, unnest(tags) AS k1 FROM t),
+        |e2 AS (SELECT p_partkey, k1, unnest(tags) AS k2 FROM e1),
+        |c AS (
+        |  SELECT k1 AS tag_a, k2 AS tag_b, count(*) AS n_elements
+        |  FROM e2 WHERE k1 < k2 GROUP BY 1, 2),
+        |tot AS (SELECT count(*) AS n FROM part)
+        |SELECT tag_a, tag_b, n_elements,
+        |       (1000000 * n_elements) // n AS support_ppm
+        |FROM c, tot
+        |ORDER BY tag_a, tag_b""".stripMargin
+    ) { (s, d) =>
+      // Tag CO-OCCURRENCE — taginfo's core statistic ("which tags appear
+      // together?"), the market-basket readout mappers use to find
+      // tagging conventions and QA tools use to flag unlikely combos.
+      // Presence tags derive from predicates over the element's typed
+      // columns (the flex promotion in reverse), each element carries a
+      // ≤5-entry tag array, and unordered pairs come from two in-row
+      // generators with a k1 < k2 cut (each pair counted once; the pair
+      // stream is ≤ C(5,2)·|elements|, map-side). One bounded-key count
+      // (tag vocabulary², tiny) + a 1-row total broadcast for the exact
+      // integer support ppm. At 100 TB the pair explode stays in the
+      // scan stage — the only shuffle carries |tag-pairs| counts.
+      val tags = T.part(s, d).select(
+        col("p_partkey"),
+        expr("""filter(array(
+               |  IF(p_size >= 25, 'heavy', NULL),
+               |  IF(p_retailprice > 970, 'premium', NULL),
+               |  IF(p_type = 'PROMO', 'promo', NULL),
+               |  IF(p_size < 10, 'small', NULL),
+               |  IF(p_brand LIKE 'Brand#4%', 'brand4', NULL)),
+               |x -> x IS NOT NULL)""".stripMargin).as("tags"))
+      val total = T.part(s, d).agg(count(lit(1)).as("n"))
+      tags
+        .select(col("p_partkey"), col("tags"), explode(col("tags")).as("k1"))
+        .select(col("p_partkey"), col("k1"), explode(col("tags")).as("k2"))
+        .where(col("k1") < col("k2"))
+        .groupBy(col("k1").as("tag_a"), col("k2").as("tag_b"))
+        .agg(count(lit(1)).as("n_elements"))
+        .crossJoin(Gate.bcast(total))
+        .selectExpr("tag_a", "tag_b", "n_elements",
+                    "(1000000 * n_elements) DIV n AS support_ppm")
+        .orderBy(col("tag_a"), col("tag_b"))
+    },
+
     // Douglas–Peucker generalization of assembled ways (the reference
     // stack's low-zoom generalized layers; PostGIS ST_Simplify). The
     // kernel (functions/SimplifyIndices.scala) emits KEPT point indices

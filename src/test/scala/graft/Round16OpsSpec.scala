@@ -186,6 +186,28 @@ class Round16OpsSpec extends GraftSuite {
     assert(!got.contains(0L))
   }
 
+  test("osm_tag_cooccurrence: pair counts equal an independent per-element recomputation") {
+    val parts = T.part(spark, sf)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"),
+              col("p_type"), col("p_brand")).collect()
+    val expectPairs = parts.flatMap { r =>
+      val tags = Seq(
+        if (r.getInt(1) >= 25) Some("heavy") else None,
+        if (r.getDouble(2) > 970) Some("premium") else None,
+        if (r.getString(3) == "PROMO") Some("promo") else None,
+        if (r.getInt(1) < 10) Some("small") else None,
+        if (r.getString(4).startsWith("Brand#4")) Some("brand4") else None).flatten
+      for (a <- tags; b <- tags if a < b) yield (a, b)
+    }.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val total = parts.length.toLong
+    val got = SparkEntry.queries("osm_tag_cooccurrence")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.view.mapValues(_._1).toMap == expectPairs, s"pair counts differ")
+    got.foreach { case (_, (n, ppm)) =>
+      assert(ppm == 1000000L * n / total, "support_ppm must be the exact integer division")
+    }
+  }
+
   test("data_profile_columns: profile matches independently computed column stats") {
     val rows = T.orders(spark, sf)
       .select(col("o_orderstatus"), col("o_custkey")).collect()
