@@ -1954,6 +1954,50 @@ object OsmKernels {
     },
 
     Q(
+      "osm_duplicate_ways",
+      """WITH w AS (
+        |  SELECT l_orderkey AS way_id,
+        |         string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS sig
+        |  FROM lineitem GROUP BY 1),
+        |g AS (
+        |  SELECT sig, CAST(count(*) AS BIGINT) AS n_ways,
+        |         CAST(min(way_id) AS BIGINT) AS canonical_id,
+        |         string_agg(CAST(way_id AS VARCHAR), ',' ORDER BY way_id) AS way_ids
+        |  FROM w GROUP BY sig HAVING count(*) > 1)
+        |SELECT md5(sig) AS sig_hash, n_ways, canonical_id, way_ids
+        |FROM g
+        |ORDER BY canonical_id""".stripMargin
+    ) { (s, d) =>
+      // Duplicate-GEOMETRY detection — the OSM QA check (JOSM/Osmose
+      // "duplicated way" validator): two ways tracing the identical
+      // ordered node sequence are almost always an upload accident, and
+      // the fixer needs the whole group with a canonical survivor. The
+      // signature is the ordered node-ref list serialized to one string
+      // (exact integers — no geometry tolerance games), grouped once;
+      // groups of one drop out. dedup_exact's shape on the way table:
+      // the regroup shuffle carries |ways| signature strings, the dup
+      // report is tiny by construction. The emitted key is md5(sig) —
+      // identical hex in both engines — so downstream tooling can join
+      // fixes back without shipping the full signature.
+      T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+                col("l_partkey").as("node_ref"))
+        .groupBy(col("way_id"))
+        .agg(expr(
+          """array_join(transform(array_sort(collect_list(struct(pos, node_ref))),
+            |           p -> CAST(p.node_ref AS STRING)), ',')""".stripMargin).as("sig"))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_ways"),
+             min(col("way_id")).as("canonical_id"),
+             expr("array_join(transform(array_sort(collect_list(way_id)), w -> CAST(w AS STRING)), ',')")
+               .as("way_ids"))
+        .where(col("n_ways") > 1)
+        .select(md5(col("sig").cast("binary")).as("sig_hash"),
+                col("n_ways"), col("canonical_id"), col("way_ids"))
+        .orderBy(col("canonical_id"))
+    },
+
+    Q(
       "osm_tag_cooccurrence",
       """WITH t AS (
         |  SELECT p_partkey,

@@ -186,6 +186,23 @@ class Round16OpsSpec extends GraftSuite {
     assert(!got.contains(0L))
   }
 
+  test("osm_duplicate_ways: groups equal an independent signature recomputation") {
+    val refs = T.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val sigs = refs.groupBy(_._1).map { case (w, g) =>
+      w -> g.map(t => (t._2, t._3)).sorted.map(_._2).mkString(",")
+    }
+    val expect = sigs.groupBy(_._2).filter(_._2.size > 1).map { case (_, g) =>
+      val ids = g.keys.toSeq.sorted
+      ids.min -> ((g.size.toLong, ids.mkString(",")))
+    }
+    val got = SparkEntry.queries("osm_duplicate_ways")(spark, sf).collect()
+      .map(r => r.getLong(2) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(got == expect, s"got $got want $expect")
+    assert(got.nonEmpty, "fixture must contain duplicate ways")
+  }
+
   test("osm_tag_cooccurrence: pair counts equal an independent per-element recomputation") {
     val parts = T.part(spark, sf)
       .select(col("p_partkey"), col("p_size"), col("p_retailprice"),
