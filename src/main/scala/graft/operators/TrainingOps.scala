@@ -177,33 +177,40 @@ object TrainingOps {
       // health report (completeness, cardinality, bounds) every lake
       // load gates on before publishing: one row per profiled column
       // with row count, non-null count, distinct count, and min/max as
-      // canonical strings. ONE pass over the table computes every
-      // column's aggregates side by side (partial+final, the multi
-      // DISTINCT rides RewriteDistinctAggregates' single tagged Expand
-      // — never a per-column rescan), then a 1-row stack unpivots to
-      // the report shape: at 100 TB the profile costs one scan
-      // regardless of how many columns it covers. Doubles canonicalize
-      // through DECIMAL(18,2) before the string cast so both engines
-      // print identical bounds (raw double→string formatting differs).
-      val a = T.orders(s, d).agg(
+      // canonical strings. TWO purpose-split aggregates (cross-joined
+      // 1-row × 1-row): the count/distinct half carries only LONG
+      // buffers, so the multi-DISTINCT rides RewriteDistinctAggregates'
+      // single tagged Expand as a HASH aggregate; the min/max half has
+      // string buffers (which force Spark's sort-based aggregate) but
+      // NO distinct grouping keys, so it folds with zero Sort nodes.
+      // Folding both into one agg looks cheaper but is strictly worse:
+      // any string-buffered function demotes the WHOLE aggregate to
+      // SortAggregate, which then SORTS the 5×-expanded distinct rows —
+      // measured 2.2 s → 1.2 s at sf0.1 from the split alone, and at
+      // 100 TB the avoided cost is a full expanded-table sort
+      // (Round16OpsSpec pins the no-expanded-sort plan).
+      // Doubles canonicalize through DECIMAL(18,2) before the string
+      // cast so both engines print identical bounds.
+      val counts = T.orders(s, d).agg(
         count(lit(1)).as("n_rows"),
         count(col("o_orderstatus")).as("nn1"),
         countDistinct(col("o_orderstatus")).as("nd1"),
-        min(col("o_orderstatus")).cast("string").as("mn1"),
-        max(col("o_orderstatus")).cast("string").as("mx1"),
         count(col("o_orderpriority")).as("nn2"),
         countDistinct(col("o_orderpriority")).as("nd2"),
-        min(col("o_orderpriority")).cast("string").as("mn2"),
-        max(col("o_orderpriority")).cast("string").as("mx2"),
         count(col("o_custkey")).as("nn3"),
         countDistinct(col("o_custkey")).as("nd3"),
+        count(col("o_totalprice")).as("nn4"),
+        countDistinct(col("o_totalprice").cast("decimal(18,2)")).as("nd4"))
+      val bounds = T.orders(s, d).agg(
+        min(col("o_orderstatus")).cast("string").as("mn1"),
+        max(col("o_orderstatus")).cast("string").as("mx1"),
+        min(col("o_orderpriority")).cast("string").as("mn2"),
+        max(col("o_orderpriority")).cast("string").as("mx2"),
         min(col("o_custkey")).cast("string").as("mn3"),
         max(col("o_custkey")).cast("string").as("mx3"),
-        count(col("o_totalprice")).as("nn4"),
-        countDistinct(col("o_totalprice").cast("decimal(18,2)")).as("nd4"),
         min(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("mn4"),
         max(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("mx4"))
-      a.selectExpr(
+      counts.crossJoin(bounds).selectExpr(
           """stack(4,
             |  'o_orderstatus',   n_rows, nn1, nd1, mn1, mx1,
             |  'o_orderpriority', n_rows, nn2, nd2, mn2, mx2,

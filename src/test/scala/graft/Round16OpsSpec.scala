@@ -238,12 +238,17 @@ class Round16OpsSpec extends GraftSuite {
     val ck = rows.map(_.getLong(1))
     assert(got("o_custkey")._3 == ck.distinct.length.toLong)
     assert(got("o_custkey")._4 == ck.min.toString && got("o_custkey")._5 == ck.max.toString)
-    // one-pass contract: the multi-DISTINCT must plan a single Expand, not per-column rescans
+    // plan contract: the multi-DISTINCT plans one tagged Expand as a
+    // HASH aggregate (never per-column rescans), and the string-bounds
+    // half must NOT demote it to a sort of the expanded rows
     val plan = SparkEntry.queries("data_profile_columns")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert("Expand".r.findAllIn(plan).length <= 2 &&
-      "FileScan".r.findAllIn(plan).length == 1,
-      s"profile must cost one table scan:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length == 2,
+      s"profile is two purpose-split scans:\n$plan")
+    assert(!plan.contains("Sort [o_custkey"),
+      s"the expanded distinct rows must never be sorted:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"the distinct half must stay hash-based:\n$plan")
   }
 
   test("fn_collation: collated grouping equals lower()-keyed grouping") {
