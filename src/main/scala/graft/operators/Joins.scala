@@ -307,6 +307,57 @@ object Joins {
     },
 
     Q(
+      "join_asof_tolerance",
+      """SELECT t.event_id AS trade_id, t.user_id,
+        |       CAST(t.ts AS TIMESTAMP) AS trade_ts,
+        |       CASE WHEN epoch_ms(t.ts) - epoch_ms(q.ts) <= 172800000
+        |            THEN q.value END AS quote_value,
+        |       CASE WHEN epoch_ms(t.ts) - epoch_ms(q.ts) <= 172800000
+        |            THEN epoch_ms(t.ts) - epoch_ms(q.ts) END AS quote_age_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |ASOF JOIN (SELECT * FROM events WHERE event_type IN ('view', 'click')) q
+        |  ON t.user_id = q.user_id AND t.ts >= q.ts
+        |ORDER BY trade_id""".stripMargin
+    ) { (s, d) =>
+      // As-of with a STALENESS TOLERANCE (pandas merge_asof(tolerance=…),
+      // kdb wj's window bound) — the as-of family's missing safety rail:
+      // "the latest quote, but never one older than 48 h". A quote past
+      // the bound is a NULL match, not a silently ancient price — the
+      // failure mode plain as-of hides is a half-dead feed that keeps
+      // serving week-old values. Same single (user_id) exchange + sort
+      // as join_asof; the window carries a (quote_ts, value) STRUCT so
+      // the age is known at the match row, and the tolerance test is
+      // exact integer milliseconds applied AFTER the running-state match
+      // (the match itself is unchanged — tolerance filters, it never
+      // re-matches an older in-bound quote, exactly merge_asof's
+      // contract). Matched-trade row set identical to join_asof's;
+      // fresh vs stale ≈ 80/20 on the fixture so both arms are
+      // exercised.
+      val ev = T.events(s, d)
+      val quotes = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts"),
+                expr("struct(ts AS qts, value AS qvalue)").as("q"),
+                lit(null).cast("long").as("trade_id"))
+      val trades = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+                lit(null).cast("struct<qts:timestamp,qvalue:double>").as("q"),
+                col("event_id").as("trade_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("trade_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      quotes.unionByName(trades)
+        .withColumn("m", last(col("q"), ignoreNulls = true).over(w))
+        .where(col("trade_id").isNotNull && col("m").isNotNull)
+        .select(col("trade_id"), col("user_id"), col("ts").as("trade_ts"),
+          expr("""CASE WHEN unix_millis(ts) - unix_millis(m.qts) <= 172800000
+                 |     THEN m.qvalue END""".stripMargin).as("quote_value"),
+          expr("""CASE WHEN unix_millis(ts) - unix_millis(m.qts) <= 172800000
+                 |     THEN unix_millis(ts) - unix_millis(m.qts) END""".stripMargin)
+            .as("quote_age_ms"))
+        .orderBy(col("trade_id"))
+    },
+
+    Q(
       "join_asof_native",
       """SELECT t.event_id AS trade_id, t.user_id,
         |       CAST(t.ts AS TIMESTAMP) AS trade_ts, q.value AS quote_value

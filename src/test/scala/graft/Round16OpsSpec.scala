@@ -186,6 +186,29 @@ class Round16OpsSpec extends GraftSuite {
     assert(!got.contains(0L))
   }
 
+  test("join_asof_tolerance: matches join_asof's rows, staleness nulls the value, never re-matches") {
+    val plain = SparkEntry.queries("join_asof")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val tol = SparkEntry.queries("join_asof_tolerance")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+                 if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+                 if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(tol.map(_._1).toSet == plain.keySet,
+      "tolerance must keep exactly the plain as-of's matched-trade rows")
+    var fresh = 0; var stale = 0
+    tol.foreach { case (id, v, age) =>
+      (v, age) match {
+        case (Some(value), Some(a)) =>
+          fresh += 1
+          assert(a >= 0 && a <= 172800000L, s"trade $id age out of bound: $a")
+          assert(value == plain(id), s"trade $id fresh value must equal the plain as-of match")
+        case (None, None) => stale += 1
+        case other => fail(s"trade $id value/age must null together: $other")
+      }
+    }
+    assert(fresh > 0 && stale > 0, s"fixture must exercise both arms (fresh=$fresh stale=$stale)")
+  }
+
   test("osm_duplicate_ways: groups equal an independent signature recomputation") {
     val refs = T.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")).collect()
