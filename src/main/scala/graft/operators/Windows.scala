@@ -284,6 +284,65 @@ object Windows {
     },
 
     Q(
+      "win_rolling_slope",
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, day, n,
+        |         CAST(count(*) OVER w AS BIGINT) AS k,
+        |         CAST(sum(day) OVER w AS BIGINT) AS sx,
+        |         CAST(sum(n) OVER w AS BIGINT) AS sy,
+        |         CAST(sum(day * n) OVER w AS BIGINT) AS sxy,
+        |         CAST(sum(day * day) OVER w AS BIGINT) AS sxx
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, n, k,
+        |       CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+        |            ELSE round(CAST(k * sxy - sx * sy AS DOUBLE)
+        |                       / CAST(k * sxx - sx * sx AS DOUBLE), 6)
+        |       END AS slope_per_day
+        |FROM m
+        |ORDER BY event_type, day""".stripMargin
+    ) { (s, d) =>
+      // ROLLING regression slope — the windowed trend detector ("is
+      // this event type's daily volume ramping?") that pairs
+      // agg_linear_regr's per-group fit with a moving 7-day frame:
+      // four exact BIGINT moment sums (x = day, y = count — both exact
+      // integers, so every window sum is exact and partition-order
+      // independent) and the closed-form slope (kΣxy − ΣxΣy)/(kΣxx −
+      // (Σx)²) as ONE IEEE division of exact integers, identical
+      // formula text both engines, final-only 6-dp round. The
+      // single-row frame at each partition start has a zero
+      // denominator — reported NULL, never divided. Facts collapse to
+      // the bounded types×days table FIRST (one scan, one bounded-key
+      // aggregate); all five window sums share one (event_type)
+      // exchange + one day sort, frames never rescan (running
+      // subtract). At 100 TB the window input is |types×days|, not
+      // events.
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      T.events(s, d)
+        .groupBy(col("event_type"),
+                 expr("CAST(floor(unix_millis(ts) / 86400000) AS BIGINT)").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("day")).over(w))
+        .withColumn("sy", sum(col("n")).over(w))
+        .withColumn("sxy", sum(col("day") * col("n")).over(w))
+        .withColumn("sxx", sum(col("day") * col("day")).over(w))
+        .select(col("event_type"), col("day"), col("n"), col("k"),
+          expr("""CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+                 |     ELSE round(CAST(k * sxy - sx * sy AS DOUBLE)
+                 |                / CAST(k * sxx - sx * sx AS DOUBLE), 6)
+                 |END""".stripMargin).as("slope_per_day"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    Q(
       "win_lin_interp",
       """WITH b AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ms,

@@ -186,6 +186,32 @@ class Round16OpsSpec extends GraftSuite {
     assert(!got.contains(0L))
   }
 
+  test("win_rolling_slope: slopes equal an independent moment recomputation") {
+    val daily = T.events(spark, sf)
+      .select(col("event_type"), expr("CAST(floor(unix_millis(ts) / 86400000) AS BIGINT)").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((et, day), g) => (et, day, g.size.toLong) }.toSeq
+    val expect = daily.groupBy(_._1).flatMap { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zipWithIndex.map { case ((_, day, n), i) =>
+        val frame = sorted.slice(math.max(0, i - 6), i + 1)
+        val k = frame.length.toLong
+        val sx = frame.map(_._2).sum; val sy = frame.map(_._3).sum
+        val sxy = frame.map(t => t._2 * t._3).sum; val sxx = frame.map(t => t._2 * t._2).sum
+        val den = k * sxx - sx * sx
+        val slope = if (den == 0) None
+          else Some(BigDecimal((k * sxy - sx * sy).toDouble / den.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        (et, day) -> ((n, k, slope))
+      }
+    }
+    val got = SparkEntry.queries("win_rolling_slope")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got == expect, s"slopes differ")
+    assert(got.values.exists(_._3.isEmpty), "single-row frames must report NULL, not divide")
+  }
+
   test("join_asof_tolerance: matches join_asof's rows, staleness nulls the value, never re-matches") {
     val plain = SparkEntry.queries("join_asof")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
