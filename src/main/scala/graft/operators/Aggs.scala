@@ -214,28 +214,58 @@ object Aggs {
       // score" readout shape a curation pipeline reports (per-doc
       // metrics weighted by how many tokens the doc contributes):
       // here, quantity-weighted median unit price per return flag. EXACT
-      // by construction, no interpolation anywhere: weights collapse to
-      // one row per distinct 2-dp DECIMAL value first (the value table
-      // is bounded by the price domain, not the fact count — that
-      // pre-aggregation is what scales), the running weight is an exact
-      // BIGINT window sum in value order, and the answer is the
-      // smallest value whose doubled running weight reaches the total
-      // (the standard lower weighted median). Every comparison is
-      // integer, the final DECIMAL→DOUBLE cast is exact — nothing
-      // rounds, so the hash cannot drift. The per-flag window runs over
-      // the distinct-value table (|prices| rows), never the fact table.
+      // by construction, no interpolation anywhere. Scale note (VERDICT
+      // r16): the distinct-(flag, price) table is QUASI-FACT-SIZED on
+      // this corpus (measured 594k/600k distinct at sf0.1 — 2-dp
+      // extendedprice is nearly unique), so a running-weight window
+      // `PARTITION BY l_returnflag ORDER BY v` would sort the whole
+      // table in |flags| = 3 single tasks — the banned
+      // low-cardinality-window shape (the event_rfm lesson). Instead the
+      // cumulative weight rides the partial-offset device
+      // (TrainingOps.globalRowNumber in weighted form): range-repartition
+      // on (flag, v) — a total order, (flag, v) unique after the
+      // pre-aggregation — take the per-(partition, flag) weight sums (a
+      // ≤ P×|flags|-row table, collected once), prefix-sum them per flag
+      // in pid order on the driver (RangePartitioner assigns ascending
+      // key ranges to ascending pids, so earlier-pid weight IS the
+      // earlier-value weight), and broadcast the offsets back. The only
+      // window left is local — partitioned by (_pid, flag), no task ever
+      // sorting more than ~1/P of the value table at any scale; the
+      // per-flag totals fall out of the same collected partials for
+      // free. Every comparison stays integer BIGINT and the final
+      // DECIMAL→DOUBLE cast is exact — nothing rounds, the hash cannot
+      // drift, and the result is boundary-split-independent because the
+      // offsets are computed from the actual materialized partitions.
       import org.apache.spark.sql.expressions.Window
       val g = T.lineitem(s, d)
         .select(col("l_returnflag"),
                 col("l_extendedprice").cast("decimal(18,2)").as("v"),
                 col("l_quantity").cast("long").as("wt"))
         .groupBy(col("l_returnflag"), col("v")).agg(sum(col("wt")).as("wt"))
-      val c = g
-        .withColumn("cum", sum(col("wt"))
-          .over(Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
-        .withColumn("tot", sum(col("wt"))
-          .over(Window.partitionBy(col("l_returnflag"))))
-      c.where(expr("2 * cum >= tot"))
+      val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+      val ranged = graft.Caches.register(
+        g.repartitionByRange(parts, col("l_returnflag"), col("v"))
+          .withColumn("_pid", spark_partition_id()).persist())
+      // Bounded collect: ≤ shuffle-partitions × |flags| rows of metadata.
+      val partials = ranged.groupBy(col("_pid"), col("l_returnflag"))
+        .agg(sum(col("wt")).as("pw")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val offRows = partials.groupBy(_._2).toSeq.flatMap { case (flag, ps) =>
+        val inPidOrder = ps.sortBy(_._1)
+        inPidOrder.map(_._1)
+          .zip(inPidOrder.map(_._3).scanLeft(0L)(_ + _).init)
+          .map { case (pid, off) => (pid, flag, off) }
+      }
+      val totRows = partials.groupBy(_._2).map { case (f, ps) => (f, ps.map(_._3).sum) }.toSeq
+      import s.implicits._
+      val offDim = offRows.toDF("_pid", "l_returnflag", "off")
+      val totDim = totRows.toDF("l_returnflag", "tot")
+      ranged
+        .withColumn("lcum", sum(col("wt")).over(
+          Window.partitionBy(col("_pid"), col("l_returnflag")).orderBy(col("v"))))
+        .join(broadcast(offDim), Seq("_pid", "l_returnflag"))
+        .join(broadcast(totDim), Seq("l_returnflag"))
+        .where(expr("2 * (lcum + off) >= tot"))
         .groupBy(col("l_returnflag"))
         .agg(max(col("tot")).as("w_total"),
              min(col("v")).cast("double").as("w_median"))
