@@ -13,6 +13,39 @@ class EntrySpec extends GraftSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  // VERDICT r16 #8 — the three inventory surfaces (SURVEY §2 rows, the
+  // registry, the driver's CORRECTNESS report) must never desync. The
+  // driver derives CORRECTNESS keys from the registry, so pinning
+  // SURVEY §2 ≡ registry (minus `flagship`, which is §7) closes the
+  // triangle; the declared "Inventory size: N" line is pinned too so a
+  // new key can't land without bumping the headline count.
+  test("SURVEY §2 keys are exactly the registry keys") {
+    val lines = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines().toVector
+    val start = lines.indexWhere(_.startsWith("## 2."))
+    val end = lines.indexWhere(l => l.startsWith("## ") && !l.startsWith("## 2."), start + 1)
+    assert(start >= 0 && end > start, "SURVEY.md §2 section not found")
+    val cell = """^\| (`[^|]+`) \|""".r
+    val tick = """`([a-z0-9_]+)`""".r
+    val surveyKeys = lines.slice(start, end).flatMap { l =>
+      cell.findFirstMatchIn(l).toSeq.flatMap(m =>
+        tick.findAllMatchIn(m.group(1)).map(_.group(1)))
+    }
+    assert(surveyKeys.size == surveyKeys.distinct.size,
+           s"duplicate §2 rows: ${surveyKeys.diff(surveyKeys.distinct).distinct}")
+    val survey = surveyKeys.toSet
+    val registry = SparkEntry.queries.keySet - "flagship"
+    val missing = survey -- registry
+    val extra = registry -- survey
+    assert(missing.isEmpty && extra.isEmpty,
+           s"SURVEY §2 vs registry drift — in §2 only: $missing; in registry only: $extra")
+    val declared = lines.collectFirst {
+      case l if l.contains("**Inventory size**") =>
+        """(\d+) keyed operators""".r.findFirstMatchIn(l).map(_.group(1).toInt)
+    }.flatten
+    assert(declared.contains(survey.size),
+           s"SURVEY 'Inventory size' line says $declared, §2 enumerates ${survey.size}")
+  }
+
   test("flagship entry returns rows on the smoke tier") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
