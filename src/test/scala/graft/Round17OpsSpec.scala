@@ -28,4 +28,34 @@ class Round17OpsSpec extends GraftSuite {
     assert(df.count() == 3)
     Caches.drain()
   }
+
+  test("multimodal_image_decode: bytes are genuine PNG and the codec round-trips every pixel") {
+    import graft.functions.Multimodal
+    // the encoded asset is a real PNG (magic bytes), not a fake container
+    val png = Multimodal.makePng(42L)
+    assert(png.take(8).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+           "payload must carry the PNG signature")
+    // encode → decode equals the closed-form channel sums for a spread of ids
+    for (id <- Seq(0L, 7L, 42L, 199L, 4990L)) {
+      val (w, h) = Multimodal.pngDims(id)
+      val (dw, dh, sr, sg, sb) = Multimodal.decodeSums(Multimodal.makePng(id))
+      assert((dw, dh) == (w.toLong, h.toLong))
+      val (r0, g0, b0) = (id % 200, (id * 3) % 200, (id * 7) % 200)
+      assert(sr == w * h * r0 + h * (w * (w - 1) / 2) + w * (h * (h - 1) / 2))
+      assert(sg == w * h * g0 + h * (w * (w - 1) / 2))
+      assert(sb == w * h * b0 + w * (h * (h - 1) / 2))
+    }
+    // undecodable payloads fail LOUD, never pass as zero-sum images
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeSums(Array[Byte](1, 2, 3, 4))
+    }
+    // end-to-end through the binaryFile layout: one row per selected doc
+    val out = SparkEntry.queries("multimodal_image_decode")(spark, sf).collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.pngDims(id)
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+    }
+  }
 }
