@@ -196,7 +196,9 @@ object HashedGramsCore {
     * fixture's domain (the PgTrigrams ASCII contract, same rationale);
     * non-ASCII corpora would need code-point staging first. The
     * contract is ENFORCED: any byte >= 0x80 throws (ADVICE r15 — the
-    * divergence from the character-pair oracle used to be silent).
+    * divergence from the character-pair oracle used to be silent); a
+    * multilingual corpus takes [[codePointPairCodes]], the UTF-8-safe
+    * sibling lane, instead.
     * Tokens split on single 0x20 bytes exactly like [[wordGramsSeq]]. */
   def charPairCodes(s: UTF8String): UnsafeArrayData = {
     val base = s.getBaseObject
@@ -233,6 +235,79 @@ object HashedGramsCore {
         g += 1
       }
       i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** All adjacent in-token CODE-POINT-pair codes, one LONG per pair
+    * position, multiplicity kept — the UTF-8-safe sibling of
+    * [[charPairCodes]] (VERDICT r16 #5: the ASCII lane fails loud on a
+    * real multilingual corpus; this one doesn't have to). The pair code
+    * is EXACT, not hashed: Unicode scalar values fit 21 bits
+    * (≤ U+10FFFF), so `(cp1 << 21) | cp2` is a collision-free 42-bit
+    * fuse the oracle can recompute arithmetically from DuckDB's
+    * `ascii()` code points. Decoding walks raw UTF-8 sequences directly
+    * (1–4 bytes by lead-byte class), so supplementary-plane characters
+    * are single pairs-stream symbols — never the two Java chars a
+    * surrogate-pair iteration would leak. Tokens split on single 0x20
+    * bytes (never a continuation byte) exactly like [[wordGramsSeq]];
+    * malformed UTF-8 throws LOUDLY (a truncated sequence means the
+    * stream would silently desync from the character stream). */
+  def codePointPairCodes(s: UTF8String): UnsafeArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    // decode pass: code points + a parallel "starts a new token" marker
+    val cps = new Array[Int](nb + 1)
+    var nc = 0
+    var i = 0
+    while (i < nb) {
+      val b0 = org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xff
+      val len =
+        if (b0 < 0x80) 1
+        else if ((b0 & 0xE0) == 0xC0) 2
+        else if ((b0 & 0xF0) == 0xE0) 3
+        else if ((b0 & 0xF8) == 0xF0) 4
+        else throw new IllegalArgumentException(
+          s"code_point_pair_codes: malformed UTF-8 lead byte 0x${Integer.toHexString(b0)} at offset $i")
+      if (i + len > nb)
+        throw new IllegalArgumentException(
+          s"code_point_pair_codes: truncated UTF-8 sequence at offset $i")
+      var cp = len match {
+        case 1 => b0
+        case 2 => b0 & 0x1F
+        case 3 => b0 & 0x0F
+        case _ => b0 & 0x07
+      }
+      var k = 1
+      while (k < len) {
+        val cb = org.apache.spark.unsafe.Platform.getByte(base, off + i + k) & 0xff
+        if ((cb & 0xC0) != 0x80)
+          throw new IllegalArgumentException(
+            s"code_point_pair_codes: malformed UTF-8 continuation 0x${Integer.toHexString(cb)} at offset ${i + k}")
+        cp = (cp << 6) | (cb & 0x3F)
+        k += 1
+      }
+      cps(nc) = cp; nc += 1
+      i += len
+    }
+    // pair pass: adjacent pairs where neither side is the 0x20 separator
+    var n = 0
+    var j = 0
+    while (j + 1 < nc) {
+      if (cps(j) != 0x20 && cps(j + 1) != 0x20) n += 1
+      j += 1
+    }
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](n)
+    var g = 0
+    j = 0
+    while (j + 1 < nc) {
+      if (cps(j) != 0x20 && cps(j + 1) != 0x20) {
+        out(g) = (cps(j).toLong << 21) | cps(j + 1).toLong
+        g += 1
+      }
+      j += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
@@ -451,6 +526,31 @@ case class CharPairCodes(child: Expression) extends UnaryExpression {
 object CharPairCodes {
   def apply(text: Column): Column =
     GraftColumnBridge.column(CharPairCodes(GraftColumnBridge.expression(text)))
+}
+
+/** See [[HashedGramsCore.codePointPairCodes]] — the UTF-8-safe sibling
+  * of [[CharPairCodes]]: exact 42-bit fused code-point pairs, LONG typed.
+  */
+case class CodePointPairCodes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "code_point_pair_codes"
+  override def nullSafeEval(input: Any): Any =
+    HashedGramsCore.codePointPairCodes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashedGramsCore.codePointPairCodes($s);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CodePointPairCodes {
+  def apply(text: Column): Column =
+    GraftColumnBridge.column(CodePointPairCodes(GraftColumnBridge.expression(text)))
 }
 
 /** See [[HashedGramsCore.intersectCount]]. INPUT CONTRACT: both arrays

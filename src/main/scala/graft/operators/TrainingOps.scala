@@ -1335,6 +1335,48 @@ object TrainingOps {
     },
 
     Q(
+      "tokenizer_cp_pairs",
+      """WITH d AS (
+        |  SELECT replace(replace(replace(text, 'a', 'ä'), 'e', 'é'), 't', '🎉') AS text
+        |  FROM documents),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM d),
+        |p AS (
+        |  SELECT CAST(ascii(substring(tok, i, 1)) AS BIGINT) AS cp1,
+        |         CAST(ascii(substring(tok, i + 1, 1)) AS BIGINT) AS cp2
+        |  FROM tok, unnest(range(1, length(tok))) AS t(i)
+        |  WHERE length(tok) >= 2)
+        |SELECT cp1, cp2, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, cp1, cp2 LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      // UTF-8-SAFE BPE pair mining (VERDICT r16 #5) — the codepoint
+      // sibling of tokenizer_bpe_pairs: the ASCII lane's loud abort on
+      // byte ≥ 0x80 is correct but means a real multilingual corpus
+      // can't run it, so this key mines the same adjacent-pair
+      // statistic over Unicode scalar values. The fixture is ASCII, so
+      // the multilingual corpus is DERIVED in-flight identically in
+      // both engines (a→ä 2-byte, e→é 2-byte, t→🎉 4-byte
+      // supplementary-plane — the case a Java char-pair iteration gets
+      // wrong); nothing about the lane depends on the derivation. Pair
+      // codes are EXACT 42-bit fuses ((cp1<<21)|cp2 — scalar values fit
+      // 21 bits), not hashes, so DuckDB recomputes them from ascii()
+      // code points and the top-30 cut compares as plain integers.
+      // Scale shape identical to the ASCII lane: fused one-pass decode
+      // ([[graft.functions.CodePointPairCodes]] walks raw UTF-8, throws
+      // on malformed bytes), partial+final count on a bounded LONG key,
+      // TakeOrderedAndProject — the corpus never shuffles.
+      val derived = replace(replace(replace(col("text"),
+        lit("a"), lit("ä")), lit("e"), lit("é")), lit("t"), lit("🎉"))
+      T.documents(s, d)
+        .select(explode(graft.functions.CodePointPairCodes(derived)).as("pc"))
+        .groupBy(col("pc")).agg(count(lit(1)).as("cnt"))
+        .select(expr("pc DIV 2097152").as("cp1"),
+                expr("pc % 2097152").as("cp2"), col("cnt"))
+        .orderBy(col("cnt").desc, col("cp1").asc, col("cp2").asc)
+        .limit(30)
+    },
+
+    Q(
       "text_entropy",
       s"""WITH t AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -58,4 +58,37 @@ class Round17OpsSpec extends GraftSuite {
       assert(r.getLong(1) == w && r.getLong(2) == h)
     }
   }
+
+  test("codePointPairCodes: supplementary-plane symbols are single stream symbols") {
+    import graft.functions.HashedGramsCore
+    import org.apache.spark.unsafe.types.UTF8String
+    def pairs(s: String): Seq[(Int, Int)] = {
+      val a = HashedGramsCore.codePointPairCodes(UTF8String.fromString(s))
+      (0 until a.numElements()).map { i =>
+        val v = a.getLong(i); ((v >> 21).toInt, (v & 0x1FFFFF).toInt)
+      }
+    }
+    // 🎉 is U+1F389 (4-byte UTF-8, a surrogate PAIR in Java chars) — it
+    // must appear as ONE symbol on each side of a pair, never two
+    assert(pairs("x🎉y") == Seq(('x'.toInt, 0x1F389), (0x1F389, 'y'.toInt)))
+    // 2-byte (é U+00E9) and 3-byte (文 U+6587) classes
+    assert(pairs("é文") == Seq((0xE9, 0x6587)))
+    // token split on 0x20: no cross-token pairs, empty tokens yield none
+    assert(pairs("ab  cd") == Seq(('a'.toInt, 'b'.toInt), ('c'.toInt, 'd'.toInt)))
+    assert(pairs("") == Nil && pairs("a") == Nil)
+    // pure-ASCII parity with the ASCII lane's pair stream (same positions)
+    val ascii = "fast merge batch"
+    val fromAscii = {
+      val a = HashedGramsCore.charPairCodes(UTF8String.fromString(ascii))
+      (0 until a.numElements()).map { i =>
+        val v = a.getInt(i); (v >> 8, v & 0xff)
+      }
+    }
+    assert(pairs(ascii) == fromAscii)
+    // malformed UTF-8 fails LOUD (truncated lead byte)
+    intercept[IllegalArgumentException] {
+      HashedGramsCore.codePointPairCodes(
+        UTF8String.fromBytes(Array[Byte](0x61, 0xC3.toByte)))
+    }
+  }
 }
