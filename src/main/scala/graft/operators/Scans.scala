@@ -682,17 +682,25 @@ object JdbcIO {
     * region or date) can never splice into the SQL. A missing target
     * table is fine (first-ever load: the subsequent append creates it).
     * Returns rows deleted. */
-  def deleteSlice(url: String, table: String, column: String, value: String,
-                  creds: Option[(String, String)] = None): Int = {
+  /** The exact statement [[deleteSlice]] executes — factored out so the
+    * grammar/golden lane (PgGrammarSpec → tools/pg_grammar_check.py) pins
+    * the real emitted text, not a spec-side reconstruction. */
+  def deleteSliceSql(table: String, column: String): String = {
     require(Ident.matches(table), s"not a plain SQL identifier: $table")
     require(Ident.matches(column), s"not a plain SQL identifier: $column")
+    s"""DELETE FROM $table WHERE "$column" = ?"""
+  }
+
+  def deleteSlice(url: String, table: String, column: String, value: String,
+                  creds: Option[(String, String)] = None): Int = {
+    val stmt = deleteSliceSql(table, column)
     val props = new java.util.Properties()
     creds.foreach { case (u, p) => props.setProperty("user", u); props.setProperty("password", p) }
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       // the whole prepare+execute is fallible: Derby binds at prepare time
       try {
-        val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "$column" = ?""")
+        val st = conn.prepareStatement(stmt)
         try { st.setString(1, value); st.executeUpdate() } finally st.close()
       } catch {
         // target does not exist (yet): table — Derby 42X05 / Postgres 42P01 /
