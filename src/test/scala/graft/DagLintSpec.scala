@@ -30,5 +30,11 @@ class DagLintSpec extends GraftSuite {
     val code = p.waitFor()
     assert(code == 0, s"dag_check failed (exit $code):\n$out")
     assert(out.contains("structure OK"), s"unexpected dag_check output:\n$out")
+    // capability gate (VERDICT r16 #6): the lane must REPORT which mode
+    // ran — a real DagBag import when airflow is installed, stubs
+    // otherwise — so stub coverage can't masquerade as real-import
+    // coverage in any log that quotes this output.
+    assert(out.contains("mode=real-import") || out.contains("mode=stubs"),
+      s"dag_check did not report its lane mode:\n$out")
   }
 }
