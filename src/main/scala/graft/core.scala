@@ -99,6 +99,22 @@ object Scratch {
 
   def dir(tag: String, d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_${runNonce}_${math.abs(d.hashCode).toHexString}"
+
+  /** Conf-keyed ONE-TIME layout build (ADVICE r16 scan_dpp hygiene): the
+    * session conf is the per-(session, dataset) memo, but two threads
+    * hitting the same un-built key would both run `build` and race the
+    * write — the whole check-build-set sequence is serialized here. Use
+    * with a [[dir]]-rooted path so the layout is swept at JVM exit
+    * instead of leaking under java.io.tmpdir.
+    */
+  def onceConf(s: org.apache.spark.sql.SparkSession, confKey: String)
+              (build: => String): String = synchronized {
+    s.conf.getOption(confKey).getOrElse {
+      val root = build
+      s.conf.set(confKey, root)
+      root
+    }
+  }
 }
 
 /** Registry for plans an operator persists as part of its own shape

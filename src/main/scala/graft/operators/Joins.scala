@@ -274,29 +274,41 @@ object Joins {
 
     Q(
       "join_asof",
-      """SELECT t.event_id AS trade_id, t.user_id,
-        |       CAST(t.ts AS TIMESTAMP) AS trade_ts, q.value AS quote_value
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
-        |ASOF JOIN (SELECT * FROM events WHERE event_type IN ('view', 'click')) q
-        |  ON t.user_id = q.user_id AND t.ts >= q.ts
-        |ORDER BY trade_id""".stripMargin
+      """WITH t AS (SELECT event_id AS trade_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |q AS (SELECT event_id AS qid, user_id, ts, value FROM events
+        |      WHERE event_type IN ('view', 'click'))
+        |SELECT t.trade_id, t.user_id, CAST(t.ts AS TIMESTAMP) AS trade_ts,
+        |       arg_max(q.value,
+        |               CAST(epoch_ms(q.ts) AS HUGEINT) * 10000000 + q.qid)
+        |         AS quote_value
+        |FROM t JOIN q ON t.user_id = q.user_id AND q.ts <= t.ts
+        |GROUP BY t.trade_id, t.user_id, t.ts
+        |ORDER BY t.trade_id""".stripMargin
     ) { (s, d) =>
       // As-of join (latest quote ≤ trade time) via the union+window trick
       // (SURVEY.md §2.C join_asof): one shuffle on (user_id), one sort —
-      // the same cost profile a native asof merge would have.
+      // the same cost profile a native asof merge would have. Ties among
+      // quotes sharing (user_id, ts) break by ASCENDING qid so the
+      // running value lands on the MAX qid (ADVICE r16: DuckDB ASOF's
+      // pick among equal timestamps is unspecified, so the oracle spells
+      // the same deterministic choice as a composite arg_max(ms, qid) —
+      // the forward sibling's device, mirrored).
       val ev = T.events(s, d)
       val quotes = ev.where(col("event_type").isin("view", "click"))
         .select(col("user_id"), col("ts"),
                 col("value").as("qvalue"),
+                col("event_id").as("qid"),
                 lit(null).cast("long").as("trade_id"))
       val trades = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"),
                 lit(null).cast("double").as("qvalue"),
+                lit(null).cast("long").as("qid"),
                 col("event_id").as("trade_id"))
       // At equal ts the quote sorts before the trade (nulls first) so the
-      // trade sees it — matches DuckDB ASOF's inclusive `>=`.
+      // trade sees it — matches the oracle's inclusive `<=`.
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("trade_id").asc_nulls_first)
+        .orderBy(col("ts"), col("trade_id").asc_nulls_first, col("qid").asc_nulls_first)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       quotes.unionByName(trades)
         .withColumn("quote_value", last(col("qvalue"), ignoreNulls = true).over(w))
@@ -308,16 +320,21 @@ object Joins {
 
     Q(
       "join_asof_tolerance",
-      """SELECT t.event_id AS trade_id, t.user_id,
-        |       CAST(t.ts AS TIMESTAMP) AS trade_ts,
-        |       CASE WHEN epoch_ms(t.ts) - epoch_ms(q.ts) <= 172800000
-        |            THEN q.value END AS quote_value,
-        |       CASE WHEN epoch_ms(t.ts) - epoch_ms(q.ts) <= 172800000
-        |            THEN epoch_ms(t.ts) - epoch_ms(q.ts) END AS quote_age_ms
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
-        |ASOF JOIN (SELECT * FROM events WHERE event_type IN ('view', 'click')) q
-        |  ON t.user_id = q.user_id AND t.ts >= q.ts
-        |ORDER BY trade_id""".stripMargin
+      """WITH t AS (SELECT event_id AS trade_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |q AS (SELECT event_id AS qid, user_id, ts, value FROM events
+        |      WHERE event_type IN ('view', 'click')),
+        |m AS (
+        |  SELECT t.trade_id, t.user_id, t.ts,
+        |         arg_max(q.value,
+        |                 CAST(epoch_ms(q.ts) AS HUGEINT) * 10000000 + q.qid) AS qv,
+        |         epoch_ms(t.ts) - max(epoch_ms(q.ts)) AS age
+        |  FROM t JOIN q ON t.user_id = q.user_id AND q.ts <= t.ts
+        |  GROUP BY t.trade_id, t.user_id, t.ts)
+        |SELECT trade_id, user_id, CAST(ts AS TIMESTAMP) AS trade_ts,
+        |       CASE WHEN age <= 172800000 THEN qv END AS quote_value,
+        |       CASE WHEN age <= 172800000 THEN age END AS quote_age_ms
+        |FROM m ORDER BY trade_id""".stripMargin
     ) { (s, d) =>
       // As-of with a STALENESS TOLERANCE (pandas merge_asof(tolerance=…),
       // kdb wj's window bound) — the as-of family's missing safety rail:
@@ -332,18 +349,22 @@ object Joins {
       // re-matches an older in-bound quote, exactly merge_asof's
       // contract). Matched-trade row set identical to join_asof's;
       // fresh vs stale ≈ 80/20 on the fixture so both arms are
-      // exercised.
+      // exercised. Equal-timestamp quotes tie-break by ASCENDING qid
+      // (→ max qid wins), the same deterministic composite-arg_max
+      // choice join_asof pins (ADVICE r16).
       val ev = T.events(s, d)
       val quotes = ev.where(col("event_type").isin("view", "click"))
         .select(col("user_id"), col("ts"),
                 expr("struct(ts AS qts, value AS qvalue)").as("q"),
+                col("event_id").as("qid"),
                 lit(null).cast("long").as("trade_id"))
       val trades = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"),
                 lit(null).cast("struct<qts:timestamp,qvalue:double>").as("q"),
+                lit(null).cast("long").as("qid"),
                 col("event_id").as("trade_id"))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("trade_id").asc_nulls_first)
+        .orderBy(col("ts"), col("trade_id").asc_nulls_first, col("qid").asc_nulls_first)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       quotes.unionByName(trades)
         .withColumn("m", last(col("q"), ignoreNulls = true).over(w))

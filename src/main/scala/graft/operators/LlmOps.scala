@@ -1481,23 +1481,19 @@ object LlmOps {
       // init amortizes per partition, output rows are O(meta) — the
       // shuffle after this stage carries features, never media; at
       // 100 TB the blob column itself is only ever touched here.
-      val confKey = s"spark.sql.graft.pngdir:$d"
-      val root = LlmOps.synchronized {
-        s.conf.getOption(confKey).getOrElse {
-          val dir = graft.Scratch.dir("png", d)
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-          T.documents(s, d).where(col("doc_id") % 10 === 0).select(col("doc_id"))
-            .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-              rows.foreach { r =>
-                val id = r.getLong(0)
-                java.nio.file.Files.write(
-                  java.nio.file.Paths.get(dir, s"img_$id.png"),
-                  graft.functions.Multimodal.makePng(id))
-              }
+      val root = graft.Scratch.onceConf(s, s"spark.sql.graft.pngdir:$d") {
+        val dir = graft.Scratch.dir("png", d)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        T.documents(s, d).where(col("doc_id") % 10 === 0).select(col("doc_id"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            rows.foreach { r =>
+              val id = r.getLong(0)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, s"img_$id.png"),
+                graft.functions.Multimodal.makePng(id))
             }
-          s.conf.set(confKey, dir)
-          dir
-        }
+          }
+        dir
       }
       import s.implicits._
       s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(root)

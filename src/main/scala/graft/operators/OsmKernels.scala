@@ -1124,12 +1124,22 @@ object OsmKernels {
       // README.md:70,80-82): a metric radius, so the lon leg must shrink
       // by cos(lat) exactly as the geodesic measures do (a planar radius
       // is 2× too generous at 60°N). Plan shape: the POI set is the
-      // small side — it explodes to its 3×3 neighbor cells (cell edge
-      // 500 centi-units ≥ the 449-centi-unit radius, so the halo is
-      // sufficient) and size-gate-broadcasts onto the node store via a
+      // small side — it explodes to its 3×3 neighbor cells and
+      // size-gate-broadcasts onto the node store via a
       // pure cell equi-join; the metric test only FILTERS the bounded
       // candidate set, never drives the join (join_spatial_grid's
-      // discipline). The WGS84 trig/radius factors do NOT evaluate
+      // discipline). HALO BOUND (ADVICE r16): the 3×3 halo is exact
+      // only on the LATITUDE leg (cell edge 500 centi-units ≥ the
+      // 449-centi-unit metric radius in latitude, which never shrinks);
+      // on the LONGITUDE leg the metric radius spans 449/cos(lat)
+      // centi-units of grid, so above ~|48°| a node can be inside the
+      // 500 km circle yet 2+ cells away in x — BOTH engines run the
+      // identical halo (oracle text above), so the key is
+      // self-consistent and hash-stable, but it is a deliberate
+      // approximation of PostGIS ST_DWithin semantics at high
+      // latitudes, not an exact match; an exact variant would widen
+      // the x-halo per latitude band (ceil(1/cos(lat_band)) cells).
+      // The WGS84 trig/radius factors do NOT evaluate
       // inline on the pair stream: latitudes are integer centi-units,
       // so the per-pair (f1, f2) scale factors take exactly 36 001
       // values — precomputed ONCE into a broadcast factor DIMENSION

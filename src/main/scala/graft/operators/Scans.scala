@@ -74,13 +74,14 @@ object Scans {
       // broadcast; Round16OpsSpec pins `dynamicpruning` present in the
       // scan's partition filters. Aggregates ride the exact-DECIMAL
       // recipe, so the hash is partitioning-independent.
-      val confKey = s"spark.sql.graft.dppdir:$d"
-      val root = s.conf.getOption(confKey).getOrElse {
-        val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+      // Scratch-rooted (swept at JVM exit, stale dirs reaped at startup)
+      // and built under the onceConf serializer so two first-queries on
+      // the same dataset can't race the write (ADVICE r16 hygiene item).
+      val root = graft.Scratch.onceConf(s, s"spark.sql.graft.dppdir:$d") {
+        val dir = graft.Scratch.dir("dpp", d)
         T.orders(s, d)
           .withColumn("o_year", year(col("o_orderdate")))
           .write.mode("overwrite").partitionBy("o_year").parquet(s"$dir/orders")
-        s.conf.set(confKey, dir)
         dir
       }
       val dim = T.region(s, d)
