@@ -107,6 +107,76 @@ object Multimodal {
     (img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
   }
 
+  /** REAL audio lane (`multimodal_audio_decode`) — same argument as the
+    * PNG lane: the JDK ships a WAV (RIFF/PCM) codec in
+    * `javax.sound.sampled`, so the audio half of the multimodal surface
+    * can decode genuine bytes too. The sample recipe is deterministic
+    * integer arithmetic in `doc_id` (16-bit PCM, values in ±1000), so
+    * per-clip frame counts and absolute-amplitude sums are closed-form
+    * for the oracle while the Spark side must round-trip real WAV
+    * framing (RIFF header, fmt chunk, little-endian int16 data) through
+    * the codec to produce the same integers.
+    */
+  val AudioSampleRate = 8000f
+
+  def wavFrames(docId: Long): Int = 64 + (docId % 64).toInt
+
+  /** The i-th PCM sample of the deterministic test clip for `docId`. */
+  def wavSample(docId: Long, i: Int): Int =
+    (((docId * 31 + i.toLong * 7) % 2001) - 1000).toInt
+
+  /** Encode the deterministic test clip as real WAV bytes (16-bit mono
+    * PCM, little-endian — the RIFF layout AudioSystem writes). */
+  def makeWav(docId: Long): Array[Byte] = {
+    val n = wavFrames(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = wavSample(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(AudioSampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode WAV bytes → (sample_rate, n_frames, sum of |sample|). Fails
+    * LOUD on non-WAV payloads and on any format other than the 16-bit
+    * mono PCM contract (a silent skip would let corrupt assets pass as
+    * empty clips). The amplitude sum is an exact BIGINT — the loudness
+    * statistic an audio curation pass aggregates without a float
+    * surface.
+    */
+  def decodeWav(bytes: Array[Byte]): (Long, Long, Long) = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"multimodal_audio_decode: payload of ${bytes.length} bytes is not decodable audio", e)
+      }
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+      s"multimodal_audio_decode: expected 16-bit mono little-endian PCM, got $f")
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      sum += math.abs(s.toLong)
+      i += 1
+    }
+    (f.getSampleRate.toLong, n.toLong, sum)
+  }
+
   /** documents → media records (text bytes stand in for image bytes) →
     * per-partition decode → feature rows.
     */

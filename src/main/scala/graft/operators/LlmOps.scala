@@ -1508,6 +1508,61 @@ object LlmOps {
         }
         .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
         .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "multimodal_audio_decode",
+      """WITH m AS (
+        |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id % 10 = 5),
+        |s AS (
+        |  SELECT doc_id, n,
+        |         abs((doc_id * 31 + i * 7) % 2001 - 1000) AS amp
+        |  FROM m, unnest(range(0, n)) AS t(i))
+        |SELECT doc_id,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(max(n) AS BIGINT) AS n_frames,
+        |       CAST(sum(amp) AS BIGINT) AS sum_abs_amp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // REAL audio decode — the WAV sibling of multimodal_image_decode:
+      // one genuine RIFF/PCM WAV per asset written executor-side (the
+      // JDK's javax.sound.sampled codec — no external audio libs
+      // needed), read back as opaque blobs via binaryFile, decoded
+      // per-partition through AudioSystem. The deterministic 16-bit
+      // sample recipe keeps frame counts and the absolute-amplitude sum
+      // (the loudness statistic an audio curation pass aggregates)
+      // closed-form for the DuckDB oracle, while the Spark side must
+      // parse real WAV framing — RIFF header, fmt chunk, little-endian
+      // int16 payload — to produce the same exact BIGINTs. Decoder
+      // amortizes per partition; output rows are O(meta), the shuffle
+      // never carries audio.
+      val root = graft.Scratch.onceConf(s, s"spark.sql.graft.wavdir:$d") {
+        val dir = graft.Scratch.dir("wav", d)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        T.documents(s, d).where(col("doc_id") % 10 === 5).select(col("doc_id"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            rows.foreach { r =>
+              val id = r.getLong(0)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, s"clip_$id.wav"),
+                graft.functions.Multimodal.makeWav(id))
+            }
+          }
+        dir
+      }
+      import s.implicits._
+      s.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(root)
+        .select(regexp_extract(col("path"), "clip_(\\d+)\\.wav", 1).cast("long").as("doc_id"),
+                col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val (rate, n, sumAbs) = graft.functions.Multimodal.decodeWav(bytes)
+            (id, rate, n, sumAbs)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_frames", "sum_abs_amp")
+        .orderBy(col("doc_id"))
     }
   )
 }

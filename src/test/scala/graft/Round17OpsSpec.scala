@@ -59,6 +59,33 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("multimodal_audio_decode: bytes are genuine RIFF WAV and the codec round-trips every sample") {
+    import graft.functions.Multimodal
+    val wav = Multimodal.makeWav(17L)
+    // real RIFF/WAVE container magic
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+           new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+           "payload must carry the RIFF/WAVE signature")
+    // encode → decode equals the closed-form stats for a spread of ids
+    for (id <- Seq(0L, 5L, 17L, 63L, 4995L)) {
+      val n = Multimodal.wavFrames(id)
+      val (rate, frames, sumAbs) = Multimodal.decodeWav(Multimodal.makeWav(id))
+      assert(rate == 8000L && frames == n.toLong)
+      val expect = (0 until n).map(i => math.abs(Multimodal.wavSample(id, i).toLong)).sum
+      assert(sumAbs == expect, s"id=$id: got $sumAbs want $expect")
+    }
+    // non-audio payloads fail LOUD
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("not a wav".getBytes)
+    }
+    // end-to-end through the binaryFile layout
+    val out = SparkEntry.queries("multimodal_audio_decode")(spark, sf).collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      assert(r.getLong(2) == Multimodal.wavFrames(r.getLong(0)).toLong)
+    }
+  }
+
   test("codePointPairCodes: supplementary-plane symbols are single stream symbols") {
     import graft.functions.HashedGramsCore
     import org.apache.spark.unsafe.types.UTF8String
