@@ -107,6 +107,39 @@ object Multimodal {
     (img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
   }
 
+  /** Decode PNG bytes and EXECUTE an aspect-preserving nearest-neighbor
+    * resize into a `box`×`box` target (`multimodal_resize_exec` — the
+    * byte half of the geometry `multimodal_resize_plan` computes as
+    * metadata): scale_ppm = min(box·1e6 DIV w, box·1e6 DIV h), output
+    * dims by integer DIV, source pixel of output (x, y) =
+    * (x·w DIV ow, y·h DIV oh) — every step exact integer arithmetic, so
+    * the resized channel sums are closed-form for the oracle while the
+    * pixels themselves must come out of the real codec. Returns
+    * (out_w, out_h, sum_r, sum_g, sum_b).
+    */
+  def decodeResizeSums(bytes: Array[Byte], box: Int): (Long, Long, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"multimodal_resize_exec: payload of ${bytes.length} bytes is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val sp = math.min(box.toLong * 1000000L / w, box.toLong * 1000000L / h)
+    val ow = (w.toLong * sp / 1000000L).toInt
+    val oh = (h.toLong * sp / 1000000L).toInt
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        val p = img.getRGB(x * w / ow, sy)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (ow.toLong, oh.toLong, sr, sg, sb)
+  }
+
   /** REAL audio lane (`multimodal_audio_decode`) — same argument as the
     * PNG lane: the JDK ships a WAV (RIFF/PCM) codec in
     * `javax.sound.sampled`, so the audio half of the multimodal surface

@@ -38,6 +38,33 @@ object LlmOps {
   val LshBits = 8
   def lshBucket(v: Column): Column = graft.functions.SignProjection(v, LshBits)
 
+  /** The shared real-PNG asset layout + blob scan for the image lanes
+    * (`multimodal_image_decode`, `multimodal_resize_exec`): one genuine
+    * PNG per selected doc written executor-side ONCE per (session,
+    * dataset) under the Scratch/onceConf discipline, read back as
+    * (doc_id, content) via `binaryFile`. Both consumers decode through
+    * the JDK codec — the layout is the corpus, not a per-key cache.
+    */
+  private def pngBlobs(s: SparkSession, d: String): DataFrame = {
+    val root = graft.Scratch.onceConf(s, s"spark.sql.graft.pngdir:$d") {
+      val dir = graft.Scratch.dir("png", d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      T.documents(s, d).where(col("doc_id") % 10 === 0).select(col("doc_id"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"img_$id.png"),
+              graft.functions.Multimodal.makePng(id))
+          }
+        }
+      dir
+    }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(root)
+      .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+              col("content"))
+  }
+
   /** Connected components by alternating large-star / small-star edge
     * contraction (the publicly documented connected-components-in-
     * MapReduce technique of Kiveris et al., "Connected Components in
@@ -1481,24 +1508,8 @@ object LlmOps {
       // init amortizes per partition, output rows are O(meta) — the
       // shuffle after this stage carries features, never media; at
       // 100 TB the blob column itself is only ever touched here.
-      val root = graft.Scratch.onceConf(s, s"spark.sql.graft.pngdir:$d") {
-        val dir = graft.Scratch.dir("png", d)
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-        T.documents(s, d).where(col("doc_id") % 10 === 0).select(col("doc_id"))
-          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-            rows.foreach { r =>
-              val id = r.getLong(0)
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(dir, s"img_$id.png"),
-                graft.functions.Multimodal.makePng(id))
-            }
-          }
-        dir
-      }
       import s.implicits._
-      s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(root)
-        .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1).cast("long").as("doc_id"),
-                col("content"))
+      pngBlobs(s, d)
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, bytes) =>
@@ -1507,6 +1518,49 @@ object LlmOps {
           }
         }
         .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "multimodal_resize_exec",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         1 + doc_id % 8 AS w, 1 + (doc_id * 3) % 8 AS h,
+        |         doc_id % 200 AS r0, (doc_id * 3) % 200 AS g0, (doc_id * 7) % 200 AS b0
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |o AS (
+        |  SELECT doc_id, w, h, r0, g0, b0,
+        |         (w * sp) // 1000000 AS ow, (h * sp) // 1000000 AS oh
+        |  FROM (SELECT *, least((16 * 1000000) // w, (16 * 1000000) // h) AS sp FROM m))
+        |SELECT doc_id,
+        |       CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+        |       CAST(ow*oh*r0 + oh*list_sum(list_transform(range(0, ow), x -> (x*w)//ow))
+        |                     + ow*list_sum(list_transform(range(0, oh), y -> (y*h)//oh)) AS BIGINT) AS sum_r,
+        |       CAST(ow*oh*g0 + oh*list_sum(list_transform(range(0, ow), x -> (x*w)//ow)) AS BIGINT) AS sum_g,
+        |       CAST(ow*oh*b0 + ow*list_sum(list_transform(range(0, oh), y -> (y*h)//oh)) AS BIGINT) AS sum_b
+        |FROM o ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // EXECUTE the resize geometry on real pixels — the byte half
+      // `multimodal_resize_plan` only plans: decode each genuine PNG
+      // through the JDK codec, aspect-preserving-fit it into a 16×16
+      // box with the SAME exact-integer ppm arithmetic as the plan key
+      // (scale = min(16e6 DIV w, 16e6 DIV h); nearest-neighbor source
+      // pixel = (x·w DIV ow, y·h DIV oh) — no float resample kernel, so
+      // nothing drifts), and report the resized channel sums. The
+      // oracle recomputes those sums closed-form from the pixel recipe;
+      // equality requires decode AND resample to agree pixel-for-pixel.
+      // Same per-partition batch shape as the decode key — the resize
+      // runs where the bytes are, output is O(meta).
+      import s.implicits._
+      pngBlobs(s, d)
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val (ow, oh, sr, sg, sb) = graft.functions.Multimodal.decodeResizeSums(bytes, 16)
+            (id, ow, oh, sr, sg, sb)
+          }
+        }
+        .toDF("doc_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b")
         .orderBy(col("doc_id"))
     },
 

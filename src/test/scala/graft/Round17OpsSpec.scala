@@ -59,6 +59,29 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("multimodal_resize_exec: resample executes the plan geometry on decoded pixels") {
+    import graft.functions.Multimodal
+    for (id <- Seq(0L, 7L, 42L, 4990L)) {
+      val (w, h) = Multimodal.pngDims(id)
+      val sp = math.min(16L * 1000000L / w, 16L * 1000000L / h)
+      val (ow, oh, sr, _, _) = Multimodal.decodeResizeSums(Multimodal.makePng(id), 16)
+      assert(ow == w * sp / 1000000L && oh == h * sp / 1000000L,
+             s"id=$id: output dims must follow the integer ppm plan")
+      // independent recompute of the resized red-channel sum
+      val r0 = id % 200
+      val expect = (for (y <- 0L until oh; x <- 0L until ow)
+        yield r0 + (x * w / ow) + (y * h / oh)).sum
+      assert(sr == expect, s"id=$id: got $sr want $expect")
+      // upscale into the 16-box: the long side fills it up to the
+      // integer-DIV floor (w·(min DIV) can land one short of the box)
+      assert(math.max(ow, oh) >= 15 && math.max(ow, oh) <= 16,
+             s"id=$id: long side must fill the box modulo the DIV floor, got ${math.max(ow, oh)}")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeResizeSums(Array[Byte](9, 9, 9), 16)
+    }
+  }
+
   test("multimodal_audio_decode: bytes are genuine RIFF WAV and the codec round-trips every sample") {
     import graft.functions.Multimodal
     val wav = Multimodal.makeWav(17L)
