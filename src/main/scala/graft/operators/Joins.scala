@@ -380,11 +380,17 @@ object Joins {
 
     Q(
       "join_asof_native",
-      """SELECT t.event_id AS trade_id, t.user_id,
-        |       CAST(t.ts AS TIMESTAMP) AS trade_ts, q.value AS quote_value
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
-        |ASOF JOIN (SELECT * FROM events WHERE event_type IN ('view', 'click')) q
-        |  ON t.user_id = q.user_id AND t.ts >= q.ts
+      """WITH t AS (SELECT event_id AS trade_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |q AS (SELECT user_id, ts AS qts, value FROM events
+        |      WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT t.trade_id, t.user_id, t.ts, q.qts, q.value
+        |      FROM t JOIN q ON t.user_id = q.user_id AND q.qts <= t.ts),
+        |r AS (SELECT *, max(qts) OVER (PARTITION BY trade_id) AS mts FROM j)
+        |SELECT trade_id, user_id, CAST(ts AS TIMESTAMP) AS trade_ts,
+        |       max(value) AS quote_value
+        |FROM r WHERE qts = mts
+        |GROUP BY trade_id, user_id, ts
         |ORDER BY trade_id""".stripMargin
     ) { (s, d) =>
       // The SAME as-of semantics as `join_asof`, through the engine's
@@ -397,10 +403,14 @@ object Joins {
       // the union+window emulation's cost — but execution is a
       // single forward merge-scan per partition pair holding ONE
       // (key, value) of state: no window buffer, no union row
-      // widening, right pointer never rewinds. Same DuckDB ASOF
-      // oracle text as `join_asof`, so the two formulations are
-      // cross-validated against each other through the shared truth;
-      // PlanSpec pins AsofJoinExec in the plan with no Window node.
+      // widening, right pointer never rewinds. Ties on (key, time)
+      // resolve to the MAX value (the exec's declared right-side
+      // ordering ends on the value column), and the oracle spells the
+      // SAME deterministic choice — max(value) among the max-ts
+      // in-bound quotes — so the hash can't flap if the fixture ever
+      // gains duplicate quote timestamps (ADVICE r16 class, closed
+      // for the native key too). PlanSpec pins AsofJoinExec in the
+      // plan with no Window node.
       val ev = T.events(s, d)
       val trades = ev.where(col("event_type") === "purchase")
         .select(col("event_id").as("trade_id"), col("user_id"),
