@@ -154,6 +154,65 @@ object TrainingOps {
     },
 
     Q(
+      "data_expectations",
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |         sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS v1,
+        |         sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS v2,
+        |         sum(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R')) THEN 1 ELSE 0 END) AS v3,
+        |         sum(CASE WHEN NOT (l_discount <= 0.05) THEN 1 ELSE 0 END) AS v4,
+        |         sum(CASE WHEN NOT (l_shipdate IS NOT NULL) THEN 1 ELSE 0 END) AS v5
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT 'discount_le_5pct' AS rule_name, n, v4 AS n_violations, CAST(500000 AS BIGINT) AS tol_ppm FROM a
+        |  UNION ALL SELECT 'flag_in_domain', n, v3, 0 FROM a
+        |  UNION ALL SELECT 'price_positive', n, v2, 0 FROM a
+        |  UNION ALL SELECT 'qty_in_range', n, v1, 0 FROM a
+        |  UNION ALL SELECT 'shipdate_present', n, v5, 0 FROM a)
+        |SELECT rule_name, CAST(n AS BIGINT) AS n_rows,
+        |       CAST(n_violations AS BIGINT) AS n_violations,
+        |       (1000000 * CAST(n_violations AS BIGINT)) // n AS viol_ppm,
+        |       (1000000 * CAST(n_violations AS BIGINT)) // n <= tol_ppm AS passed
+        |FROM r ORDER BY rule_name""".stripMargin
+    ) { (s, d) =>
+      // Declarative DATA EXPECTATIONS — the Deequ/dbt-test/Great-
+      // Expectations gate a lake load runs before publishing, as an
+      // ENGINE operator: rules are CONFIGURATION (name, SQL predicate,
+      // tolerance ppm — the osm_layer_extract stance: styles compile to
+      // Catalyst, they are not code), and ALL of them evaluate in ONE
+      // fact scan — each rule is a codegen'd sum(CASE WHEN NOT pred)
+      // inside a single partial+final HashAggregate, so checking 5 or
+      // 500 rules costs one pass regardless (Deequ's own design
+      // argument). The readout unpivots via stack() to one row per rule
+      // with exact-integer violation ppm and a pass flag against the
+      // rule's tolerance — discount_le_5pct deliberately FAILS on this
+      // corpus (~50% violations) so both arms are exercised; the other
+      // four pass at zero. At 100 TB this is the same one scan the
+      // profile key costs; nothing shuffles but the 1-row aggregate.
+      val rules = Seq(
+        // (name, predicate the row must satisfy, tolerance ppm)
+        ("qty_in_range", "l_quantity BETWEEN 1 AND 50", 0L),
+        ("price_positive", "l_extendedprice > 0", 0L),
+        ("flag_in_domain", "l_returnflag IN ('A', 'N', 'R')", 0L),
+        ("discount_le_5pct", "l_discount <= 0.05", 500000L),
+        ("shipdate_present", "l_shipdate IS NOT NULL", 0L))
+      val aggs = rules.zipWithIndex.map { case ((_, pred, _), i) =>
+        sum(when(!expr(pred), 1L).otherwise(0L)).as(s"v$i")
+      }
+      val counted = T.lineitem(s, d)
+        .agg(count(lit(1)).as("n"), aggs: _*)
+      val stackArgs = rules.zipWithIndex.map { case ((name, _, tol), i) =>
+        s"'$name', v$i, CAST($tol AS BIGINT)"
+      }.mkString(", ")
+      counted.selectExpr("n",
+          s"stack(${rules.size}, $stackArgs) AS (rule_name, n_violations, tol_ppm)")
+        .select(col("rule_name"), col("n").as("n_rows"), col("n_violations"),
+                expr("(1000000 * n_violations) DIV n").as("viol_ppm"),
+                expr("(1000000 * n_violations) DIV n <= tol_ppm").as("passed"))
+        .orderBy(col("rule_name"))
+    },
+
+    Q(
       "data_profile_columns",
       """WITH a AS (
         |  SELECT count(*) AS n_rows,
@@ -749,6 +808,53 @@ object TrainingOps {
         .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"))
         .withColumn("oov_ppm", expr("(1000000 * n_oov) DIV n_tokens"))
         .orderBy(col("source"))
+    },
+
+    Q(
+      "tokenizer_coverage_curve",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+        |top AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY t
+        |  ORDER BY f DESC, t LIMIT 30),
+        |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rk FROM top),
+        |c AS (SELECT rk, CAST(sum(f) OVER (ORDER BY rk) AS BIGINT) AS cum FROM r)
+        |SELECT c.rk AS vocab_k, c.cum AS covered_tokens,
+        |       (1000000 * c.cum) // tot.n AS coverage_ppm
+        |FROM c, tot
+        |WHERE c.rk IN (1, 2, 5, 10, 20, 30)
+        |ORDER BY vocab_k""".stripMargin
+    ) { (s, d) =>
+      // Vocabulary COVERAGE CURVE — the readout a tokenizer-budget
+      // decision actually reads (next to tokenizer_oov_rate's fixed-K
+      // slice): for growing vocabulary cutoffs k, what share of all
+      // token OCCURRENCES the top-k types cover. The curve's knee is
+      // where vocab growth stops paying. Two-pass dictionary shape:
+      // pass 1 collapses the token stream to per-type counts
+      // (partial+final hash agg) and TakeOrderedAndProject cuts the
+      // top-30 — after the cut everything is a ≤30-row BOUNDED table,
+      // so the rank + running-sum windows are single-partition by
+      // RIGHT of boundedness (the event_cusum exception, argued: the
+      // cut IS the bound). The occurrence total rides a 1-row global
+      // agg cross-joined back. Exact integers end to end — counts,
+      // cumulative counts, ppm by integer division.
+      import org.apache.spark.sql.expressions.Window
+      val tok = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      val top = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("t")).limit(30)
+      top
+        .withColumn("rk", row_number().over(Window.orderBy(col("f").desc, col("t"))))
+        .withColumn("cum", sum(col("f")).over(
+          Window.orderBy(col("rk")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("rk").isin(1, 2, 5, 10, 20, 30))
+        .crossJoin(broadcast(tot))
+        .select(col("rk").cast("long").as("vocab_k"),
+                col("cum").as("covered_tokens"),
+                expr("(1000000 * cum) DIV n").as("coverage_ppm"))
+        .orderBy(col("vocab_k"))
     },
 
     Q(

@@ -64,6 +64,46 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("data_expectations: one scan, per-rule counts equal an independent recompute") {
+    val rows = SparkEntry.queries("data_expectations")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(rows.size == 5)
+    // independent recompute of the one deliberately failing rule
+    val li = T.lineitem(spark, sf).select("l_discount").collect().map(_.getDouble(0))
+    val viol = li.count(_ > 0.05).toLong
+    val (n, v, passed) = rows("discount_le_5pct")
+    assert(n == li.length.toLong && v == viol, s"got ($n, $v) want (${li.length}, $viol)")
+    assert(passed == (1000000L * viol / n <= 500000L))
+    // strict rules hold at zero on this corpus and pass
+    for (rule <- Seq("qty_in_range", "price_positive", "flag_in_domain", "shipdate_present")) {
+      assert(rows(rule)._2 == 0L && rows(rule)._3, s"$rule should pass with 0 violations")
+    }
+    // plan shape: all five rules ride ONE scan (one FileScan of lineitem)
+    val plan = SparkEntry.queries("data_expectations")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("FileScan")) == 1,
+      s"expectation rules must share one fact scan:\n$plan")
+  }
+
+  test("tokenizer_coverage_curve: monotone, exact, ends at full coverage of the 31-type vocab") {
+    val rows = SparkEntry.queries("tokenizer_coverage_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 5L, 10L, 20L, 30L))
+    // curve is strictly increasing in covered tokens and ppm ≤ 1e6
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2 && b._3 >= a._3)
+    }
+    rows.foreach { case (_, _, ppm) => assert(ppm > 0 && ppm <= 1000000L) }
+    // independent recompute at k=5
+    val toks = T.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val byF = toks.groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+      .toSeq.sortBy { case (t, f) => (-f, t) }
+    val cum5 = byF.take(5).map(_._2).sum
+    assert(rows.find(_._1 == 5L).get._2 == cum5)
+    assert(rows.find(_._1 == 5L).get._3 == 1000000L * cum5 / toks.length)
+  }
+
   test("multimodal_resize_exec: resample executes the plan geometry on decoded pixels") {
     import graft.functions.Multimodal
     for (id <- Seq(0L, 7L, 42L, 4990L)) {
