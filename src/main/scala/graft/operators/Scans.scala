@@ -423,67 +423,56 @@ object Scans {
       // parallelism is the scan's 100 TB partitioning), odd partitions
       // gzipped: the reader's magic-byte gzip detection and multi-file
       // parallel parse are both on the oracled path.
-      import s.implicits._
-      val confKey = s"spark.sql.graft.oscdir:$d"
-      val root = s.conf.getOption(confKey).getOrElse {
-        val dir = java.nio.file.Files.createTempDirectory("graft_osc").toString
-        val emptyMembers =
-          expr("CAST(array() AS ARRAY<STRUCT<mtype:STRING, mref:BIGINT, mrole:STRING>>)")
-        val nodes = T.supplier(s, d).select(
-          expr("CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'create' WHEN 1 THEN 'modify' ELSE 'delete' END").as("op"),
-          lit("node").as("elem_type"), col("s_suppkey").as("id"),
-          (col("s_suppkey") % 5 + 1).as("version"),
-          lit("2024-07-25T00:00:00Z").as("ts"),
-          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("lat7"),
-          (col("s_nationkey").cast("long") * 1000000 + col("s_suppkey")).as("lon7"),
-          map(lit("name"), col("s_name")).as("tags"),
-          expr("CAST(array() AS ARRAY<BIGINT>)").as("nd_refs"),
-          emptyMembers.as("members"))
-        val ways = T.nation(s, d)
-          .join(T.supplier(s, d).groupBy(col("s_nationkey"))
-                  .agg(expr("array_sort(collect_list(s_suppkey))").as("refs")),
-                col("n_nationkey") === col("s_nationkey"), "left")
-          .select(lit("modify").as("op"), lit("way").as("elem_type"),
-            (col("n_nationkey").cast("long") + 100000).as("id"),
-            lit(2L).as("version"), lit("").as("ts"),
-            lit(null).cast("long").as("lat7"), lit(null).cast("long").as("lon7"),
-            map(lit("name"), col("n_name")).as("tags"),
-            coalesce(col("refs"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("nd_refs"),
-            emptyMembers.as("members"))
-        val rels = T.region(s, d)
-          .join(T.nation(s, d).groupBy(col("n_regionkey"))
-                  .agg(expr("""array_sort(collect_list(struct(
-                              |  CAST('way' AS STRING) AS mtype,
-                              |  CAST(n_nationkey AS BIGINT) + 100000 AS mref,
-                              |  CAST('outer' AS STRING) AS mrole)))""".stripMargin).as("ms")),
-                col("r_regionkey") === col("n_regionkey"), "left")
-          .select(lit("delete").as("op"), lit("relation").as("elem_type"),
-            (col("r_regionkey").cast("long") + 200000).as("id"),
-            lit(3L).as("version"), lit("").as("ts"),
-            lit(null).cast("long").as("lat7"), lit(null).cast("long").as("lon7"),
-            map(lit("name"), col("r_name")).as("tags"),
-            expr("CAST(array() AS ARRAY<BIGINT>)").as("nd_refs"),
-            coalesce(col("ms"), emptyMembers).as("members"))
-        nodes.unionByName(ways).unionByName(rels)
-          .as[graft.sources.OsmChange.OscRow]
-          .foreachPartition { (it: Iterator[graft.sources.OsmChange.OscRow]) =>
-            val rows = it.toSeq
-            if (rows.nonEmpty) {
-              val pid = org.apache.spark.TaskContext.getPartitionId()
-              val gz = pid % 2 == 1
-              graft.sources.OsmChange.write(
-                f"$dir%s/chunk_$pid%04d.osc" + (if (gz) ".gz" else ""), rows, gz)
-            }
-          }
-        s.conf.set(confKey, dir)
-        dir
-      }
+      val root = oscRoot(s, d)
       graft.sources.OsmChange.read(s, root)
         .select(col("op"), col("elem_type"), col("id"), col("version"),
           col("lat7"), col("lon7"), element_at(col("tags"), "name").as("name"),
           size(col("nd_refs")).cast("long").as("n_refs"),
           size(col("members")).cast("long").as("n_members"))
         .orderBy(col("elem_type"), col("id"))
+    },
+
+    Q(
+      "osm_changeset_stats",
+      """WITH rows AS (
+        |  SELECT CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'create' WHEN 1 THEN 'modify' ELSE 'delete' END AS op,
+        |         'node' AS elem_type, s_suppkey % 5 + 1 AS version,
+        |         0 AS n_refs, 0 AS n_members
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'modify', 'way', 2,
+        |         (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey), 0
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'delete', 'relation', 3, 0,
+        |         (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+        |  FROM region)
+        |SELECT op, elem_type, count(*) AS n_changes,
+        |       CAST(sum(n_refs) AS BIGINT) AS total_refs,
+        |       CAST(sum(n_members) AS BIGINT) AS total_members,
+        |       CAST(max(version) AS BIGINT) AS max_version
+        |FROM rows GROUP BY 1, 2
+        |ORDER BY elem_type, op""".stripMargin
+    ) { (s, d) =>
+      // Replication-diff OPERATIONAL STATS — the per-(op, element-kind)
+      // summary an apply job (`stream_osc_apply` / `OsmEtlJob
+      // --incremental`) logs per batch and an operator alerts on (a
+      // delete-heavy or way-only diff is how a bad upstream feed shows
+      // up before the lake corrupts). Reads the REAL `.osc` layout
+      // through the same StAX parser as `source_osc` (shared
+      // `oscRoot` fixture — parse correctness is already oracled
+      // there; this key oracles the AGGREGATE against the dim-table
+      // derivation), then one bounded groupBy: op×kind is ≤ 9 keys, so
+      // the aggregate is a partial+final hash agg whose shuffle
+      // carries 9 rows no matter how large the weekly diff is.
+      val root = oscRoot(s, d)
+      graft.sources.OsmChange.read(s, root)
+        .groupBy(col("op"), col("elem_type"))
+        .agg(count(lit(1)).as("n_changes"),
+             sum(size(col("nd_refs"))).cast("long").as("total_refs"),
+             sum(size(col("members"))).cast("long").as("total_members"),
+             max(col("version")).cast("long").as("max_version"))
+        .orderBy(col("elem_type"), col("op"))
     },
 
     Q(
@@ -603,6 +592,72 @@ object Scans {
         .orderBy(col("o_orderstatus"))
     }
   )
+
+  /** One-time `.osc` fixture layout shared by `source_osc` and
+    * `osm_changeset_stats` (the pngBlobs discipline): every change class
+    * and element kind derived deterministically from the dim tables so
+    * the DuckDB oracle recomputes expectations from parquet; one file
+    * per partition via foreachPartition, odd partitions gzipped so the
+    * reader's magic-byte detection stays on the oracled path.
+    */
+  private def oscRoot(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import s.implicits._
+    graft.Scratch.onceConf(s, s"spark.sql.graft.oscdir:$d") {
+      val dir = graft.Scratch.dir("osc", d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+
+      val emptyMembers =
+        expr("CAST(array() AS ARRAY<STRUCT<mtype:STRING, mref:BIGINT, mrole:STRING>>)")
+      val nodes = T.supplier(s, d).select(
+        expr("CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'create' WHEN 1 THEN 'modify' ELSE 'delete' END").as("op"),
+        lit("node").as("elem_type"), col("s_suppkey").as("id"),
+        (col("s_suppkey") % 5 + 1).as("version"),
+        lit("2024-07-25T00:00:00Z").as("ts"),
+        expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("lat7"),
+        (col("s_nationkey").cast("long") * 1000000 + col("s_suppkey")).as("lon7"),
+        map(lit("name"), col("s_name")).as("tags"),
+        expr("CAST(array() AS ARRAY<BIGINT>)").as("nd_refs"),
+        emptyMembers.as("members"))
+      val ways = T.nation(s, d)
+        .join(T.supplier(s, d).groupBy(col("s_nationkey"))
+                .agg(expr("array_sort(collect_list(s_suppkey))").as("refs")),
+              col("n_nationkey") === col("s_nationkey"), "left")
+        .select(lit("modify").as("op"), lit("way").as("elem_type"),
+          (col("n_nationkey").cast("long") + 100000).as("id"),
+          lit(2L).as("version"), lit("").as("ts"),
+          lit(null).cast("long").as("lat7"), lit(null).cast("long").as("lon7"),
+          map(lit("name"), col("n_name")).as("tags"),
+          coalesce(col("refs"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("nd_refs"),
+          emptyMembers.as("members"))
+      val rels = T.region(s, d)
+        .join(T.nation(s, d).groupBy(col("n_regionkey"))
+                .agg(expr("""array_sort(collect_list(struct(
+                            |  CAST('way' AS STRING) AS mtype,
+                            |  CAST(n_nationkey AS BIGINT) + 100000 AS mref,
+                            |  CAST('outer' AS STRING) AS mrole)))""".stripMargin).as("ms")),
+              col("r_regionkey") === col("n_regionkey"), "left")
+        .select(lit("delete").as("op"), lit("relation").as("elem_type"),
+          (col("r_regionkey").cast("long") + 200000).as("id"),
+          lit(3L).as("version"), lit("").as("ts"),
+          lit(null).cast("long").as("lat7"), lit(null).cast("long").as("lon7"),
+          map(lit("name"), col("r_name")).as("tags"),
+          expr("CAST(array() AS ARRAY<BIGINT>)").as("nd_refs"),
+          coalesce(col("ms"), emptyMembers).as("members"))
+      nodes.unionByName(ways).unionByName(rels)
+        .as[graft.sources.OsmChange.OscRow]
+        .foreachPartition { (it: Iterator[graft.sources.OsmChange.OscRow]) =>
+          val rows = it.toSeq
+          if (rows.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val gz = pid % 2 == 1
+            graft.sources.OsmChange.write(
+              f"$dir%s/chunk_$pid%04d.osc" + (if (gz) ".gz" else ""), rows, gz)
+          }
+        }
+      dir
+    }
+  }
+
 }
 
 /** JDBC source/sink surface (§2.A `source_jdbc`/`sink_jdbc`).

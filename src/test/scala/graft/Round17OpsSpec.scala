@@ -64,6 +64,22 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("osm_changeset_stats: aggregate equals a recompute over the parsed rows") {
+    val got = SparkEntry.queries("osm_changeset_stats")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // recompute from the already-oracled parse surface (source_osc)
+    val rows = SparkEntry.queries("source_osc")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(7), r.getLong(8)))
+    val expect = rows.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      k -> ((g.length.toLong, g.map(_._4).sum, g.map(_._5).sum, g.map(_._3).max))
+    }
+    assert(got == expect, s"got $got want $expect")
+    // the diff fixture carries all three ops and all three kinds
+    assert(got.keySet.map(_._2) == Set("node", "way", "relation"))
+    assert(got.keySet.map(_._1) == Set("create", "modify", "delete"))
+  }
+
   test("data_expectations: one scan, per-rule counts equal an independent recompute") {
     val rows = SparkEntry.queries("data_expectations")(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
