@@ -475,6 +475,58 @@ object Joins {
     },
 
     Q(
+      "join_interval",
+      """WITH p AS (SELECT event_id AS pid, epoch_ms(ts) AS s1, epoch_ms(ts) + 7200000 AS e1
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS cid, epoch_ms(ts) AS s2, epoch_ms(ts) + 3600000 AS e2
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.pid AS purchase_id,
+        |       count(c.cid) AS n_clicks,
+        |       CAST(coalesce(sum(CASE WHEN c.cid IS NOT NULL
+        |                          THEN least(p.e1, c.e2) - greatest(p.s1, c.s2) END), 0) AS BIGINT) AS overlap_ms
+        |FROM p LEFT JOIN c ON p.s1 < c.e2 AND c.s2 < p.e1
+        |GROUP BY p.pid ORDER BY p.pid""".stripMargin
+    ) { (s, d) =>
+      // INTERVAL×INTERVAL overlap join — the temporal sibling of
+      // `join_spatial_grid` and the one interval shape the as-of family
+      // cannot express: both sides are WINDOWS (purchase attribution
+      // windows × click dwell windows, half-open [s, e)), the match is
+      // s1 < e2 AND s2 < e1, and there is NO selective equality key to
+      // hide behind. A raw range join is quadratic; the 100 TB shape is
+      // GRID BLOCKING in time: each interval explodes to the 1-hour
+      // cells it spans (≤ 3 for the 2 h window — bounded fan-out), the
+      // join is a pure cell EQUI-join (hash-partitionable, AQE-visible)
+      // with the overlap test demoted to a FILTER, and the classic
+      // min-shared-cell rule — keep a pair only in cell
+      // floor(max(s1,s2)/C), which overlapping intervals provably share
+      // — dedupes without a distinct. Readout collapses to one row per
+      // purchase (count + exact total overlap ms), left-joined back so
+      // zero-overlap purchases report 0, matching the oracle's LEFT
+      // range join. All arithmetic exact integer epoch-ms.
+      val ev = T.events(s, d)
+      val C = 3600000L
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), unix_millis(col("ts")).as("s1"),
+                (unix_millis(col("ts")) + 7200000L).as("e1"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("cid"), unix_millis(col("ts")).as("s2"),
+                (unix_millis(col("ts")) + 3600000L).as("e2"))
+      val pc = p.withColumn("cell", explode(expr(s"sequence(s1 DIV $C, (e1 - 1) DIV $C)")))
+      val cc = c.withColumn("cell", explode(expr(s"sequence(s2 DIV $C, (e2 - 1) DIV $C)")))
+      val agg = pc.join(cc, Seq("cell"))
+        .where(col("s1") < col("e2") && col("s2") < col("e1")
+               && col("cell") === greatest(expr(s"s1 DIV $C"), expr(s"s2 DIV $C")))
+        .groupBy(col("pid"))
+        .agg(count(lit(1)).as("n"),
+             sum(least(col("e1"), col("e2")) - greatest(col("s1"), col("s2"))).as("ms"))
+      p.join(agg, Seq("pid"), "left")
+        .select(col("pid").as("purchase_id"),
+                coalesce(col("n"), lit(0L)).as("n_clicks"),
+                coalesce(col("ms"), lit(0L)).as("overlap_ms"))
+        .orderBy(col("purchase_id"))
+    },
+
+    Q(
       "join_self",
       """SELECT a.l_orderkey AS orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
         |       a.l_quantity AS qty_a, b.l_quantity AS qty_b

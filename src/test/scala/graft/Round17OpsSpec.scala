@@ -64,6 +64,24 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("join_interval: grid-blocked overlap equals the brute-force pair set") {
+    val ev = T.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_millis(col("ts")).as("ms")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val p = ev.filter(_._2 == "purchase").map(t => (t._1, t._3, t._3 + 7200000L))
+    val c = ev.filter(_._2 == "click").map(t => (t._1, t._3, t._3 + 3600000L))
+    val expect = p.map { case (pid, s1, e1) =>
+      val hits = c.filter { case (_, s2, e2) => s1 < e2 && s2 < e1 }
+      pid -> ((hits.length.toLong,
+               hits.map { case (_, s2, e2) => math.min(e1, e2) - math.max(s1, s2) }.sum))
+    }.toMap
+    val got = SparkEntry.queries("join_interval")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, "grid blocking must neither drop nor double-count a pair")
+    // both arms live: some purchases overlap, some don't
+    assert(got.values.exists(_._1 > 0) && got.values.exists(_._1 == 0))
+  }
+
   test("osm_changeset_stats: aggregate equals a recompute over the parsed rows") {
     val got = SparkEntry.queries("osm_changeset_stats")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
