@@ -2420,6 +2420,62 @@ object OsmKernels {
     },
 
     Q(
+      "osm_turn_restrictions",
+      """WITH memb AS (
+        |  SELECT DISTINCT l_partkey AS node_id, l_orderkey AS way_id FROM lineitem),
+        |j AS (
+        |  SELECT node_id, list_sort(list(way_id)) AS ws, count(*) AS d
+        |  FROM memb GROUP BY node_id HAVING count(*) >= 2)
+        |SELECT node_id, CAST(d AS BIGINT) AS n_ways,
+        |       CAST(d * (d - 1) AS BIGINT) AS n_turns,
+        |       CAST(list_sum(list_transform(ws, a ->
+        |              list_sum(list_transform(ws, b ->
+        |                CASE WHEN a <> b AND (a + b + node_id) % 11 = 0
+        |                     THEN 1 ELSE 0 END)))) AS BIGINT) AS n_restricted,
+        |       CAST(d * (d - 1) - list_sum(list_transform(ws, a ->
+        |              list_sum(list_transform(ws, b ->
+        |                CASE WHEN a <> b AND (a + b + node_id) % 11 = 0
+        |                     THEN 1 ELSE 0 END)))) AS BIGINT) AS n_allowed
+        |FROM j ORDER BY node_id""".stripMargin
+    ) { (s, d) =>
+      // TURN-RESTRICTION accounting at routing junctions — the OSM
+      // `type=restriction` relation semantics (no_left_turn etc.: a
+      // (from_way, via_node, to_way) triple forbids one ordered way
+      // pair at one junction) applied to the same junction set
+      // `osm_road_graph` splits on. Per junction: possible ordered
+      // turns d·(d−1) (U-turns excluded), restricted pairs (the
+      // restriction set derives deterministically from the ids so the
+      // oracle recomputes it — a real feed joins the relation table
+      // instead, same shape), and the allowed remainder a router
+      // actually expands. Scale shape: the ordered-pair space is
+      // degree² and must NEVER materialize as rows — the way set
+      // collects into one in-row sorted array per junction (bounded by
+      // street degree; the collect_set is the same single regroup the
+      // road graph pays) and the pair count folds INSIDE the row with
+      // higher-order lambdas, so the shuffle carries one row per
+      // junction and the d² work stays in-row arithmetic. Everything
+      // is exact integer; both engines run the identical lambda text.
+      val memb = T.lineitem(s, d)
+        .select(col("l_partkey").as("node_id"), col("l_orderkey").as("way_id"))
+        .distinct()
+      memb.groupBy(col("node_id"))
+        .agg(sort_array(collect_set(col("way_id"))).as("ws"),
+             count(lit(1)).as("d"))
+        .where(col("d") >= 2)
+        .withColumn("n_restricted", expr(
+          """aggregate(ws, CAST(0 AS BIGINT), (acc, a) ->
+            |  acc + aggregate(ws, CAST(0 AS BIGINT), (acc2, b) ->
+            |    acc2 + IF(a != b AND (a + b + node_id) % 11 = 0,
+            |              CAST(1 AS BIGINT), CAST(0 AS BIGINT))))""".stripMargin))
+        .select(col("node_id"),
+                col("d").as("n_ways"),
+                (col("d") * (col("d") - 1)).as("n_turns"),
+                col("n_restricted"),
+                (col("d") * (col("d") - 1) - col("n_restricted")).as("n_allowed"))
+        .orderBy(col("node_id"))
+    },
+
+    Q(
       "osm_road_graph",
       """WITH memb AS (
         |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node_ref

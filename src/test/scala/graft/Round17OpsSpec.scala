@@ -64,6 +64,27 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("osm_turn_restrictions: in-row pair fold equals brute-force pair enumeration") {
+    val memb = T.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_orderkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = memb.groupBy(_._1).collect { case (node, g) if g.length >= 2 =>
+      val ws = g.map(_._2).distinct.sorted
+      val d = ws.length.toLong
+      val restricted = (for (a <- ws; b <- ws if a != b
+                             && (a + b + node) % 11 == 0) yield 1L).sum
+      node -> ((d, d * (d - 1), restricted, d * (d - 1) - restricted))
+    }
+    val got = SparkEntry.queries("osm_turn_restrictions")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    // restrictions exist and never exceed the turn count
+    assert(got.values.exists(_._3 > 0))
+    got.values.foreach { case (_, turns, restr, allowed) =>
+      assert(restr <= turns && allowed + restr == turns)
+    }
+  }
+
   test("join_interval: grid-blocked overlap equals the brute-force pair set") {
     val ev = T.events(spark, sf)
       .select(col("event_id"), col("event_type"), unix_millis(col("ts")).as("ms")).collect()
