@@ -2393,6 +2393,43 @@ object OsmKernels {
     // must not undo `join_skew_salted`'s lesson. Layout/behavioral (file
     // counts aren't SQL) → smoke + AnalyticsOpsSpec asserts files
     // collapse 16→≤2 per partition with bit-identical row content.
+    // Snapshot RETENTION sweep — the vacuum a versioned lake needs once
+    // `stream_osc_apply` / `merge_scd2`-class writers start landing one
+    // snapshot dir per applied sequence: list `seq_<n>` dirs, keep the
+    // newest K, delete the rest. The deletes are a METADATA-plane
+    // driver loop by design (same as any table format's VACUUM — the
+    // work is proportional to snapshot count, never data size); the
+    // data itself was written executor-side. Loud guards: keep ≥ 1,
+    // and the newest snapshot is structurally undeletable (it sorts
+    // first). Readout: one row per snapshot seen with its fate, file
+    // count, and surviving row count — the spec asserts survivors are
+    // byte-intact and victims are gone from the filesystem.
+    Q.smoke("lake_vacuum") { (s, d) =>
+      val root = graft.Scratch.dir("lake_vacuum", d)
+      val src = T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      (0 until 6).foreach { n =>
+        src.where(pmod(col("o_orderkey"), lit(6)) === n)
+          .write.mode("overwrite").parquet(s"$root/seq_$n")
+      }
+      val keep = 3
+      require(keep >= 1, "lake_vacuum: retention must keep at least one snapshot")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val snaps = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("seq_"))
+        .map(st => (st.getPath.getName.stripPrefix("seq_").toLong, st.getPath))
+        .sortBy(-_._1)
+      val report = snaps.zipWithIndex.map { case ((seq, path), rank) =>
+        val nFiles = fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
+        val kept = rank < keep
+        if (!kept) require(fs.delete(path, true), s"lake_vacuum: failed to delete $path")
+        val nRows = if (kept) s.read.parquet(path.toString).count() else 0L
+        (seq, kept, nFiles.toLong, nRows)
+      }
+      import s.implicits._
+      report.toSeq.toDF("seq", "kept", "n_files", "n_rows").orderBy(col("seq"))
+    },
+
     Q.smoke("lake_compact") { (s, d) =>
       val root = graft.Scratch.dir("lake_compact", d)
       val src = T.orders(s, d)

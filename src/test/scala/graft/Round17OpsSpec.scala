@@ -64,6 +64,30 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("lake_vacuum: survivors byte-intact, victims gone from the filesystem") {
+    val rows = SparkEntry.queries("lake_vacuum")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 6)
+    // newest 3 kept, oldest 3 vacuumed
+    assert(rows.filter(_._2).map(_._1).toSet == Set(3L, 4L, 5L))
+    assert(rows.filterNot(_._2).forall(_._4 == 0L))
+    // survivors hold exactly their slice of the source (content intact)
+    val src = T.orders(spark, sf).select(col("o_orderkey")).collect().map(_.getLong(0))
+    rows.filter(_._2).foreach { case (seq, _, _, nRows) =>
+      assert(nRows == src.count(k => ((k % 6) + 6) % 6 == seq),
+             s"snapshot $seq row count drifted after vacuum")
+    }
+    // victims are REALLY gone (filesystem, not just the report)
+    val root = graft.Scratch.dir("lake_vacuum", sf)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (seq <- Seq(0, 1, 2))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/seq_$seq")),
+             s"vacuumed snapshot seq_$seq still on disk")
+    for (seq <- Seq(3, 4, 5))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/seq_$seq")))
+  }
+
   test("osm_turn_restrictions: in-row pair fold equals brute-force pair enumeration") {
     val memb = T.lineitem(spark, sf)
       .select(col("l_partkey"), col("l_orderkey")).distinct().collect()
