@@ -64,6 +64,22 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("agg_bitmap_distinct: exact vs countDistinct, loud out-of-domain contract") {
+    import graft.functions.BitmapDistinctAgg
+    val li = T.lineitem(spark, sf)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = SparkEntry.queries("agg_bitmap_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exact, "bitmap distinct must be EXACT, not an estimate")
+    // out-of-domain ids fail loud, never clamp
+    val err = intercept[Exception] {
+      li.agg(BitmapDistinctAgg(col("l_partkey"), 16)).collect()
+    }
+    assert(err.getMessage != null || err.getCause != null) // surfaced, not swallowed
+  }
+
   test("lake_vacuum: survivors byte-intact, victims gone from the filesystem") {
     val rows = SparkEntry.queries("lake_vacuum")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
