@@ -471,6 +471,57 @@ object EventOps {
     },
 
     Q(
+      "event_concurrency",
+      """WITH w AS (SELECT epoch_ms(ts) AS s, epoch_ms(ts) + 7200000 AS e
+        |           FROM events WHERE event_type = 'purchase'),
+        |edges AS (SELECT s AS t, 1 AS dlt FROM w UNION ALL SELECT e, -1 FROM w),
+        |r AS (SELECT t, sum(dlt) OVER (ORDER BY t, dlt) AS depth FROM edges)
+        |SELECT t // 3600000 AS hour_bucket,
+        |       CAST(max(depth) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      // CONCURRENT-INTERVAL depth (occupancy / queue-depth) — the
+      // classic sweep-line: ±1 edges at window starts/ends, running sum
+      // in time order, max per serving hour. The global running sum is
+      // the textbook single-task-window trap; here it rides the
+      // partial-offset device (the weighted-prefix-sum form of
+      // TrainingOps.globalRowNumber): range-repartition the edge
+      // stream on (t, dlt), per-partition edge sums collect as ≤ P
+      // metadata rows, driver prefix-sums them, and the only window is
+      // LOCAL per partition — no task ever sorts more than ~1/P of the
+      // edges at any scale. Tie semantics are the half-open contract:
+      // at equal t the −1 sorts first (a window ending at t does not
+      // overlap one starting at t), and the default RANGE frame applies
+      // each (t, dlt) tie group as one step. Tie groups MAY straddle a
+      // range boundary: the partial cums a split produces always lie
+      // BETWEEN the adjacent full depths (monotone within a group), so
+      // max-per-bucket is split-independent and the hash cannot drift.
+      import org.apache.spark.sql.expressions.Window
+      val w = T.events(s, d).where(col("event_type") === "purchase")
+        .select(unix_millis(col("ts")).as("t0"))
+      val edges = w.select(col("t0").as("t"), lit(1L).as("dlt"))
+        .unionByName(w.select((col("t0") + 7200000L).as("t"), lit(-1L).as("dlt")))
+      val parts = s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
+      val ranged = graft.Caches.register(
+        edges.repartitionByRange(parts, col("t"), col("dlt"))
+          .withColumn("_pid", spark_partition_id()).persist())
+      val partials = ranged.groupBy(col("_pid")).agg(sum(col("dlt")).as("pd"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = partials.map(_._2).scanLeft(0L)(_ + _).init
+      val offExpr = partials.map(_._1).zip(offsets).foldLeft(lit(0L)) {
+        case (acc, (pid, off)) => when(col("_pid") === pid, lit(off)).otherwise(acc)
+      }
+      ranged
+        .withColumn("lcum", sum(col("dlt")).over(
+          Window.partitionBy(col("_pid")).orderBy(col("t"), col("dlt"))))
+        .select(expr("t DIV 3600000").as("hour_bucket"),
+                (col("lcum") + offExpr).as("depth"))
+        .groupBy(col("hour_bucket"))
+        .agg(max(col("depth")).as("max_concurrent"))
+        .orderBy(col("hour_bucket"))
+    },
+
+    Q(
       "event_dau_rolling",
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day FROM events),

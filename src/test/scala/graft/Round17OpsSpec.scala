@@ -64,6 +64,26 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("event_concurrency: distributed sweep equals a driver-side sweep-line") {
+    val starts = T.events(spark, sf).where(col("event_type") === "purchase")
+      .select(unix_millis(col("ts"))).collect().map(_.getLong(0))
+    val edges = (starts.map(t => (t, 1)) ++ starts.map(t => (t + 7200000L, -1)))
+      .sortBy { case (t, d) => (t, d) }
+    // tie-inclusive sweep: apply each (t, dlt) group as one step
+    var depth = 0L
+    val byBucket = scala.collection.mutable.Map.empty[Long, Long]
+    edges.groupBy(identity).toSeq.sortBy(_._1).foreach { case ((t, d), g) =>
+      depth += d.toLong * g.length
+      val b = t / 3600000L
+      byBucket(b) = math.max(byBucket.getOrElse(b, Long.MinValue), depth)
+    }
+    val got = SparkEntry.queries("event_concurrency")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.drain()
+    assert(got == byBucket.toMap, "distributed prefix-sum sweep must equal the sequential sweep")
+    assert(got.values.max >= 2, "fixture must exercise real overlap")
+  }
+
   test("agg_bitmap_distinct: exact vs countDistinct, loud out-of-domain contract") {
     import graft.functions.BitmapDistinctAgg
     val li = T.lineitem(spark, sf)
