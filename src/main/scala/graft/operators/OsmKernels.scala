@@ -2457,6 +2457,58 @@ object OsmKernels {
     },
 
     Q(
+      "osm_address_interpolation",
+      """WITH w AS (
+        |  SELECT o_orderkey AS way_id,
+        |         o_custkey % 1000 AS x1, o_orderkey % 1000 AS y1,
+        |         (o_custkey * 3) % 1000 AS x2, (o_orderkey * 7) % 1000 AS y2,
+        |         2 * (o_orderkey % 5) + o_orderkey % 2 AS h1,
+        |         2 * (o_orderkey % 5) + o_orderkey % 2 + 2 * (3 + o_orderkey % 4) AS h2
+        |  FROM orders WHERE o_orderkey % 20 = 0),
+        |pts AS (
+        |  SELECT way_id, h1 + 2 * i AS housenumber, (h2 - h1) // 2 AS k, i,
+        |         x1, y1, x2, y2
+        |  FROM w, unnest(range(0, (h2 - h1) // 2 + 1)) AS t(i))
+        |SELECT way_id, CAST(housenumber AS BIGINT) AS housenumber,
+        |       CAST(((x1 * (k - i) + x2 * i) * 1000000) // k AS BIGINT) AS x_micro,
+        |       CAST(((y1 * (k - i) + y2 * i) * 1000000) // k AS BIGINT) AS y_micro
+        |FROM pts ORDER BY way_id, housenumber""".stripMargin
+    ) { (s, d) =>
+      // OSM `addr:interpolation` semantics — an interpolation way joins
+      // two addressed endpoints and GENERATES the addresses between
+      // them (even/odd scheme: step 2, endpoint parity shared); the
+      // geocoder table every Nominatim-class consumer materializes from
+      // the raw tags. Endpoints, scheme base, and span derive
+      // deterministically from the dim so the oracle recomputes the
+      // expansion; a real feed reads the endpoint nodes' addr tags
+      // instead — same shape. Positions interpolate in EXACT integer
+      // micro-units with the barycentric form
+      // ((x1·(k−i) + x2·i)·1e6) DIV k: every term is non-negative, so
+      // Spark's truncating DIV and DuckDB's flooring // agree (the
+      // (x2−x1)-delta form would diverge on negative deltas — floor vs
+      // trunc). The expansion is a GENERATOR (explode(sequence)): rows
+      // stream per input way with no shuffle at all; the ~k-fold
+      // fan-out is the point of the operator.
+      T.orders(s, d)
+        .where(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey").as("way_id"),
+                (col("o_custkey") % 1000).as("x1"),
+                (col("o_orderkey") % 1000).as("y1"),
+                (col("o_custkey") * 3 % 1000).as("x2"),
+                (col("o_orderkey") * 7 % 1000).as("y2"),
+                (col("o_orderkey") % 5 * 2 + col("o_orderkey") % 2).as("h1"),
+                (col("o_orderkey") % 5 * 2 + col("o_orderkey") % 2
+                  + (col("o_orderkey") % 4 + 3) * 2).as("h2"))
+        .withColumn("k", expr("(h2 - h1) DIV 2"))
+        .withColumn("i", explode(expr("sequence(0L, k)")))
+        .select(col("way_id"),
+                (col("h1") + col("i") * 2).as("housenumber"),
+                expr("((x1 * (k - i) + x2 * i) * 1000000) DIV k").as("x_micro"),
+                expr("((y1 * (k - i) + y2 * i) * 1000000) DIV k").as("y_micro"))
+        .orderBy(col("way_id"), col("housenumber"))
+    },
+
+    Q(
       "osm_turn_restrictions",
       """WITH memb AS (
         |  SELECT DISTINCT l_partkey AS node_id, l_orderkey AS way_id FROM lineitem),

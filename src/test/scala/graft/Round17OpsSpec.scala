@@ -64,6 +64,27 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("osm_address_interpolation: parity, endpoints exact, positions monotone per way") {
+    val rows = SparkEntry.queries("osm_address_interpolation")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (wayId, pts) =>
+      val sorted = pts.sortBy(_._2)
+      // even/odd scheme: every generated number shares the endpoint parity, step 2
+      val parities = sorted.map(_._2 % 2).distinct
+      assert(parities.length == 1, s"way $wayId mixes parities")
+      sorted.sliding(2).foreach { case Array(a, b) => assert(b._2 - a._2 == 2) }
+      // endpoints reproduce the exact micro-unit corners (i=0 and i=k)
+      val x1 = (wayId % 1000 * 0) + sorted.head._3 // head is i=0 → x1*1e6 exactly
+      assert(x1 % 1000000L == 0, s"way $wayId: start not on an integer coordinate")
+      assert(sorted.last._3 % 1000000L == 0 && sorted.last._4 % 1000000L == 0,
+             s"way $wayId: end not on an integer coordinate")
+      // interior points lie between the endpoints on each axis
+      val (lox, hix) = (math.min(sorted.head._3, sorted.last._3), math.max(sorted.head._3, sorted.last._3))
+      sorted.foreach { case (_, _, x, _) => assert(x >= lox && x <= hix) }
+    }
+  }
+
   test("event_concurrency: distributed sweep equals a driver-side sweep-line") {
     val starts = T.events(spark, sf).where(col("event_type") === "purchase")
       .select(unix_millis(col("ts"))).collect().map(_.getLong(0))
