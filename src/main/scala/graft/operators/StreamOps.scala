@@ -153,6 +153,45 @@ object StreamOps {
     // each micro-batch lands idempotently under its batch id, then is
     // atomically visible to the consumer. Exercised over a MemoryStream
     // fed in two batches; returns the union of handed-off artifacts.
+    // Exactly-once delivery DISCIPLINE for foreachBatch (the guarantee
+    // Structured Streaming does NOT give a sink for free: batch ids are
+    // replayed after failures, and the sink must make re-delivery a
+    // no-op). Runs two real micro-batches through
+    // StreamingOps.idempotentBatchWrite, then RE-DELIVERS batch 0 with
+    // the same payload — the marker protocol must refuse it — and
+    // simulates the crash-between-rename-and-marker case (target dir
+    // present, marker absent) — the protocol must overwrite cleanly.
+    // Returns the final landed rows: duplicates would double them, a
+    // wrongly-skipped recovery would halve them; Round17OpsSpec pins
+    // both arms plus the returned write/skip flags.
+    Q.smoke("stream_idempotent_sink") { (s, _) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val base = java.nio.file.Files.createTempDirectory("graft_idem").toString
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      val q = mem.toDF().toDF("id", "v").writeStream
+        .option("checkpointLocation", s"$base/chk")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          StreamingOps.idempotentBatchWrite(batch, batchId, s"$base/out"); ()
+        }.start()
+      try {
+        mem.addData((1L, 1.5), (2L, 2.5)); q.processAllAvailable()
+        mem.addData((3L, 3.5)); q.processAllAvailable()
+      } finally q.stop()
+      // re-delivery of an already-committed batch must be a no-op
+      val redelivered = StreamingOps.idempotentBatchWrite(
+        Seq((1L, 1.5), (2L, 2.5)).toDF("id", "v"), 0L, s"$base/out")
+      require(!redelivered, "stream_idempotent_sink: re-delivered batch 0 must be skipped")
+      // crash-recovery arm: target dir present but marker missing → rewrite
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/out/_committed_1"), false)
+      val recovered = StreamingOps.idempotentBatchWrite(
+        Seq((3L, 3.5)).toDF("id", "v"), 1L, s"$base/out")
+      require(recovered, "stream_idempotent_sink: unmarked batch must be (re)written")
+      s.read.parquet(s"$base/out/batch_0", s"$base/out/batch_1").orderBy(col("id"))
+    },
+
     Q.smoke("sink_stream_foreachbatch") { (s, _) =>
       import s.implicits._
       implicit val sqlCtx = s.sqlContext

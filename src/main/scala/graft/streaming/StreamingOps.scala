@@ -392,4 +392,38 @@ object StreamingOps {
       .start()
     q.awaitTermination(120000)
   }
+
+  /** EXACTLY-ONCE batch delivery discipline for a foreachBatch sink
+    * (`stream_idempotent_sink`): Structured Streaming guarantees a batch
+    * id is REPLAYED after a failure, not that it is delivered once — the
+    * sink must make re-delivery a no-op. Protocol (the Delta/Iceberg
+    * txn-ledger shape, on a plain dir lake):
+    *   1. a `_committed_<batchId>` MARKER is the commit record — if it
+    *      exists, the batch already landed; return false, write nothing;
+    *   2. otherwise write the payload to a hidden tmp dir (crash there
+    *      leaves garbage, never a half-visible batch), atomically RENAME
+    *      into place, then create the marker LAST — so a crash between
+    *      rename and marker re-delivers into an overwrite, and a crash
+    *      before rename leaves the target absent. Visibility follows
+    *      the marker, never directory existence (`mode("ignore")` would
+    *      wrongly trust a half-written dir).
+    * Returns true iff this call performed the write.
+    */
+  def idempotentBatchWrite(batch: DataFrame, batchId: Long, root: String): Boolean = {
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(root, s"_committed_$batchId")
+    if (fs.exists(marker)) false
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(root, s".tmp_batch_$batchId")
+      val target = new org.apache.hadoop.fs.Path(root, s"batch_$batchId")
+      batch.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(target)) fs.delete(target, true) // pre-marker crash leftovers
+      require(fs.rename(tmp, target),
+        s"idempotentBatchWrite: rename $tmp -> $target failed")
+      fs.create(marker, false).close() // create-exclusive: double-commit races fail loud
+      true
+    }
+  }
 }

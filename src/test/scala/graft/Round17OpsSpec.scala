@@ -64,6 +64,16 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("stream_idempotent_sink: re-delivery lands exactly-once rows") {
+    // the key itself asserts the skip/rewrite flags via require(); here
+    // the DATA contract: after a replay of batch 0 and a simulated
+    // crash-recovery of batch 1, the landed set is exactly one copy
+    val rows = SparkEntry.queries("stream_idempotent_sink")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)),
+      s"re-delivery must neither duplicate nor drop rows, got ${rows.toSeq}")
+  }
+
   test("osm_address_interpolation: parity, endpoints exact, positions monotone per way") {
     val rows = SparkEntry.queries("osm_address_interpolation")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
