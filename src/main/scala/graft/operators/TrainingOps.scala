@@ -450,6 +450,77 @@ object TrainingOps {
     },
 
     Q(
+      "text_perplexity_interp",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |cw AS (SELECT t, CAST(count(*) AS BIGINT) AS cw FROM tok GROUP BY t),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         |b AS (
+         |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM w, unnest(range(1, len(w))) AS t(i)),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+         |cu AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+         |lm AS (
+         |  SELECT doc_id,
+         |         CAST(round(${lnProbTpl("(0.75 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) + 0.25 * (CAST(cw AS DOUBLE) / CAST(n AS DOUBLE)))")} * 1000.0) AS BIGINT) AS l
+         |  FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1)
+         |         JOIN cw ON cw.t = b.w2, nn)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST((-sum(l)) // count(*) AS BIGINT) AS nll_millinats
+         |FROM lm GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // INTERPOLATED (Jelinek–Mercer) bigram perplexity — the smoothing
+      // `text_perplexity`'s raw MLE deliberately lacks: p(w₂|w₁) =
+      // λ·c₁₂/c₁ + (1−λ)·c(w₂)/N with λ = 3/4 (dyadic, exact in
+      // binary), the standard fix for the MLE's zero-probability cliff
+      // on unseen continuations and the form every CCNet-class LM
+      // filter actually deploys. Same float discipline: the mixed
+      // probability is one shared IEEE expression text, its ln rides
+      // [[lnProbTpl]], and each position rounds to integer millinats
+      // BEFORE the per-doc sum. The w₂ unigram hash the pair stream
+      // lacks comes from an IN-ROW ZIP of the two existing fused
+      // expressions (unigram-hash sequence × bigram-pair array via
+      // transform/element_at — struct assembly only, no hashing in the
+      // lambda, no self-join of the token stream). Scale shape: corpus
+      // collapses to the vocab²-bounded bigram and vocab-bounded
+      // unigram models once, all size-gate-broadcast back; scoring is
+      // map-side arithmetic plus one 1-row N cross-join.
+      import graft.functions.{HashedBigramPairs, HashedWordGramsSeq}
+      val staged = T.documents(s, d)
+        .select(col("doc_id"),
+                HashedWordGramsSeq(col("text"), 1).as("u"),
+                HashedBigramPairs(col("text")).as("bp"))
+      val uni = staged.select(explode(col("u")).as("h"))
+      val cw = uni.groupBy(col("h")).agg(count(lit(1)).as("cw"))
+      val nn = uni.agg(count(lit(1)).as("n"))
+      val b = staged.where(size(col("bp")) > 0)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(bp)), i ->
+            |  struct(element_at(bp, i).h1 AS h1,
+            |         element_at(u, i + 1) AS h2tok,
+            |         element_at(bp, i).h2 AS hp))""".stripMargin)).as("t"))
+        .select(col("doc_id"), col("t.h1").as("h1"),
+                col("t.h2tok").as("h2tok"), col("t.hp").as("hp"))
+      val cb = b.groupBy(col("hp")).agg(count(lit(1)).as("c12"))
+      val cu = b.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+      b.join(graft.Gate.bcast(cb), Seq("hp"))
+        .join(graft.Gate.bcast(cu), Seq("h1"))
+        .join(graft.Gate.bcast(cw.withColumnRenamed("h", "h2tok")), Seq("h2tok"))
+        .crossJoin(broadcast(nn))
+        .select(col("doc_id"),
+          expr(s"CAST(round(${lnProbTpl("(0.75 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) + 0.25 * (CAST(cw AS DOUBLE) / CAST(n AS DOUBLE)))")} * 1000.0) AS BIGINT)")
+            .as("l"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             expr("(-sum(l)) DIV count(1)").cast("long").as("nll_millinats"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "text_pii_redact",
       """SELECT doc_id,
         |       regexp_replace(regexp_replace(regexp_replace(pii,
