@@ -30,6 +30,40 @@ object Filters {
     },
 
     Q(
+      "project_unpivot",
+      """SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |             l_quantity AS qty, l_extendedprice AS price,
+        |             l_discount AS discount, l_tax AS tax
+        |      FROM lineitem WHERE l_orderkey % 100 = 0)
+        |UNPIVOT (value FOR measure IN (qty, price, discount, tax))
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin
+    ) { (s, d) =>
+      // Native UNPIVOT/melt (Spark 3.4+ `Dataset.unpivot` — the typed
+      // API, not a hand-rolled stack()): wide measure columns → long
+      // (entity, measure, value) form, the reshape every metrics store
+      // and ML feature pipeline does before a per-measure groupBy. The
+      // operator is a GENERATOR (Expand, #measures rows per input row,
+      // no shuffle) and keeps column-pruning intact: only the unpivoted
+      // measures and ids reach the scan. DuckDB's UNPIVOT mirrors the
+      // semantics textually — both engines emit one row per (id,
+      // measure) with the measure NAME as a column, which is the part
+      // a UNION-ALL emulation gets subtly wrong (ordering/typing of
+      // the name column).
+      T.lineitem(s, d)
+        .where(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+                col("l_discount").as("discount"), col("l_tax").as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+                 Array(col("qty"), col("price"), col("discount"), col("tax")),
+                 "measure", "value")
+        // (l_orderkey, l_linenumber) is NOT unique in this fixture (the
+        // join_self lesson) — value joins the sort to make it total
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("value"))
+    },
+
+    Q(
       "filter_simple",
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem
