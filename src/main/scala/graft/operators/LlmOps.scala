@@ -851,6 +851,82 @@ object LlmOps {
         .orderBy(col("vec_a"), col("rank"))
     },
 
+    // Graph-ANN SEARCH — the query-time layer of the DiskANN/HNSW
+    // family, completing the retrieval rungs (brute → LSH → IVF → PQ →
+    // graph): greedy BEAM SEARCH over the kNN graph the session already
+    // materializes (sim_knn_graph's label-blocked k=3 edges), made
+    // navigable across blocks by the LONG-EDGE layer hierarchical
+    // methods add — each block's min-id representative links to the
+    // global entry node (bounded: one edge per block). The query is a
+    // deterministic out-of-corpus vector (the mean of vec 0 and vec 1).
+    // Execution shape is the honest distributed one: the searcher is a
+    // DRIVER loop (beam search is inherently sequential) whose state is
+    // O(beam + visited) ids, while every expansion is a broadcast probe
+    // into the DISTRIBUTED edge/embedding store — per round one tiny
+    // neighbor join + one cosine scoring job, edges localCheckpoint'd
+    // once so rounds never re-derive the graph (the bfsConverged
+    // lesson). Budget: 12 rounds, loud overrun. Returns the top-10
+    // visited by exact cosine; no oracle (approximate, driver-loop) —
+    // Round17OpsSpec pins recall@10 vs the brute-force truth and beam
+    // monotonicity.
+    Q.smoke("sim_graph_search") { (s, d) =>
+      import s.implicits._
+      val e = T.embeddings(s, d)
+      // kNN edges (sim_knn_graph's derivation, k=3) + long-edge star
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_a")).orderBy(col("cosine").desc, col("vec_b"))
+      val knn = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .join(e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("label"))
+        .where(col("vec_a") =!= col("vec_b"))
+        .withColumn("cosine", round(cosine("ea", "eb"), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val entry = e.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      val reps = e.groupBy(col("label")).agg(min(col("vec_id")).as("rep"))
+        .select(col("rep")).where(col("rep") =!= entry)
+      val star = reps.select(lit(entry).as("src"), col("rep").as("dst"))
+      val edges = knn.unionByName(star)
+        .unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint() // derive the graph ONCE; rounds only probe it
+      // deterministic out-of-corpus query: mean of vec 0 and vec 1
+      val qVec = e.where(col("vec_id").isin(0L, 1L)).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(qVec.length == 2, "sim_graph_search: query seed vectors missing")
+      val qArr = qVec(0).zip(qVec(1)).map { case (a, b) => (a + b) / 2.0f }
+      val qDf = broadcast(Seq(Tuple1(qArr)).toDF("q"))
+      val scored = e.crossJoin(qDf)
+        .select(col("vec_id"), round(cosine("embedding", "q"), 6).as("score"))
+        .localCheckpoint()
+      val B = 8
+      var visited = Map(entry -> scored.where(col("vec_id") === entry)
+        .collect()(0).getDouble(1))
+      var expanded = Set.empty[Long]
+      var rounds = 0
+      var frontier = Seq(entry) // beam members not yet expanded
+      while (frontier.nonEmpty) {
+        rounds += 1
+        require(rounds <= 24,
+          s"sim_graph_search: beam not converged after 24 rounds (visited ${visited.size})")
+        val cand = edges.join(broadcast(frontier.toDF("src")), Seq("src"))
+          .select(col("dst").as("vec_id")).distinct()
+          .join(broadcast((visited.keys.toSeq :+ -1L).toDF("vec_id")), Seq("vec_id"), "left_anti")
+          .join(scored, Seq("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        expanded ++= frontier
+        visited ++= cand
+        // greedy beam: only the CURRENT top-B's unexpanded members expand
+        // next — convergence = every beam member already expanded
+        val beam = visited.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(B).map(_._1)
+        frontier = beam.filterNot(expanded.contains)
+      }
+      visited.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+        .toDF("vec_id", "score")
+        .withColumn("n_visited", lit(visited.size.toLong))
+        .withColumn("n_rounds", lit(rounds.toLong))
+    },
+
     Q(
       "dedup_semantic",
       s"""WITH $duckVecs,

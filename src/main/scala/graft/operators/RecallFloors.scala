@@ -33,4 +33,12 @@ object RecallFloors {
     * truth (one-hop keep-lowest-id; cells split some true pairs by
     * design — the scan-budget/recall trade SemDeDup makes). */
   val dedupSemanticKmeans = 0.2
+
+  /** `sim_graph_search` beam-search recall@10 vs the exact full-corpus
+    * cosine top-10 (greedy beam B=8 over the label-blocked k=3 kNN
+    * graph + representative long-edge star; measured 0.3 at sf0.001 —
+    * graph navigability, not beam width, is the binding limit on this
+    * weak-neighbour fixture, the same geometry that bounds the LSH
+    * row). The efficiency half is pinned separately: visited ≪ corpus. */
+  val simGraphSearch = 0.2
 }

@@ -64,6 +64,38 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("sim_graph_search: beam finds the seeds, clears the recall floor, scans a fraction") {
+    val rows = SparkEntry.queries("sim_graph_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    val got = rows.map(_._1).toSet
+    // exact top-10 by brute force with the operator's own ordering rule
+    val emb = T.embeddings(spark, sf).select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = emb(0L).zip(emb(1L)).map { case (a, b) => (a + b) / 2.0f }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = emb.toSeq
+      .map { case (id, v) => (id, BigDecimal(cos(v, q)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1).toSet
+    val recall = (got & exact).size / 10.0
+    assert(recall >= operators.RecallFloors.simGraphSearch,
+      s"recall@10 $recall below floor ${operators.RecallFloors.simGraphSearch}; got $got want $exact")
+    // the query seeds are the global top-2 by construction — must be found
+    assert(got.contains(0L) && got.contains(1L), s"seeds not found: $got")
+    // efficiency half: the search touched a FRACTION of the corpus
+    val visited = rows.head._3
+    assert(visited < emb.size / 2, s"beam search visited $visited of ${emb.size} — not sublinear")
+    // scores descend with id tie-break (the operator's ordering contract)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+    }
+  }
+
   test("stream_idempotent_sink: re-delivery lands exactly-once rows") {
     // the key itself asserts the skip/rewrite flags via require(); here
     // the DATA contract: after a replay of batch 0 and a simulated
