@@ -872,6 +872,14 @@ object LlmOps {
     Q.smoke("sim_graph_search") { (s, d) =>
       import s.implicits._
       val e = T.embeddings(s, d)
+      // empty-corpus guard FIRST (EmptyInputSpec contract): no vectors →
+      // an empty result with the production schema — the index build
+      // itself collects an entry id and must not run on nothing
+      val entryRow = e.agg(min(col("vec_id"))).collect()(0)
+      if (entryRow.isNullAt(0)) {
+        Seq.empty[(Long, Double)].toDF("vec_id", "score")
+          .withColumn("n_visited", lit(0L)).withColumn("n_rounds", lit(0L))
+      } else {
       // The graph is an INDEX: built once per (session, dataset) into a
       // Scratch layout — the ivf_partitioned discipline — so queries pay
       // index READS, never graph construction (the steady-state bench
@@ -904,7 +912,7 @@ object LlmOps {
       // duration (a deployed graph-ANN holds it resident; Caches.drain
       // releases it between sweeps)
       val edges = graft.Caches.register(s.read.parquet(s"$idxRoot/edges").persist())
-      val entry = e.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      val entry = entryRow.getLong(0)
       // deterministic out-of-corpus query: mean of vec 0 and vec 1
       val qVec = e.where(col("vec_id").isin(0L, 1L)).orderBy(col("vec_id"))
         .select(col("embedding")).collect()
@@ -948,6 +956,7 @@ object LlmOps {
         .toDF("vec_id", "score")
         .withColumn("n_visited", lit(visited.size.toLong))
         .withColumn("n_rounds", lit(rounds.toLong))
+      }
     },
 
     Q(
