@@ -31,6 +31,36 @@ object SqlSurface {
 
   /** key → SQL run verbatim on both engines. */
   val shared: Seq[(String, String)] = Seq(
+    // GROUPING() disambiguation — the one thing a ROLLUP consumer cannot
+    // live without: a NULL group cell is ambiguous (real NULL data vs
+    // subtotal row) and GROUPING(col) is the standard resolver. Both
+    // engines bind the function to the same grouping-set machinery; the
+    // flag doubles as the only total sort key the subtotal rows have.
+    "sql_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |       count(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin,
+
+    // ANSI FILTER clause — conditional aggregation without the
+    // sum(CASE WHEN ...) contortion, run verbatim through both parsers.
+    // One scan computes every conditional aggregate side by side (the
+    // data_expectations shape, in its standard-SQL spelling); exact
+    // DECIMAL sums keep the money column hash-stable.
+    "sql_filter_clause" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_all,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |                    FILTER (WHERE o_totalprice > 100000) AS DOUBLE), 2) AS big_value
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "sql_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,

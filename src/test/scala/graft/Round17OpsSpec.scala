@@ -64,6 +64,28 @@ class Round17OpsSpec extends GraftSuite {
     }
   }
 
+  test("sql_grouping_id / sql_filter_clause: flags resolve subtotals; filters partition counts") {
+    val g = SparkEntry.queries("sql_grouping_id")(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+                 r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the grand-total row is flagged (1,1) and equals the table size
+    val total = T.orders(spark, sf).count()
+    assert(g.filter(t => t._3 == 1 && t._4 == 1).map(_._5).toSeq == Seq(total))
+    // GROUPING flag = 1 ⟺ the cell is a subtotal NULL, never a data NULL
+    g.foreach { case (st, pr, gs, gp, _) =>
+      assert((gs == 1) == st.isEmpty && (gp == 1) == pr.isEmpty)
+    }
+    // detail rows sum to the grand total
+    assert(g.filter(t => t._3 == 0 && t._4 == 0).map(_._5).sum == total)
+
+    val f = SparkEntry.queries("sql_filter_clause")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    f.foreach { case (_, all, fin, open) =>
+      assert(fin + open <= all, "status filters must partition within the group")
+    }
+    assert(f.map(_._2).sum == total)
+  }
+
   test("sim_graph_search: beam finds the seeds, clears the recall floor, scans a fraction") {
     val rows = SparkEntry.queries("sim_graph_search")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
