@@ -792,6 +792,185 @@ object EmbeddingOps {
           .orderBy(col("exact_dist"), col("vec_id"))
           .limit(10)
       }
+    },
+
+    // ZCA whitening — the embedding-infra step between normalization and
+    // quantization: decorrelate dimensions so downstream distance/PQ
+    // codebooks spend bits evenly (published recipe: Bell & Sejnowski's
+    // ZCA; Jégou & Chum use the PCA variant for retrieval). Two-phase
+    // shape, both phases bounded by d², never by the corpus: (1) ONE
+    // distributed pass accumulates per-partition Gram sums (count, Σx,
+    // upper-tri Σxxᵀ — d(d+1)/2 doubles per PARTITION, the
+    // RowMatrix.computeGramian shape: a genuine per-partition imperative
+    // fold, the documented mapPartitions exception) reduced to a single
+    // d²-sized driver matrix; (2) Jacobi eigendecomposition of the d×d
+    // covariance ON THE DRIVER (d=64 → microseconds, corpus-independent),
+    // W = V·diag(1/√(λ+ε))·Vᵀ re-enters the plan as a LITERAL, and the
+    // whitening itself is a map-only projection (per-row d² flops, zero
+    // exchange). No oracle: eigenvectors are iteration-order artifacts —
+    // Round17bOpsSpec pins the INVARIANT instead (whitened covariance ≈
+    // identity on the directions the corpus actually spans).
+    Q.smoke("emb_whitening") { (s, d) =>
+      import s.implicits._
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"))
+      val dims = e.select(size(col("x")).as("d")).limit(1).collect()
+      if (dims.isEmpty) {
+        e.select(col("vec_id"), col("x").as("whitened")) // empty corpus: keep schema
+      } else {
+        val dim = dims(0).getInt(0)
+        val (n, mu, c) = covariance(e, dim)
+        val (lam, vecs) = jacobiEigen(c)
+        require(n > 0)
+        val eps = 1e-6
+        // W = V·diag(1/√(λ+ε))·Vᵀ — symmetric (ZCA stays closest to the
+        // original basis among all whitening transforms)
+        val w = Array.tabulate(dim, dim) { (i, j) =>
+          var acc = 0.0
+          var k = 0
+          while (k < dim) { acc += vecs(i)(k) * vecs(j)(k) / math.sqrt(lam(k) + eps); k += 1 }
+          acc
+        }
+        val wLit = typedLit(w.map(_.toSeq).toSeq)
+        val muLit = typedLit(mu.toSeq)
+        val centered = zip_with(col("x"), muLit, (a, b) => a - b)
+        e.select(col("vec_id"),
+            transform(wLit, row =>
+              aggregate(zip_with(row, centered, (a, b) => a * b),
+                        lit(0.0), (acc, v) => acc + v)).as("y"))
+          .select(col("vec_id"),
+                  expr("transform(y, v -> round(v, 6))").as("whitened"))
+          .orderBy(col("vec_id"))
+      }
+    },
+
+    // PCA truncation — project embeddings onto the top-8 principal
+    // directions (the dimensionality-reduction rung before ANN/PQ:
+    // Jégou & Chum's PCA step; same published family as emb_whitening,
+    // keeping variance instead of equalizing it). Shares the whitening
+    // key's two-phase shape: distributed d²-bounded covariance pass →
+    // driver Jacobi → top-k eigenvectors (sign-canonicalized: largest-
+    // magnitude component made positive, so the output is basis-unique
+    // even though eigensolvers return ±v) re-enter as LITERALS; the
+    // projection is a map-only k·d-flop dot product, zero exchange. No
+    // oracle (eigenbasis from an iterative solver) — Round17bOpsSpec
+    // pins component variances ≈ the top eigenvalues, decorrelation,
+    // and captured-variance dominance.
+    Q.smoke("emb_pca_project") { (s, d) =>
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"))
+      val dims = e.select(size(col("x")).as("d")).limit(1).collect()
+      if (dims.isEmpty) {
+        e.select(col("vec_id"), col("x").as("proj")) // empty corpus: keep schema
+      } else {
+        val dim = dims(0).getInt(0)
+        val k = math.min(8, dim)
+        val (_, mu, c) = covariance(e, dim)
+        val (lam, vecs) = jacobiEigen(c)
+        val top = (0 until dim).sortBy(i => (-lam(i), i)).take(k)
+        val basis = top.map { ix =>
+          val v = Array.tabulate(dim)(r => vecs(r)(ix))
+          // canonical sign: the largest-|component| entry is positive
+          val m = v.indices.maxBy(i => (math.abs(v(i)), -i))
+          if (v(m) < 0) v.map(x => -x).toSeq else v.toSeq
+        }
+        val bLit = typedLit(basis)
+        val muLit = typedLit(mu.toSeq)
+        val centered = zip_with(col("x"), muLit, (a, b) => a - b)
+        e.select(col("vec_id"),
+            transform(bLit, row =>
+              aggregate(zip_with(row, centered, (a, b) => a * b),
+                        lit(0.0), (acc, v) => acc + v)).as("y"))
+          .select(col("vec_id"), expr("transform(y, v -> round(v, 6))").as("proj"))
+          .orderBy(col("vec_id"))
+      }
     }
   )
+
+  /** Distributed covariance: ONE pass folds per-partition Gram sums
+    * (count, Σx, upper-tri Σxxᵀ — d(d+1)/2 doubles per PARTITION, the
+    * RowMatrix.computeGramian shape: a genuine per-partition imperative
+    * fold, the documented mapPartitions exception) reduced to a single
+    * d²-sized driver matrix. Returns (n, mean, population covariance).
+    * Input df must expose `x: array<double>` of uniform length `dim`. */
+  private def covariance(e: DataFrame, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val s = e.sparkSession
+    import s.implicits._
+    val tri = dim * (dim + 1) / 2
+    val parts = e.select(col("x")).as[Seq[Double]].mapPartitions { it =>
+      var n = 0L
+      val sm = new Array[Double](dim)
+      val g = new Array[Double](tri)
+      while (it.hasNext) {
+        val v = it.next()
+        n += 1
+        var i = 0; var t = 0
+        while (i < dim) {
+          val vi = v(i); sm(i) += vi
+          var j = i
+          while (j < dim) { g(t) += vi * v(j); t += 1; j += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else Iterator.single((n, sm.toSeq, g.toSeq))
+    }
+    val (n, sm, g) = parts.reduce { (a, b) =>
+      (a._1 + b._1,
+       a._2.zip(b._2).map { case (x, y) => x + y },
+       a._3.zip(b._3).map { case (x, y) => x + y })
+    }
+    val mu = sm.map(_ / n).toArray
+    val c = Array.ofDim[Double](dim, dim)
+    var t = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val v = g(t) / n - mu(i) * mu(j); c(i)(j) = v; c(j)(i) = v; t += 1
+    }
+    (n, mu, c)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (public
+    * textbook algorithm, e.g. Golub & Van Loan §8.5): returns
+    * (eigenvalues, eigenvector matrix V with V[:,k] the k-th vector).
+    * O(d³) per sweep, driver-side only — the input is the d×d covariance,
+    * bounded by the embedding width, never by the corpus. */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 60) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-14) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val tt = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val tSafe = if (theta == 0.0) 1.0 else tt
+          val cth = 1.0 / math.sqrt(tSafe * tSafe + 1.0)
+          val sth = tSafe * cth
+          var k = 0
+          while (k < d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = cth * akp - sth * akq
+            a(k)(q) = sth * akp + cth * akq
+            k += 1
+          }
+          k = 0
+          while (k < d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = cth * apk - sth * aqk
+            a(q)(k) = sth * apk + cth * aqk
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = cth * vkp - sth * vkq
+            v(k)(q) = sth * vkp + cth * vkq
+            k += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
 }

@@ -37,6 +37,37 @@ object EventOps {
     ).mkString(",\n")
   }
 
+  /** Power-analysis output expressions (the cupedSelect device):
+    * mean / sample variance from exact integer-cent moments, and the
+    * per-arm n for a 5% MDE at α=0.05 two-sided, power 0.8 — rendered
+    * once so both engines evaluate the identical IEEE expression.
+    * z_{α/2} = Φ⁻¹(0.975), z_β = Φ⁻¹(0.8) as exact double literals. */
+  private[operators] val powerSelect: String = {
+    val vr = "((CAST(n AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv) / (10000.0 * n * (n - 1.0)))"
+    val mean = "(CAST(sv AS DOUBLE) / (100.0 * n))"
+    val zz = "((1.959963984540054 + 0.8416212335729143) * (1.959963984540054 + 0.8416212335729143))"
+    Seq(
+      s"round($mean, 4) AS mean_value",
+      s"round($vr, 6) AS variance",
+      s"CAST(ceil(2.0 * $zz * $vr / ((0.05 * $mean) * (0.05 * $mean))) AS BIGINT) AS n_per_arm"
+    ).mkString(",\n")
+  }
+
+  /** Difference-in-differences output expressions (the cupedSelect
+    * device): per-cell means from exact cent sums, DiD estimate =
+    * (treat post−pre) − (control post−pre), rendered once for both
+    * engines. */
+  private[operators] val didSelect: String = {
+    def mean(g: String, p: String) = s"(CAST(sv_${g}_$p AS DOUBLE) / (100.0 * n_${g}_$p))"
+    Seq(
+      s"round(${mean("a", "pre")}, 4) AS mean_ctl_pre",
+      s"round(${mean("a", "post")}, 4) AS mean_ctl_post",
+      s"round(${mean("b", "pre")}, 4) AS mean_trt_pre",
+      s"round(${mean("b", "post")}, 4) AS mean_trt_post",
+      s"round((${mean("b", "post")} - ${mean("b", "pre")}) - (${mean("a", "post")} - ${mean("a", "pre")}), 6) AS did"
+    ).mkString(",\n")
+  }
+
   /** CUPED output expressions, rendered ONCE and spliced verbatim into
     * both the Spark selectExpr and the DuckDB oracle (the shared-text
     * device every 1-row statistics formula here uses): θ from exact
@@ -1646,6 +1677,173 @@ object EventOps {
                 when(abs(col("cusum_scaled")) === col("mx"), 1L).otherwise(0L)
                   .as("is_change_point"))
         .orderBy(col("day"))
+    },
+
+    Q(
+      "event_survival_km",
+      s"""WITH u AS (
+         |  SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+         |         min(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END) AS de
+         |  FROM events GROUP BY user_id),
+         |lt AS (
+         |  SELECT CASE WHEN de IS NOT NULL AND date_diff('day', d0, de) <= 5
+         |              THEN CAST(date_diff('day', d0, de) AS BIGINT)
+         |              ELSE CAST(5 AS BIGINT) END AS dur,
+         |         CASE WHEN de IS NOT NULL AND date_diff('day', d0, de) <= 5
+         |              THEN 1 ELSE 0 END AS obs
+         |  FROM u),
+         |c AS (
+         |  SELECT dur AS t, CAST(count(*) AS BIGINT) AS cnt,
+         |         CAST(sum(obs) AS BIGINT) AS d
+         |  FROM lt GROUP BY dur),
+         |r AS (
+         |  SELECT t, d,
+         |         CAST((SELECT count(*) FROM lt)
+         |           - coalesce(sum(cnt) OVER (ORDER BY t
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n
+         |  FROM c),
+         |h AS (
+         |  SELECT t, d, n,
+         |         CAST(round(${TrainingOps.lnProbTpl("(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))")} * 1000.0) AS BIGINT) AS l
+         |  FROM r WHERE d > 0 AND d < n)
+         |SELECT t, d, n,
+         |       CAST(-sum(l) OVER (ORDER BY t
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhaz_millinats
+         |FROM h ORDER BY t""".stripMargin
+    ) { (s, d) =>
+      // Kaplan-Meier survival — the time-to-event readout product
+      // analytics runs next to the retention matrix, here time from a
+      // user's first event to their first 'error', administratively
+      // CENSORED at a 5-day analysis horizon (users whose failure falls
+      // past the horizon contribute risk-set time but no death —
+      // ignoring censoring is the bias KM exists to fix; a common
+      // horizon is the textbook fixed-follow-up design). Estimator: at
+      // each event time t with d deaths out of n at risk, the survival
+      // factor is (1 − d/n); we emit the CUMULATIVE HAZARD −ln S(t) =
+      // −Σ ln(1 − d/n) in integer millinats so the cumulative product
+      // never touches cross-engine float summation — each factor's ln
+      // goes through the shared bit-deterministic template
+      // [[TrainingOps.lnProbTpl]] and is rounded to a BIGINT once, the
+      // running sum is exact integer arithmetic (text_perplexity's
+      // discipline applied to survival analysis). Rows where d = 0
+      // (pure-censoring times) or d = n (S → 0, hazard infinite) are
+      // excluded by both engines alike — KM's survival curve only
+      // steps at death times. Scale: ONE user_id shuffle collapses the
+      // log to per-user lifetimes; the risk-set/hazard windows then run
+      // over the DISTINCT-DURATION table, which is horizon-bounded
+      // (event_cusum's argued exception: axis-sized, never
+      // corpus-sized), so the single-partition window is O(days).
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("dt"), col("event_type"))
+      val te = datediff(col("de"), col("d0"))
+      val u = ev.groupBy(col("user_id"))
+        .agg(min(col("dt")).as("d0"),
+             min(when(col("event_type") === "error", col("dt"))).as("de"))
+        .select(when(col("de").isNotNull && te <= 5, te.cast("long")).otherwise(5L).as("dur"),
+                when(col("de").isNotNull && te <= 5, 1L).otherwise(0L).as("obs"))
+      val nu = u.agg(count(lit(1)).as("nu"))
+      val c = u.groupBy(col("dur").as("t"))
+        .agg(count(lit(1)).as("cnt"), sum(col("obs")).cast("long").as("d"))
+      val wPrior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = c.crossJoin(broadcast(nu))
+        .select(col("t"), col("d"),
+                (col("nu") - coalesce(sum(col("cnt")).over(wPrior), lit(0L)))
+                  .cast("long").as("n"))
+      r.where(col("d") > 0 && col("d") < col("n"))
+        .select(col("t"), col("d"), col("n"),
+          expr(s"CAST(round(${TrainingOps.lnProbTpl("(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))")} * 1000.0) AS BIGINT)").as("l"))
+        .select(col("t"), col("d"), col("n"),
+                (-sum(col("l")).over(wRun)).cast("long").as("cumhaz_millinats"))
+        .orderBy(col("t"))
+    },
+
+    Q(
+      "event_power_mde",
+      s"""WITH m AS (
+         |  SELECT event_type,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)
+         |                * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS svv
+         |  FROM events GROUP BY event_type)
+         |SELECT event_type, n,
+         |       ${EventOps.powerSelect}
+         |FROM m ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      // Experiment power / sample-size planning — the pre-test sibling
+      // of event_ab_test's post-test z readout: for each metric
+      // (event_type), how many users per arm does a two-sample test
+      // need to detect a 5% lift at α = 0.05 (two-sided), power 0.8?
+      // n/arm = 2·(z_{α/2} + z_β)²·σ² / δ², δ = 0.05·mean. Exactness
+      // discipline: `value` is a 2-dp money column, so moments
+      // accumulate as EXACT integer cents (Σc, Σc² — BIGINT; at
+      // raw-web row counts these widen to DECIMAL(38) under the same
+      // formula) and the one-row-per-group double formula is spliced
+      // as IDENTICAL text on both engines ([[powerSelect]], the
+      // cupedSelect device). Scale: one map-side-combining groupBy on
+      // the 5-value event_type key — the reduce sees #partitions×5
+      // rows; no other exchange.
+      val cents = round(col("value") * 100).cast("long")
+      T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(cents).cast("long").as("sv"),
+             sum(cents * cents).cast("long").as("svv"))
+        .selectExpr(Seq("event_type", "n") ++ EventOps.powerSelect.split(",\n").toSeq: _*)
+        .orderBy(col("event_type"))
+    },
+
+    Q(
+      "event_did",
+      s"""WITH b AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
+         |m AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 AND epoch_ms(ts) * 2 <  b.lo + b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_a_pre,
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 AND epoch_ms(ts) * 2 >= b.lo + b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_a_post,
+         |    CAST(sum(CASE WHEN user_id % 2 = 1 AND epoch_ms(ts) * 2 <  b.lo + b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_b_pre,
+         |    CAST(sum(CASE WHEN user_id % 2 = 1 AND epoch_ms(ts) * 2 >= b.lo + b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_b_post,
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 AND epoch_ms(ts) * 2 <  b.lo + b.hi THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sv_a_pre,
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 AND epoch_ms(ts) * 2 >= b.lo + b.hi THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sv_a_post,
+         |    CAST(sum(CASE WHEN user_id % 2 = 1 AND epoch_ms(ts) * 2 <  b.lo + b.hi THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sv_b_pre,
+         |    CAST(sum(CASE WHEN user_id % 2 = 1 AND epoch_ms(ts) * 2 >= b.lo + b.hi THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sv_b_post
+         |  FROM events, b)
+         |SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+         |       ${EventOps.didSelect}
+         |FROM m""".stripMargin
+    ) { (s, d) =>
+      // Difference-in-differences — the quasi-experimental readout when
+      // randomization isn't available (Card & Krueger's design): the
+      // treatment group's pre→post metric change, net of the control
+      // group's change over the same periods. Period = the exact
+      // integer-midpoint epoch-ms split (event_ab_cuped's device; no
+      // float time math), group = the user-id parity bucket. All eight
+      // cell moments accumulate as EXACT BIGINTs in ONE global
+      // conditional aggregate (map-side partials ⇒ the reduce sees
+      // #partitions rows; value in integer cents), and the DiD estimate
+      // is a 1-row double formula spliced as IDENTICAL text on both
+      // engines ([[didSelect]]). Scale: one fact pass, zero joins
+      // beyond the broadcast 1-row bounds.
+      val ev = T.events(s, d)
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+                round(col("value") * 100).cast("long").as("c"))
+      val bounds = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+      def cell(g: Int, post: Boolean, v: org.apache.spark.sql.Column) = {
+        val inPeriod = if (post) col("ms") * 2 >= col("lo") + col("hi")
+                       else col("ms") * 2 < col("lo") + col("hi")
+        sum(when(col("user_id") % 2 === g && inPeriod, v).otherwise(0L)).cast("long")
+      }
+      ev.crossJoin(broadcast(bounds))
+        .agg(cell(0, post = false, lit(1L)).as("n_a_pre"),
+             cell(0, post = true, lit(1L)).as("n_a_post"),
+             cell(1, post = false, lit(1L)).as("n_b_pre"),
+             cell(1, post = true, lit(1L)).as("n_b_post"),
+             cell(0, post = false, col("c")).as("sv_a_pre"),
+             cell(0, post = true, col("c")).as("sv_a_post"),
+             cell(1, post = false, col("c")).as("sv_b_pre"),
+             cell(1, post = true, col("c")).as("sv_b_post"))
+        .selectExpr(Seq("n_a_pre", "n_a_post", "n_b_pre", "n_b_post") ++
+                    EventOps.didSelect.split(",\n").toSeq: _*)
     }
   )
 }

@@ -3036,6 +3036,75 @@ object OsmKernels {
         relaxConverged(und, srcRow.getLong(0))
           .select(col("node"), round(col("dist"), 1).as("dist_m"))
           .orderBy(col("node"))
+    },
+
+    Q(
+      "osm_road_components",
+      """WITH RECURSIVE memb AS (
+        |  SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT way_id, list(node ORDER BY pos, node) AS refs
+        |  FROM memb GROUP BY way_id),
+        |pe AS (
+        |  SELECT refs[i] AS a, refs[i+1] AS b
+        |  FROM w, unnest(range(1, len(refs))) AS t(i)
+        |  WHERE refs[i] <> refs[i+1]),
+        |win AS (SELECT p_partkey AS node FROM part WHERE p_size <= 5),
+        |eu AS (
+        |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM pe
+        |  WHERE a IN (SELECT node FROM win) AND b IN (SELECT node FROM win)),
+        |e AS (SELECT a AS src, b AS dst FROM eu UNION ALL SELECT b, a FROM eu),
+        |reach AS (
+        |  SELECT node AS src, node AS dst FROM win
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT src AS node, CAST(min(dst) AS BIGINT) AS component
+        |FROM reach GROUP BY src
+        |ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      // Road-network connected components inside an analysis window —
+      // the routing-QA readout behind "is the network one island?"
+      // (orphaned subgraphs are the first thing a router build flags;
+      // PostGIS users run exactly this with pgr_connectedComponents,
+      // usually per extract/tile — the window here is the fixture's
+      // p_size ≤ 5 node band, i.e. the clipped-extract shape: an edge
+      // survives iff BOTH endpoints are inside). Connectivity needs no
+      // junction splitting: every CONSECUTIVE node pair within a way is
+      // an edge of the walk graph, so the edge set is one per-way
+      // regroup (the osm_way_geometry shuffle) + an in-row pair unfold,
+      // canonicalized undirected + distinct, clipped by two size-gated
+      // semi-joins against the window node set. Components then come
+      // from [[LlmOps.connectedComponents]] — large-star/small-star
+      // contraction, O(log n) rounds to a star forest with a structural
+      // certificate, per-round localCheckpoint lineage truncation — so
+      // the component label is the exact MIN node id per component (the
+      // oracle's transitive-closure min; CC-MR makes the same answer
+      // O(log n) rounds instead of O(diameter) with no driver-side
+      // graph, and is the lane that also runs UNWINDOWED at 100 TB —
+      // the oracle's closure is O(V·|comp|), which is why the ORACLE
+      // needs the bounded window; the Spark path does not).
+      val memb = T.lineitem(s, d).select(
+        col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
+        col("l_partkey").as("node"))
+      val win = T.part(s, d).where(col("p_size") <= 5)
+        .select(col("p_partkey").as("node"))
+      val pairs = memb
+        .groupBy(col("way_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("node")))).as("r"))
+        .where(size(col("r")) >= 2) // 1-node way: no edge (oracle's range(1,1) = empty)
+        .select(explode(expr(
+          "transform(sequence(0, size(r) - 2), i -> struct(r[i].node AS a, r[i+1].node AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .where(col("a") =!= col("b"))
+      val edges = pairs
+        .join(graft.Gate.bcast(win).withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(graft.Gate.bcast(win).withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"))
+        .distinct()
+      val (labels, _) = LlmOps.connectedComponents(win.select(col("node").as("id")), edges)
+      labels.select(col("id").as("node"), col("lbl").as("component"))
+        .orderBy(col("node"))
     }
   )
 

@@ -1688,6 +1688,174 @@ object TrainingOps {
         .union(und.select(col("b").as("src"), col("a").as("dst")))
       bfsConverged(edges, source = 0L)
         .select(col("node"), col("d").as("dist")).orderBy(col("node"))
+    },
+
+    Q(
+      "text_quality_buckets",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |b AS (
+         |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM w, unnest(range(1, len(w))) AS t(i)),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+         |cu AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+         |lm AS (
+         |  SELECT doc_id,
+         |         CAST(round(${lnProbTpl("(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))")} * 1000.0) AS BIGINT) AS l
+         |  FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1)),
+         |p AS (
+         |  SELECT doc_id, CAST((-sum(l)) // count(*) AS BIGINT) AS nll
+         |  FROM lm GROUP BY doc_id),
+         |t AS (
+         |  SELECT d.lang, d.n_chars, p.nll,
+         |         ntile(3) OVER (PARTITION BY d.lang ORDER BY p.nll, p.doc_id) AS bucket
+         |  FROM p JOIN documents d USING (doc_id))
+         |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(min(nll) AS BIGINT) AS nll_lo,
+         |       CAST(max(nll) AS BIGINT) AS nll_hi
+         |FROM t GROUP BY lang, bucket
+         |ORDER BY lang, bucket""".stripMargin
+    ) { (s, d) =>
+      // CCNet-style quality bucketing — the published head/middle/tail
+      // recipe (Wenzek et al., "CCNet: Extracting High Quality
+      // Monolingual Datasets from Web Crawl Data"): score every doc by
+      // LM perplexity, split each LANGUAGE into terciles, and train on
+      // the head. Scores are text_perplexity's exact nll_millinats
+      // (shared bit-deterministic ln template, integer mean). The
+      // tercile assignment is EXACT SQL NTILE semantics — but computed
+      // WITHOUT the |langs|-partition window over the corpus-sized doc
+      // table (the anti-pattern agg_weighted_median was cured of):
+      // range-repartition by (lang, nll, doc_id), collect the ≤
+      // parts×|langs| per-(partition, lang) counts as metadata, and
+      // rebuild each doc's global per-lang rank as offset + LOCAL
+      // row_number — the globalNtileMulti/partial-offset device with a
+      // partition key. doc_id breaks nll ties, so the rank (and hash)
+      // is boundary-placement-independent; the localCheckpoint pins one
+      // sampled range layout across the counts job and the rank job.
+      val b = hashedBigramStream(s, d)
+      val cb = b.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c12"))
+      val cu = cb.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
+      val nll = b.join(graft.Gate.bcast(cb), Seq("h1", "h2"))
+        .join(graft.Gate.bcast(cu), Seq("h1"))
+        .groupBy(col("doc_id"))
+        .agg(expr(s"CAST((-sum(CAST(round(${lnProbTpl("(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))")} * 1000.0) AS BIGINT))) DIV count(1) AS BIGINT)").as("nll"))
+      val scored = T.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(nll, Seq("doc_id")) // inner: <2-token docs score nothing (oracle's len≥2)
+      val parted = scored
+        .repartitionByRange(32, col("lang"), col("nll"), col("doc_id"))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint() // pin ONE sampled range layout for both jobs below
+      val counts = parted.groupBy(col("__pid"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      val offMap: Map[String, Long] = counts.map(_._2).distinct.flatMap { lang =>
+        var acc = 0L
+        counts.filter(_._2 == lang).sortBy(_._1).map { case (p, _, c) =>
+          val o = acc; acc += c; s"$p#$lang" -> o
+        }
+      }.toMap
+      val totMap: Map[String, Long] =
+        counts.groupBy(_._2).map { case (l, cs) => l -> cs.map(_._3).sum }
+      val rank = element_at(typedLit(offMap), concat_ws("#", col("__pid"), col("lang"))) +
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pid"), col("lang")).orderBy(col("nll"), col("doc_id")))
+      parted
+        .withColumn("__rank", rank)
+        .withColumn("__n", element_at(typedLit(totMap), col("lang")))
+        // exact SQL NTILE: first n%k buckets are one row fatter
+        .withColumn("bucket", expr(
+          """CASE WHEN __rank <= (__n % 3) * (__n DIV 3 + 1)
+            |     THEN (__rank - 1) DIV (__n DIV 3 + 1) + 1
+            |     ELSE (__n % 3) + (__rank - 1 - (__n % 3) * (__n DIV 3 + 1))
+            |            DIV greatest(__n DIV 3, 1) + 1 END""".stripMargin).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             sum(col("n_chars")).cast("long").as("sum_chars"),
+             min(col("nll")).cast("long").as("nll_lo"),
+             max(col("nll")).cast("long").as("nll_hi"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+
+    Q(
+      "text_dsir_weight",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |b AS (
+         |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM w, unnest(range(1, len(w))) AS t(i)),
+         |ca AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS ca FROM b GROUP BY 1, 2),
+         |ce AS (SELECT b.w1, b.w2, CAST(count(*) AS BIGINT) AS ce
+         |       FROM b JOIN documents d USING (doc_id)
+         |       WHERE d.lang = 'en' GROUP BY 1, 2),
+         |sc AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(count(*) AS BIGINT) AS v FROM ca),
+         |se AS (SELECT CAST(coalesce(sum(ce), 0) AS BIGINT) AS ne FROM ce),
+         |dim AS (
+         |  SELECT w1, w2,
+         |         CAST(coalesce(ce, 0) + 1 AS DOUBLE) / CAST(ne + v AS DOUBLE) AS pe,
+         |         CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE) AS pa
+         |  FROM ca LEFT JOIN ce USING (w1, w2), sc, se),
+         |dim2 AS (
+         |  SELECT w1, w2, pe, pa,
+         |         CASE WHEN pe <= pa THEN pe / pa ELSE pa / pe END AS t
+         |  FROM dim),
+         |sco AS (
+         |  SELECT w1, w2,
+         |         (CASE WHEN pe <= pa THEN 1 ELSE -1 END)
+         |           * CAST(round(${lnProbTpl("t")} * 1000.0) AS BIGINT) AS l
+         |  FROM dim2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(l) AS BIGINT) AS dsir_millinats
+         |FROM b JOIN sco USING (w1, w2)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // DSIR importance weighting (Xie et al., "Data Selection for
+      // Language Models via Importance Resampling") — score every raw
+      // doc by how target-like its n-gram distribution is:
+      // weight = Σ_bigram [ln p_target(b) − ln p_raw(b)], here with the
+      // English subset as the target domain and add-one smoothing over
+      // the shared bigram vocabulary (so unseen-in-target bigrams pull
+      // the weight down instead of −∞). Sampling ∝ exp(weight) is then
+      // sample_temperature's job — this key is the scorer. Exactness:
+      // ln(p_t/p_raw) folds to ONE shared-template call by ranging the
+      // ratio into (0, 1] (t = min(pe/pa, pa/pe), sign restored after
+      // the round — round is away-from-zero in both engines, so the
+      // fold is symmetric); the per-doc score is an exact BIGINT sum of
+      // per-bigram millinats. JIT-cliff discipline (ADVICE.md): the
+      // template lands in a SCORE DIMENSION keyed by bigram — one
+      // evaluation per DISTINCT bigram over the vocab²-bounded model
+      // table, never per occurrence on the fact stream (the
+      // osm_dwithin_count factor-dimension shape; the naive
+      // two-template fact-stream splice measured 5044 B, over the 4000
+      // audit budget — CodegenSizeSpec pins this key). Scale shape: two
+      // corpus collapses (raw + target bigram tables, size-gated
+      // broadcasts), the dimension scoring pass, and one map-side
+      // dimension join onto the bigram stream — never doc×vocab.
+      val b = hashedBigramStream(s, d)
+      val enDocs = T.documents(s, d).where(col("lang") === "en").select(col("doc_id"))
+      val ca = b.groupBy(col("h2")).agg(count(lit(1)).as("ca"))
+      val ce = b.join(graft.Gate.bcast(enDocs), Seq("doc_id"))
+        .groupBy(col("h2")).agg(count(lit(1)).as("ce"))
+      val sc = ca.agg(sum(col("ca")).cast("long").as("na"), count(lit(1)).as("v"))
+      val se = ce.agg(coalesce(sum(col("ce")), lit(0L)).cast("long").as("ne"))
+      val sco = ca.join(ce, Seq("h2"), "left")
+        .crossJoin(broadcast(sc)).crossJoin(broadcast(se))
+        .select(col("h2"),
+          expr("CAST(coalesce(ce, 0) + 1 AS DOUBLE) / CAST(ne + v AS DOUBLE)").as("pe"),
+          expr("CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)").as("pa"))
+        .withColumn("t", expr("CASE WHEN pe <= pa THEN pe / pa ELSE pa / pe END"))
+        .select(col("h2"),
+          expr(s"(CASE WHEN pe <= pa THEN 1 ELSE -1 END) * " +
+               s"CAST(round(${lnProbTpl("t")} * 1000.0) AS BIGINT)").as("l"))
+      b.join(graft.Gate.bcast(sco), Seq("h2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+             sum(col("l")).cast("long").as("dsir_millinats"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -39,7 +39,10 @@ class CodegenSizeSpec extends GraftSuite {
     "text_perplexity"         -> budget, // shared lnProbTpl
     "text_bigram_lm"          -> budget, // lnProbTpl in projection
     "text_entropy"            -> budget, // lnProbTpl in projection
-    "data_drift_psi"          -> 6500)   // lnProbTpl ×2, bounded grid input
+    "data_drift_psi"          -> 6500,   // lnProbTpl ×2, bounded grid input
+    "event_survival_km"       -> budget, // lnProbTpl on the duration axis
+    "text_quality_buckets"    -> budget, // lnProbTpl inside the nll aggregate
+    "text_dsir_weight"        -> budget) // lnProbTpl ×2 on the bigram stream
 
   test("audited template keys: every whole-stage method stays under its JIT-cliff budget") {
     val report = audited.map { case (key, allowance) =>
