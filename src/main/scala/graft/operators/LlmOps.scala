@@ -1725,6 +1725,120 @@ object LlmOps {
         }
         .toDF("doc_id", "sample_rate", "n_frames", "sum_abs_amp")
         .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "text_chunk_overlap",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |         unnest(range(0, CAST(ceil(greatest(len(w) - 16, 1) / 48.0) AS BIGINT))) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(chunk_id * 48 AS BIGINT) AS tok_lo,
+        |       CAST(least(chunk_id * 48 + 64, len(w)) AS BIGINT) AS tok_hi,
+        |       CAST(least(chunk_id * 48 + 64, len(w)) - chunk_id * 48 AS BIGINT) AS n_tok,
+        |       array_to_string(w[CAST(chunk_id * 48 + 1 AS BIGINT):CAST(least(chunk_id * 48 + 64, len(w)) AS BIGINT)], ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin
+    ) { (s, d) =>
+      // Overlapping token chunking — the RAG/pretraining windowing stage
+      // every retrieval or long-context pipeline runs before embedding:
+      // window W = 64 tokens, stride S = 48 (16-token overlap so no
+      // boundary sentence is ever split away from all its context).
+      // Chunk count = ⌈max(n − (W−S), 1) / S⌉, so a final window shorter
+      // than the overlap is absorbed into its predecessor (the standard
+      // sliding-window rule) and an empty-ish doc still yields one
+      // chunk. All arithmetic is exact integers; the chunk TEXT itself
+      // rides the output so the oracle hash pins the exact slice
+      // boundaries, not just counts. Scale shape: pure generator
+      // fan-out (explode over an in-row sequence — no shuffle, no join);
+      // at 100 TB this is the map-only stage in front of the embedding
+      // UDF, and output order is (doc_id, chunk_id) clustered exactly as
+      // the downstream packer wants it.
+      T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(expr(
+            "sequence(0, CAST(ceil(greatest(size(w) - 16, 1) / 48.0) AS BIGINT) - 1)")).as("chunk_id"))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          (col("chunk_id") * 48).cast("long").as("tok_lo"),
+          least(col("chunk_id") * 48 + 64, size(col("w"))).cast("long").as("tok_hi"),
+          (least(col("chunk_id") * 48 + 64, size(col("w"))) - col("chunk_id") * 48)
+            .cast("long").as("n_tok"),
+          expr("array_join(slice(w, CAST(chunk_id * 48 + 1 AS INT), " +
+               "CAST(least(chunk_id * 48 + 64, size(w)) - chunk_id * 48 AS INT)), ' ')")
+            .as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    Q(
+      "sim_rrf_fusion",
+      s"""WITH $duckVecs,
+         |q AS (SELECT i, v AS qv FROM x WHERE vec_id = 0),
+         |nq AS (SELECT sqrt(sum(qv * qv)) AS n FROM q),
+         |sc AS (SELECT x.vec_id,
+         |              round(sum(x.v * q.qv) / (min(nrm.n) * (SELECT n FROM nq)), 6) AS c,
+         |              round(sum(x.v * q.qv), 6) AS m
+         |       FROM x JOIN q ON x.i = q.i JOIN nrm ON x.vec_id = nrm.vec_id
+         |       WHERE x.vec_id <> 0 GROUP BY x.vec_id),
+         |rc AS (SELECT vec_id, r FROM (
+         |         SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS r FROM sc)
+         |       WHERE r <= 20),
+         |rm AS (SELECT vec_id, r FROM (
+         |         SELECT vec_id, row_number() OVER (ORDER BY m DESC, vec_id) AS r FROM sc)
+         |       WHERE r <= 20),
+         |f AS (SELECT coalesce(rc.vec_id, rm.vec_id) AS vec_id,
+         |             CAST(coalesce(rc.r, 0) AS BIGINT) AS r_cos,
+         |             CAST(coalesce(rm.r, 0) AS BIGINT) AS r_dot
+         |      FROM rc FULL OUTER JOIN rm ON rc.vec_id = rm.vec_id)
+         |SELECT vec_id, r_cos, r_dot,
+         |       round((CASE WHEN r_cos > 0 THEN CAST(1 AS DOUBLE) / (60 + r_cos) ELSE CAST(0 AS DOUBLE) END)
+         |           + (CASE WHEN r_dot > 0 THEN CAST(1 AS DOUBLE) / (60 + r_dot) ELSE CAST(0 AS DOUBLE) END), 6) AS rrf
+         |FROM f
+         |ORDER BY rrf DESC, vec_id
+         |LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      // Reciprocal-rank fusion (Cormack et al.) — the standard way to
+      // merge heterogeneous retrieval rankings (here the cosine and the
+      // MIPS scorers, which genuinely disagree when magnitude carries
+      // signal) without calibrating their scores: each list contributes
+      // 1/(60 + rank), absence contributes nothing. Determinism: both
+      // ranks order by the 6-dp-ROUNDED score with vec_id tie-break
+      // (the sim_cosine_topk device), so last-ulp noise can't reorder;
+      // the fused score is the identical IEEE expression on both
+      // engines. Scale shape: the scored projection feeds two
+      // TakeOrdered top-20 cuts (one scan per ranker here; a 100 TB
+      // deployment fuses them into one pass with a 2×k bounded
+      // aggregator) and the fusion joins two 20-row lists — rank
+      // windows only ever run over k-bounded tables, never the corpus.
+      val e = T.embeddings(s, d)
+      val q = broadcast(e.where(col("vec_id") === 0).select(col("embedding").as("qe")))
+      val sc = e.where(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .select(col("vec_id"),
+                round(cosine("embedding", "qe"), 6).as("c"),
+                round(graft.functions.DotProduct(col("embedding"), col("qe")), 6).as("m"))
+      def top20(key: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col(key).desc, col("vec_id"))
+        sc.orderBy(col(key).desc, col("vec_id")).limit(20)
+          .withColumn("r", row_number().over(w))
+          .select(col("vec_id"), col("r"))
+      }
+      top20("c").withColumnRenamed("r", "rc")
+        .join(top20("m").withColumnRenamed("r", "rm"), Seq("vec_id"), "full_outer")
+        .select(col("vec_id"),
+                coalesce(col("rc"), lit(0)).cast("long").as("r_cos"),
+                coalesce(col("rm"), lit(0)).cast("long").as("r_dot"))
+        .selectExpr("vec_id", "r_cos", "r_dot",
+          """round((CASE WHEN r_cos > 0 THEN CAST(1 AS DOUBLE) / (60 + r_cos) ELSE CAST(0 AS DOUBLE) END)
+            |    + (CASE WHEN r_dot > 0 THEN CAST(1 AS DOUBLE) / (60 + r_dot) ELSE CAST(0 AS DOUBLE) END), 6) AS rrf""".stripMargin)
+        .orderBy(col("rrf").desc, col("vec_id"))
+        .limit(10)
     }
   )
 }

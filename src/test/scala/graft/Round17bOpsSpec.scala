@@ -196,6 +196,58 @@ class Round17bOpsSpec extends GraftSuite {
       s"PC covariance off-diagonal up to $maxOff (min diag $minDiag)")
   }
 
+  test("text_chunk_overlap: windows tile every doc with exact 16-token overlaps") {
+    val out = SparkEntry.queries("text_chunk_overlap")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    val docs = T.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (id, chunks) =>
+      val toks = docs(id).split(" ", -1)
+      val sorted = chunks.sortBy(_._2)
+      // first window starts at 0; every next starts exactly stride=48 later
+      sorted.zipWithIndex.foreach { case ((_, cid, lo, hi, n, text), ix) =>
+        assert(cid == ix && lo == ix * 48L)
+        assert(hi == math.min(lo + 64, toks.length) && n == hi - lo)
+        assert(text == toks.slice(lo.toInt, hi.toInt).mkString(" "),
+          s"doc $id chunk $cid text mismatch")
+      }
+      // full coverage: the last window reaches the end of the doc
+      assert(sorted.last._4 == toks.length.toLong)
+      // no absorbed-tail violation: every non-first window is longer than the overlap
+      sorted.drop(1).foreach { case (_, cid, _, _, n, _) =>
+        assert(n > 16, s"doc $id chunk $cid has $n ≤ overlap tokens")
+      }
+    }
+  }
+
+  test("sim_rrf_fusion: fused ranking recomputes from driver-side cosine and dot ranks") {
+    val out = SparkEntry.queries("sim_rrf_fusion")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val vecs = T.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val nq = math.sqrt(dot(q, q))
+    val scored = vecs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val d = dot(v, q)
+      (id, BigDecimal(d / (math.sqrt(dot(v, v)) * nq)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+           BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }
+    def ranks(key: ((Long, BigDecimal, BigDecimal)) => BigDecimal) =
+      scored.sortBy(t => (-key(t), t._1)).take(20).zipWithIndex
+        .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val rc = ranks(_._2); val rm = ranks(_._3)
+    val fused = (rc.keySet ++ rm.keySet).toSeq.map { id =>
+      val s = rc.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+              rm.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, rc.getOrElse(id, 0L), rm.getOrElse(id, 0L),
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(t => (-t._4, t._1)).take(10)
+    assert(out.toSeq == fused, s"RRF fusion mismatch:\n got ${out.toSeq}\n exp $fused")
+  }
+
   test("emb_whitening: whitened covariance is the identity on spanned directions") {
     val out = SparkEntry.queries("emb_whitening")(spark, sf)
       .select(col("whitened")).collect().map(_.getSeq[Double](0).toArray)
