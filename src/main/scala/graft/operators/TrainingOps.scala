@@ -1744,6 +1744,11 @@ object TrainingOps {
         .agg(expr(s"CAST((-sum(CAST(round(${lnProbTpl("(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))")} * 1000.0) AS BIGINT))) DIV count(1) AS BIGINT)").as("nll"))
       val scored = T.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
         .join(nll, Seq("doc_id")) // inner: <2-token docs score nothing (oracle's len≥2)
+      // NOT checkpointed before the range exchange: measured A/B at sf0.1
+      // (4-sweep mins) put an extra pre-exchange localCheckpoint at
+      // 2.15 s vs 1.74 s without — the eager materialization costs more
+      // than RangePartitioner's sampling re-run saves here, because the
+      // broadcast model joins replay cheaply under AQE
       val parted = scored
         .repartitionByRange(32, col("lang"), col("nll"), col("doc_id"))
         .withColumn("__pid", spark_partition_id())

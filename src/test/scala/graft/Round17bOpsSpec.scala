@@ -136,6 +136,22 @@ class Round17bOpsSpec extends GraftSuite {
     }
   }
 
+  test("text_quality_buckets: no corpus window partitioned solely by lang (plan pin)") {
+    // the agg_weighted_median lesson: a |langs|-partition window over a
+    // corpus-sized table is single-task-sort growth in disguise. The
+    // only WindowExec allowed here is the LOCAL one keyed by
+    // (__pid, lang) — the partial-offset device's bounded window.
+    val df = SparkEntry.queries("text_quality_buckets")(spark, sf)
+    val lines = df.queryExecution.executedPlan.toString.split("\n")
+      .filter(_.contains("Window ")).toSeq
+    assert(lines.nonEmpty, "expected the partial-offset device's local window")
+    lines.foreach { l =>
+      assert(l.contains("__pid"),
+        s"WindowExec without __pid in its partition spec — the banned " +
+          s"|langs|-partition corpus window shape:\n$l")
+    }
+  }
+
   test("text_dsir_weight: target-domain docs score above the raw-corpus average") {
     val out = SparkEntry.queries("text_dsir_weight")(spark, sf)
     val joined = out.join(T.documents(spark, sf).select(col("doc_id"), col("lang")), Seq("doc_id"))
