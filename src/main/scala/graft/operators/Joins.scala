@@ -665,6 +665,48 @@ object Joins {
         .select(col("c_custkey"), col("n_nationkey")).distinct()
         .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n_points"))
         .orderBy(col("n_nationkey"))
+    },
+
+    Q(
+      "join_bloom_pruned",
+      s"""SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         |       ${Det.sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_acctbal > 9000
+         |GROUP BY c_custkey
+         |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      // Semi-join reduction via a Bloom runtime filter — the classic
+      // 100 TB shuffle-reduction move (Spark's own
+      // spark.sql.optimizer.runtimeFilter does this implicitly; here it
+      // is explicit, measurable, and spec-pinned): when the dim side is
+      // too big to broadcast AS ROWS but its KEY SET fits a ~1 MB bloom,
+      // broadcasting the bloom and probing the fact BEFORE its exchange
+      // prunes the dominant cost — most fact rows never enter the
+      // shuffle. False positives only leak extra rows into the exact
+      // join, which removes them — the result is bit-equal to the
+      // unfiltered join (the spec asserts exactly that), so the bloom is
+      // pure plan optimization, invisible to the oracle. The probe is
+      // the codegen'd functions.BloomMightContainLong expression inside
+      // the fact scan's whole-stage span; shuffle_hash hint keeps the
+      // join a genuine two-sided exchange (a broadcast join would make
+      // the demonstration vacuous).
+      val dim = T.customer(s, d).where(col("c_acctbal") > 9000)
+        .select(col("c_custkey"))
+      val fact = T.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+      // zero-row dim: nothing to build (probing a null-buffer bloom NPEs)
+      // and the join is empty anyway — skip the bloom stage
+      val probed =
+        if (dim.isEmpty) fact
+        else {
+          val bloom = dim.stat.bloomFilter("c_custkey", 1L << 20, 0.01)
+          fact.where(graft.functions.BloomMightContainLong(col("o_custkey"), bloom))
+        }
+      probed.hint("shuffle_hash")
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_custkey"))
     }
   )
 }

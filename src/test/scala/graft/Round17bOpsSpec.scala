@@ -152,6 +152,26 @@ class Round17bOpsSpec extends GraftSuite {
     }
   }
 
+  test("join_bloom_pruned: bloom stage is pure plan optimization and probes before the join") {
+    val df = SparkEntry.queries("join_bloom_pruned")(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // bit-equal to the unfiltered join: false positives must all be
+    // removed by the exact join
+    val dim = T.customer(spark, sf).where(col("c_acctbal") > 9000).select(col("c_custkey"))
+    val plain = T.orders(spark, sf)
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == plain, "bloom-pruned join diverges from the plain join")
+    // the probe expression must sit in the plan (on the fact side, below the join)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain_long"),
+      s"expected the codegen'd bloom probe in the plan:\n$plan")
+    assert(got.nonEmpty)
+  }
+
   test("text_dsir_weight: target-domain docs score above the raw-corpus average") {
     val out = SparkEntry.queries("text_dsir_weight")(spark, sf)
     val joined = out.join(T.documents(spark, sf).select(col("doc_id"), col("lang")), Seq("doc_id"))
