@@ -217,6 +217,10 @@ object Multimodal {
     val spark = documents.sparkSession
     import spark.implicits._
     val media: Dataset[MediaRecord] = documents
+      // a NULL payload is a failed fetch upstream, not a decodable asset:
+      // the row drops here (quarantine semantics) instead of NPE-ing the
+      // decode task (NullInputSpec)
+      .where(col("text").isNotNull)
       .select(
         col("doc_id"),
         col("text").cast("binary").as("payload"),

@@ -141,7 +141,8 @@ object EmbeddingOps {
 
   def kmeans(e: DataFrame, k: Int, iters: Int,
              trackInertia: Boolean = false): (DataFrame, Seq[Double]) = {
-    val vecs = e.select(col("vec_id"),
+    // null embeddings can neither seed nor be assigned (NullInputSpec)
+    val vecs = e.where(col("embedding").isNotNull).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS FLOAT))").as("v"))
     def toCodebook(df: DataFrame): Seq[(Long, Array[Float])] =
       df.orderBy(col("cid")).collect()
@@ -188,7 +189,10 @@ object EmbeddingOps {
     * lowest vec_ids' subvectors, means are micro-unit exact, ties
     * break to the lowest cid.
     */
-  def pqTrain(e: DataFrame, m: Int, dsub: Int, k: Int, iters: Int): Map[Int, Seq[(Int, Array[Double])]] = {
+  def pqTrain(e0: DataFrame, m: Int, dsub: Int, k: Int, iters: Int): Map[Int, Seq[(Int, Array[Double])]] = {
+    // a null embedding has no subvectors: it can neither seed nor train a
+    // codebook (NullInputSpec caught the seed collect NPE-ing on one)
+    val e = e0.where(col("embedding").isNotNull)
     def subCol(j: Int): Column =
       expr(s"transform(slice(embedding, ${j * dsub + 1}, $dsub), x -> CAST(x AS DOUBLE))")
     def argmin(j: Int, cb: Map[Int, Seq[(Int, Array[Double])]]): Column =
@@ -766,18 +770,22 @@ object EmbeddingOps {
           lit(0.0).as("adc_dist"), lit(0.0).as("exact_dist"))
       else {
         val q = qRow.get.getSeq[Double](0).toArray
-        val lut: Map[Int, Seq[Double]] = cb.map { case (j, cells) =>
-          j -> cells.sortBy(_._1).map { case (_, c) =>
-            c.zipWithIndex.map { case (v, i) => val t = q(j * PqDsub + i) - v; t * t }.sum
-          }
+        // LUT keyed by cid (map literal), NOT by array position: the
+        // codebook's cids are seed-vec_id-derived and may carry gaps
+        // (a seed with a null embedding drops out — NullInputSpec caught
+        // the positional lookup indexing past the shrunken array)
+        val lut: Map[Int, Map[Int, Double]] = cb.map { case (j, cells) =>
+          j -> cells.map { case (cid, c) =>
+            cid -> c.zipWithIndex.map { case (v, i) => val t = q(j * PqDsub + i) - v; t * t }.sum
+          }.toMap
         }
-        // the cheap pass scores persisted CODES: 16 literal-array lookups
+        // the cheap pass scores persisted CODES: 16 literal-map lookups
         // + 15 adds per row (no distance folds — those were paid once at
         // index build). The float column rides the same scan here for
         // the 64-row rerank; a 100 TB deployment splits codes and floats
         // into separate column files and fetches the 64 by id.
         val adc = (0 until PqM).map { j =>
-          element_at(typedLit(lut(j)), element_at(col("codes"), j + 1) + 1)
+          element_at(typedLit(lut(j)), element_at(col("codes"), j + 1))
         }.reduce(_ + _)
         val exact = aggregate(
           zip_with(expr("transform(embedding, x -> CAST(x AS DOUBLE))"), typedLit(q.toSeq),
@@ -813,6 +821,7 @@ object EmbeddingOps {
     Q.smoke("emb_whitening") { (s, d) =>
       import s.implicits._
       val e = T.embeddings(s, d)
+        .where(col("embedding").isNotNull) // null payload: no vector, no row (NullInputSpec)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"))
       val dims = e.select(size(col("x")).as("d")).limit(1).collect()
       if (dims.isEmpty) {
@@ -858,6 +867,7 @@ object EmbeddingOps {
     // and captured-variance dominance.
     Q.smoke("emb_pca_project") { (s, d) =>
       val e = T.embeddings(s, d)
+        .where(col("embedding").isNotNull) // null payload: no vector, no row (NullInputSpec)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"))
       val dims = e.select(size(col("x")).as("d")).limit(1).collect()
       if (dims.isEmpty) {

@@ -242,6 +242,9 @@ object Scans {
       val root = s.conf.getOption(confKey).getOrElse {
         val dir = java.nio.file.Files.createTempDirectory("graft_binsrc").toString
         T.documents(s, d).where(col("doc_id") % 25 === 0)
+          // null payload = extraction failed upstream: no asset file
+          // (NullInputSpec; the read side then simply lists fewer files)
+          .where(col("text").isNotNull)
           .select(col("doc_id"), col("text"))
           .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
             rows.foreach { r =>
@@ -294,7 +297,11 @@ object Scans {
           col("p_partkey").as("element_id"), lit("node").as("kind"),
           (col("p_size").cast("long") * 100).as("lon_c"),
           round(col("p_retailprice") * 100).cast("long").as("lat_c"),
-          map(lit("brand"), col("p_brand")).as("tags"),
+          // OSM semantics: a null tag VALUE is an absent tag, not a
+          // null map entry (the PBF string table cannot encode null —
+          // NullInputSpec caught the encoder assert)
+          when(col("p_brand").isNotNull, map(lit("brand"), col("p_brand")))
+            .otherwise(typedLit(Map.empty[String, String])).as("tags"),
           expr("CAST(array() AS ARRAY<BIGINT>)").as("refs"))
         val ways = T.lineitem(s, d)
           .groupBy(col("l_orderkey"))
@@ -671,10 +678,40 @@ object Scans {
 object JdbcIO {
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
+  /** Spark's built-in Derby dialect maps StringType → CLOB, so a NULL in
+    * a string column is bound via setNull(CLOB) — which Derby rejects
+    * against the VARCHAR columns our DDL pins create ("an attempt was
+    * made to get a data value of type 'VARCHAR' from ... 'CLOB'"; caught
+    * live by NullInputSpec). A real Postgres target has no such mismatch
+    * — this wrapper fixes the OFFLINE stand-in only: StringType binds as
+    * VARCHAR, everything else delegates to the built-in dialect captured
+    * BEFORE registration (registered dialects take lookup precedence).
+    * Registered once per JVM, lazily, from [[freshEmbeddedDerby]]. */
+  private lazy val derbyVarcharDialect: Unit = {
+    import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+    import org.apache.spark.sql.types.{DataType, StringType}
+    val builtin = JdbcDialects.get("jdbc:derby:probe")
+    JdbcDialects.registerDialect(new JdbcDialect {
+      override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby:")
+      override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+        case StringType => Some(JdbcType("VARCHAR(4096)", java.sql.Types.VARCHAR))
+        case _          => builtin.getJDBCType(dt)
+      }
+      override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+                                   md: org.apache.spark.sql.types.MetadataBuilder) =
+        builtin.getCatalystType(sqlType, typeName, size, md)
+      override def quoteIdentifier(colName: String): String =
+        builtin.quoteIdentifier(colName)
+      override def isCascadingTruncateTable(): Option[Boolean] =
+        builtin.isCascadingTruncateTable()
+    })
+  }
+
   /** URL of a fresh single-JVM embedded Derby database (test/demo stand-in
     * for the reference's PostGIS server; a new temp dir per call so
     * repeated runs never see stale rows). */
   def freshEmbeddedDerby(prefix: String): String = {
+    derbyVarcharDialect // idempotent one-time registration
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     // keep Derby's log chatter out of cwd (it defaults to ./derby.log)
     System.setProperty("derby.stream.error.file", s"$dir/derby.log")

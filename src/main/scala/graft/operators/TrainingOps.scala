@@ -1743,6 +1743,9 @@ object TrainingOps {
         .groupBy(col("doc_id"))
         .agg(expr(s"CAST((-sum(CAST(round(${lnProbTpl("(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))")} * 1000.0) AS BIGINT))) DIV count(1) AS BIGINT)").as("nll"))
       val scored = T.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        // no language id → no language bucket (CCNet drops them too);
+        // a null key would NPE the literal-map rank lookup (NullInputSpec)
+        .where(col("lang").isNotNull)
         .join(nll, Seq("doc_id")) // inner: <2-token docs score nothing (oracle's len≥2)
       // NOT checkpointed before the range exchange: measured A/B at sf0.1
       // (4-sweep mins) put an extra pre-exchange localCheckpoint at

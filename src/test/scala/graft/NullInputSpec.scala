@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Null-payload robustness: at 100 TB the payload columns of a real
+  * corpus carry NULLs — scraped text that failed extraction, embeddings
+  * the encoder skipped, events with no value. An operator that NPEs on a
+  * null payload (typically a custom expression whose eval assumes
+  * non-null input) takes the whole job with it. This lane clones the
+  * sf0.001 corpus with ~10% NULLs injected into every nullable PAYLOAD
+  * column (never the join/identity keys — broken FKs are a different
+  * failure class with fail-loud semantics) and asserts every batch key
+  * still EXECUTES. Results may legitimately differ from the pristine
+  * corpus; only crashes fail the lane.
+  */
+class NullInputSpec extends GraftSuite {
+
+  // one-in-ten rows determined by a content-independent hash of the
+  // row's key column, so the injection is deterministic run-to-run
+  private def nullify(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                      cols: Seq[String]): org.apache.spark.sql.DataFrame =
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(abs(xxhash64(col(keyCol), lit(c))) % 10 === 0, lit(null))
+          .otherwise(col(c)))
+    }
+
+  private lazy val nulledDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulls").toString
+    val payload: Map[String, (String, Seq[String])] = Map(
+      "region"   -> ("r_regionkey", Seq("r_comment")),
+      "nation"   -> ("n_nationkey", Seq("n_comment")),
+      "customer" -> ("c_custkey", Seq("c_comment", "c_phone", "c_mktsegment")),
+      "supplier" -> ("s_suppkey", Seq("s_comment", "s_phone")),
+      "part"     -> ("p_partkey", Seq("p_comment", "p_mfgr", "p_brand")),
+      "orders"   -> ("o_orderkey", Seq("o_comment", "o_clerk")),
+      "lineitem" -> ("l_orderkey", Seq("l_comment", "l_shipinstruct", "l_shipmode")),
+      "documents" -> ("doc_id", Seq("text", "lang", "source")),
+      "embeddings" -> ("vec_id", Seq("embedding", "label")))
+    for ((t, (key, cols)) <- payload) {
+      val base = T(spark, sf, t)
+      val avail = cols.filter(base.columns.contains)
+      nullify(base, key, avail).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // events: value + event_type + props are payload; ts/user_id are keys
+    nullify(T.events(spark, sf), "event_id", Seq("value", "event_type", "props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  // same exclusions as EmptyInputSpec (self-driving streaming demos) plus
+  // the keys whose CONTRACT is fail-loud on malformed payloads: the
+  // tokenizer lanes abort on non-ASCII/undecodable input by design, and
+  // the multimodal codecs require decodable bytes — a null payload is
+  // the "corrupt asset" their require() exists to flag. Their loudness
+  // is itself spec-pinned elsewhere; this lane tests the SILENT majority.
+  private val skip = Set(
+    "stream_watermark_late", "stream_stateful_custom", "stream_stream_join",
+    "stream_transform_with_state",
+    "sink_stream_foreachbatch", "source_stream_file", "source_dsv2")
+
+  test("every batch query executes on a corpus with 10% null payloads") {
+    val failures = SparkEntry.registry
+      .filterNot(q => skip(q.key))
+      .flatMap { q =>
+        try { q.run(spark, nulledDir).count(); None }
+        catch { case e: Throwable => Some(q.key -> e.toString.linesIterator.next()) }
+      }
+    assert(failures.isEmpty, s"queries crashed on null payloads: $failures")
+  }
+}
