@@ -68,6 +68,21 @@ object EventOps {
     ).mkString(",\n")
   }
 
+  /** Benford output expressions (the cupedSelect device): the nine
+    * log10(1 + 1/d) probabilities as exact double literals, expected
+    * count in ppm, and the per-cell χ² term rounded once to integer
+    * micros so the per-type rollup is an exact BIGINT sum. The CASE
+    * ladder is spliced identically into both engines. */
+  private[operators] val benfordSelect: String = {
+    val p = (1 to 9).map(dd => dd -> math.log10(1.0 + 1.0 / dd))
+    val pCase = p.map { case (dd, pv) => s"WHEN digit = $dd THEN $pv" }
+      .mkString("(CASE ", " ", " ELSE 0.0 END)")
+    Seq(
+      s"CAST(round($pCase * 1000000.0) AS BIGINT) AS exp_ppm",
+      s"CAST(round(((CAST(n_obs AS DOUBLE) - n * $pCase) * (CAST(n_obs AS DOUBLE) - n * $pCase) / (n * $pCase)) * 1000000.0) AS BIGINT) AS chi2_term_micro"
+    ).mkString(",\n")
+  }
+
   /** CUPED output expressions, rendered ONCE and spliced verbatim into
     * both the Spark selectExpr and the DuckDB oracle (the shared-text
     * device every 1-row statistics formula here uses): θ from exact
@@ -1844,6 +1859,119 @@ object EventOps {
              cell(1, post = true, col("c")).as("sv_b_post"))
         .selectExpr(Seq("n_a_pre", "n_a_post", "n_b_pre", "n_b_post") ++
                     EventOps.didSelect.split(",\n").toSeq: _*)
+    },
+
+    Q(
+      "event_trend_mk",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |         CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+        |t AS (
+        |  SELECT event_type, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY event_type, c)
+        |  GROUP BY 1)
+        |SELECT n.event_type, n.n_days, s.s_stat,
+        |       CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term AS BIGINT) AS var18,
+        |       round((CAST(s.s_stat AS DOUBLE)
+        |              - (CASE WHEN s.s_stat > 0 THEN 1.0 WHEN s.s_stat < 0 THEN -1.0 ELSE 0.0 END))
+        |             / sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term AS DOUBLE) / 18.0), 6) AS z
+        |FROM n JOIN s USING (event_type) JOIN t USING (event_type)
+        |ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      // Mann-Kendall trend test (Mann 1945, Kendall's tau family) — the
+      // nonparametric "is this metric drifting?" monitor that
+      // environmental/SRE dashboards run where event_cusum looks for a
+      // LEVEL SHIFT: S = Σ_{i<j} sign(c_j − c_i) over the daily series,
+      // variance with the standard tie correction, z with continuity
+      // correction. Exactness: S and the ×18-scaled variance are pure
+      // BIGINT (sign comparisons and count polynomials); only the final
+      // z is IEEE, spliced as identical text. Scale: the pair join runs
+      // on the DAILY table — calendar-bounded (the event_cusum
+      // exception: O(days²) per type, never corpus-sized) after ONE
+      // fact collapse; at a 10-year horizon you'd switch S to the
+      // O(n log n) inversion-count formulation, same output.
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"),
+                 (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val sStat = daily.as("a")
+        .join(daily.as("b"),
+              col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(when(col("b.c") > col("a.c"), 1L)
+                   .when(col("b.c") < col("a.c"), -1L).otherwise(0L))
+               .cast("long").as("s_stat"))
+      val nDays = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).cast("long").as("tie_term"))
+      nDays.join(sStat, Seq("event_type")).join(ties, Seq("event_type"))
+        .selectExpr("event_type", "n_days", "s_stat",
+          "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT) AS var18",
+          """round((CAST(s_stat AS DOUBLE)
+            |       - (CASE WHEN s_stat > 0 THEN 1.0 WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END))
+            |      / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0), 6) AS z""".stripMargin)
+        .orderBy(col("event_type"))
+    },
+
+    Q(
+      "event_benford",
+      s"""WITH v AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events WHERE round(value * 100) >= 1),
+         |dg AS (
+         |  SELECT event_type,
+         |         CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM v),
+         |o AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_obs
+         |      FROM dg GROUP BY 1, 2),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+         |g AS (
+         |  SELECT n.event_type, d.digit, n.n, coalesce(o.n_obs, 0) AS n_obs
+         |  FROM n CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+         |  LEFT JOIN o ON o.event_type = n.event_type AND o.digit = d.digit)
+         |SELECT event_type, digit, CAST(n_obs AS BIGINT) AS n_obs,
+         |       ${EventOps.benfordSelect}
+         |FROM g
+         |ORDER BY event_type, digit""".stripMargin
+    ) { (s, d) =>
+      // Benford first-digit conformance (Newcomb-Benford law) — the
+      // standard forensic/data-quality screen: organically-generated
+      // money amounts follow P(d) = log10(1 + 1/d); fabricated or
+      // truncated feeds don't. Per (event_type, digit): observed count,
+      // the expected ppm (the nine log10 constants are Scala-computed
+      // double literals spliced into BOTH engines), and the χ² term in
+      // integer MICROS — each term is rounded ONCE per row from an
+      // identical IEEE expression, so the per-type χ² rollup the user
+      // does afterwards is an exact BIGINT sum (never an order-dependent
+      // double sum). First digit extracts via decimal string head —
+      // exact on BIGINTs in both engines, no float log10 in the hot
+      // path. Scale: one fact collapse to ≤ |types|×9 cells; the digit
+      // axis joins as a literal 9-row generator.
+      val v = T.events(s, d)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+        .where(col("c") >= 1)
+        .select(col("event_type"),
+                substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      val o = v.groupBy(col("event_type"), col("digit")).agg(count(lit(1)).as("n_obs"))
+      val n = v.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val digits = s.range(1, 10).select(col("id").as("digit"))
+      n.crossJoin(broadcast(digits))
+        .join(o, Seq("event_type", "digit"), "left")
+        .select(col("event_type"), col("digit"), col("n"),
+                coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+        .selectExpr(Seq("event_type", "digit", "CAST(n_obs AS BIGINT) AS n_obs") ++
+                    EventOps.benfordSelect.split(",\n").toSeq: _*)
+        .orderBy(col("event_type"), col("digit"))
     }
   )
 }

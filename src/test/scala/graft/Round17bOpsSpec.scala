@@ -284,6 +284,55 @@ class Round17bOpsSpec extends GraftSuite {
     assert(out.toSeq == fused, s"RRF fusion mismatch:\n got ${out.toSeq}\n exp $fused")
   }
 
+  test("event_trend_mk: S, tie-corrected variance, and z recompute from daily counts") {
+    val out = SparkEntry.queries("event_trend_mk")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val daily = T.events(spark, sf)
+      .select(col("event_type"), (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val series = rows.sortBy(_._2).map(_._3)
+      val n = series.length.toLong
+      var s = 0L
+      for (i <- series.indices; j <- i + 1 until series.length)
+        s += java.lang.Long.signum(series(j) - series(i))
+      val tie = series.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tie
+      val z = (s.toDouble - math.signum(s.toDouble)) / math.sqrt(var18.toDouble / 18.0)
+      val (gn, gs, gv, gz) = out(et)
+      assert(gn == n && gs == s && gv == var18 && math.abs(gz - z) < 1e-6 + 1e-9,
+        s"$et: got ($gn,$gs,$gv,$gz) expected ($n,$s,$var18,$z)")
+    }
+  }
+
+  test("event_benford: digit counts sum to n and χ² terms recompute exactly") {
+    val out = SparkEntry.queries("event_benford")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byType = out.groupBy(_._1)
+    val raw = T.events(spark, sf).select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .filter(_._2 >= 1)
+    byType.foreach { case (et, cells) =>
+      assert(cells.map(_._2).sorted.toSeq == (1L to 9L), s"$et: missing digit rows")
+      val n = raw.count(_._1 == et).toLong
+      assert(cells.map(_._3).sum == n, s"$et: digit counts don't sum to n=$n")
+      cells.foreach { case (_, d, nObs, expPpm, term) =>
+        val p = math.log10(1.0 + 1.0 / d)
+        assert(expPpm == math.round(p * 1e6))
+        val expect = math.round((nObs.toDouble - n * p) * (nObs.toDouble - n * p) / (n * p) * 1e6)
+        assert(term == expect, s"$et digit $d: χ² term $term vs $expect")
+      }
+      // observed digit counts match a driver recount
+      val counts = raw.filter(_._1 == et).map(_._2.toString.head.asDigit.toLong)
+        .groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+      cells.foreach { case (_, d, nObs, _, _) =>
+        assert(nObs == counts.getOrElse(d, 0L), s"$et digit $d count")
+      }
+    }
+  }
+
   test("emb_whitening: whitened covariance is the identity on spanned directions") {
     val out = SparkEntry.queries("emb_whitening")(spark, sf)
       .select(col("whitened")).collect().map(_.getSeq[Double](0).toArray)
