@@ -1691,6 +1691,59 @@ object TrainingOps {
     },
 
     Q(
+      "text_zipf_fit",
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |freq AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY t),
+         |top AS (
+         |  SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rank
+         |  FROM freq ORDER BY f DESC, t LIMIT 100),
+         |lx AS (
+         |  SELECT CAST(round(-(${lnProbTpl("(1.0 / CAST(rank AS DOUBLE))")}) * 1000.0) AS BIGINT) AS x,
+         |         CAST(round(-(${lnProbTpl("(1.0 / CAST(f AS DOUBLE))")}) * 1000.0) AS BIGINT) AS y
+         |  FROM top),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx FROM lx)
+         |SELECT n,
+         |       round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+         |       round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / (1000.0 * n), 6) AS intercept_nats
+         |FROM m""".stripMargin
+    ) { (s, d) =>
+      // Zipf-law fit over the token frequency distribution — the corpus
+      // "naturalness" diagnostic (natural language sits near slope −1;
+      // template farms and token salad deviate; Zipf 1949, the standard
+      // corpus-linguistics screen). OLS of ln f against ln rank over the
+      // top-100 types: both logs go through the shared bit-deterministic
+      // template as −ln(1/k) and round ONCE to integer millinats, so the
+      // moment sums are exact BIGINTs and only the final slope/intercept
+      // divisions are IEEE (identical spliced text — the cupedSelect
+      // device). Tie safety: tokens tied in frequency may RANK
+      // differently across engines (hash order vs word order), but tied
+      // tokens share f, so the (rank, f) MULTISET — and every moment —
+      // is tie-order-invariant, including at the top-100 cut. Scale:
+      // one corpus collapse to the type table, a k-bounded TakeOrdered
+      // cut, OLS over 100 rows.
+      val freq = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      val top = freq.orderBy(col("f").desc, col("t")).limit(100)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("f").desc, col("t"))))
+      top.select(
+          expr(s"CAST(round(-(${lnProbTpl("(1.0 / CAST(rank AS DOUBLE))")}) * 1000.0) AS BIGINT)").as("x"),
+          expr(s"CAST(round(-(${lnProbTpl("(1.0 / CAST(f AS DOUBLE))")}) * 1000.0) AS BIGINT)").as("y"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(col("x")).cast("long").as("sx"),
+             sum(col("y")).cast("long").as("sy"),
+             sum(col("x") * col("y")).cast("long").as("sxy"),
+             sum(col("x") * col("x")).cast("long").as("sxx"))
+        .selectExpr("n",
+          "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope",
+          "round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / (1000.0 * n), 6) AS intercept_nats")
+    },
+
+    Q(
       "text_quality_buckets",
       s"""WITH w AS (
          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -333,6 +333,28 @@ class Round17bOpsSpec extends GraftSuite {
     }
   }
 
+  test("text_zipf_fit: slope recomputes from a driver-side frequency table") {
+    val row = SparkEntry.queries("text_zipf_fit")(spark, sf).collect()(0)
+    val toks = T.documents(spark, sf).select(col("text")).collect()
+      .flatMap(r => Option(r.getString(0)).toSeq.flatMap(_.split(" ", -1)))
+    val freq = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val top = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(100)
+    val xy = top.zipWithIndex.map { case ((_, f), i) =>
+      (math.round(math.log(i + 1.0) * 1000.0), math.round(math.log(f.toDouble) * 1000.0))
+    }
+    val n = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum; val sxx = xy.map(p => p._1 * p._1).sum
+    val slope = (n.toDouble * sxy - sx.toDouble * sy) / (n.toDouble * sxx - sx.toDouble * sx)
+    assert(row.getLong(0) == n)
+    // driver math.log vs the shared template agree to ≤1 millinats per
+    // point; the OLS slope over ≥30 points absorbs that into <1e-3
+    assert(math.abs(row.getDouble(1) - slope) < 1e-3,
+      s"slope ${row.getDouble(1)} vs recomputed $slope")
+    // a natural-language-ish corpus must slope DOWN
+    assert(row.getDouble(1) < 0.0)
+  }
+
   test("emb_whitening: whitened covariance is the identity on spanned directions") {
     val out = SparkEntry.queries("emb_whitening")(spark, sf)
       .select(col("whitened")).collect().map(_.getSeq[Double](0).toArray)
