@@ -818,6 +818,10 @@ object EmbeddingOps {
     // exchange). No oracle: eigenvectors are iteration-order artifacts —
     // Round17bOpsSpec pins the INVARIANT instead (whitened covariance ≈
     // identity on the directions the corpus actually spans).
+    // Output shape: (vec_id, pos, value) scalar rows — the driver
+    // canonicalizes every registered key's output through a pandas
+    // sort, which cannot hash raw array<double> cells (r17 err record);
+    // EntrySpec pins the no-float-array-output contract repo-wide.
     Q.smoke("emb_whitening") { (s, d) =>
       import s.implicits._
       val e = T.embeddings(s, d)
@@ -825,7 +829,7 @@ object EmbeddingOps {
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"))
       val dims = e.select(size(col("x")).as("d")).limit(1).collect()
       if (dims.isEmpty) {
-        e.select(col("vec_id"), col("x").as("whitened")) // empty corpus: keep schema
+        e.select(col("vec_id"), posexplode(col("x")).as(Seq("pos", "value"))) // empty corpus: keep schema
       } else {
         val dim = dims(0).getInt(0)
         val (n, mu, c) = covariance(e, dim)
@@ -848,8 +852,8 @@ object EmbeddingOps {
               aggregate(zip_with(row, centered, (a, b) => a * b),
                         lit(0.0), (acc, v) => acc + v)).as("y"))
           .select(col("vec_id"),
-                  expr("transform(y, v -> round(v, 6))").as("whitened"))
-          .orderBy(col("vec_id"))
+                  posexplode(expr("transform(y, v -> round(v, 6))")).as(Seq("pos", "value")))
+          .orderBy(col("vec_id"), col("pos"))
       }
     },
 
@@ -865,13 +869,15 @@ object EmbeddingOps {
     // oracle (eigenbasis from an iterative solver) — Round17bOpsSpec
     // pins component variances ≈ the top eigenvalues, decorrelation,
     // and captured-variance dominance.
+    // Output shape: (vec_id, pos, value) scalar rows — same driver-
+    // canonicalization contract as emb_whitening (EntrySpec-pinned).
     Q.smoke("emb_pca_project") { (s, d) =>
       val e = T.embeddings(s, d)
         .where(col("embedding").isNotNull) // null payload: no vector, no row (NullInputSpec)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"))
       val dims = e.select(size(col("x")).as("d")).limit(1).collect()
       if (dims.isEmpty) {
-        e.select(col("vec_id"), col("x").as("proj")) // empty corpus: keep schema
+        e.select(col("vec_id"), posexplode(col("x")).as(Seq("pos", "value"))) // empty corpus: keep schema
       } else {
         val dim = dims(0).getInt(0)
         val k = math.min(8, dim)
@@ -891,8 +897,9 @@ object EmbeddingOps {
             transform(bLit, row =>
               aggregate(zip_with(row, centered, (a, b) => a * b),
                         lit(0.0), (acc, v) => acc + v)).as("y"))
-          .select(col("vec_id"), expr("transform(y, v -> round(v, 6))").as("proj"))
-          .orderBy(col("vec_id"))
+          .select(col("vec_id"),
+                  posexplode(expr("transform(y, v -> round(v, 6))")).as(Seq("pos", "value")))
+          .orderBy(col("vec_id"), col("pos"))
       }
     }
   )

@@ -1881,9 +1881,11 @@ object EventOps {
         |  GROUP BY 1)
         |SELECT n.event_type, n.n_days, s.s_stat,
         |       CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term AS BIGINT) AS var18,
-        |       round((CAST(s.s_stat AS DOUBLE)
+        |       CASE WHEN n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term > 0
+        |            THEN round((CAST(s.s_stat AS DOUBLE)
         |              - (CASE WHEN s.s_stat > 0 THEN 1.0 WHEN s.s_stat < 0 THEN -1.0 ELSE 0.0 END))
-        |             / sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term AS DOUBLE) / 18.0), 6) AS z
+        |             / sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term AS DOUBLE) / 18.0), 6)
+        |            ELSE NULL END AS z
         |FROM n JOIN s USING (event_type) JOIN t USING (event_type)
         |ORDER BY event_type""".stripMargin
     ) { (s, d) =>
@@ -1914,12 +1916,17 @@ object EventOps {
       val ties = daily.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("t"))
         .groupBy(col("event_type"))
         .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).cast("long").as("tie_term"))
+      // degenerate series (single day or all daily counts tied) → var18 = 0:
+      // z is undefined, emitted as NULL in BOTH engines rather than the
+      // engine-divergent sqrt(0) division (ADVICE r17)
       nDays.join(sStat, Seq("event_type")).join(ties, Seq("event_type"))
         .selectExpr("event_type", "n_days", "s_stat",
           "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT) AS var18",
-          """round((CAST(s_stat AS DOUBLE)
+          """CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_term > 0
+            |     THEN round((CAST(s_stat AS DOUBLE)
             |       - (CASE WHEN s_stat > 0 THEN 1.0 WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END))
-            |      / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0), 6) AS z""".stripMargin)
+            |      / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0), 6)
+            |     ELSE NULL END AS z""".stripMargin)
         .orderBy(col("event_type"))
     },
 

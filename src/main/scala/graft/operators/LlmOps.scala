@@ -1730,7 +1730,8 @@ object LlmOps {
     Q(
       "text_chunk_overlap",
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
         |c AS (
         |  SELECT doc_id, w,
         |         unnest(range(0, CAST(ceil(greatest(len(w) - 16, 1) / 48.0) AS BIGINT))) AS chunk_id
@@ -1757,7 +1758,10 @@ object LlmOps {
       // at 100 TB this is the map-only stage in front of the embedding
       // UDF, and output order is (doc_id, chunk_id) clustered exactly as
       // the downstream packer wants it.
+      // null text → no chunks in BOTH engines (Spark's greatest() would
+      // otherwise keep one NULL-text chunk the oracle drops, ADVICE r17)
       T.documents(s, d)
+        .where(col("text").isNotNull)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), col("w"),
           explode(expr(

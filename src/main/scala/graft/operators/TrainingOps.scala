@@ -1763,7 +1763,8 @@ object TrainingOps {
          |t AS (
          |  SELECT d.lang, d.n_chars, p.nll,
          |         ntile(3) OVER (PARTITION BY d.lang ORDER BY p.nll, p.doc_id) AS bucket
-         |  FROM p JOIN documents d USING (doc_id))
+         |  FROM p JOIN documents d USING (doc_id)
+         |  WHERE d.lang IS NOT NULL)
          |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -57,4 +57,29 @@ class EntrySpec extends GraftSuite {
     }
     assert(failures.isEmpty, s"queries failed: $failures")
   }
+
+  // VERDICT r17 #1 — the driver canonicalizes EVERY registered key's
+  // output through a pandas sort before hashing; a raw float/double
+  // array cell arrives as numpy.ndarray (unhashable) and crashes the
+  // record (the r17 emb_whitening/emb_pca_project err records). Pin the
+  // contract: no registered query may emit a float/double array column
+  // at any nesting depth — posexplode to (id, pos, value) rows instead.
+  test("no registered query emits a float/double array column") {
+    import org.apache.spark.sql.types._
+    def hasFloatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(e, _)                      => hasFloatArray(e)
+      case StructType(fs)                       => fs.exists(f => hasFloatArray(f.dataType))
+      case MapType(k, v, _)                     => hasFloatArray(k) || hasFloatArray(v)
+      case _                                    => false
+    }
+    val offenders = SparkEntry.registry.flatMap { q =>
+      try {
+        val bad = q.run(spark, sf).schema.fields.filter(f => hasFloatArray(f.dataType))
+        if (bad.isEmpty) None else Some(q.key -> bad.map(_.name).toSeq)
+      } catch { case _: Throwable => None } // execution failures are the previous test's job
+    }
+    assert(offenders.isEmpty,
+           s"driver-uncanonicalizable float-array output columns: $offenders")
+  }
 }

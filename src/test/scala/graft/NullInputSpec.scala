@@ -49,12 +49,13 @@ class NullInputSpec extends GraftSuite {
     dir
   }
 
-  // same exclusions as EmptyInputSpec (self-driving streaming demos) plus
-  // the keys whose CONTRACT is fail-loud on malformed payloads: the
-  // tokenizer lanes abort on non-ASCII/undecodable input by design, and
-  // the multimodal codecs require decodable bytes — a null payload is
-  // the "corrupt asset" their require() exists to flag. Their loudness
-  // is itself spec-pinned elsewhere; this lane tests the SILENT majority.
+  // same exclusions as EmptyInputSpec (self-driving streaming demos).
+  // The fail-loud keys (tokenizer lanes, multimodal codecs) are NOT
+  // excluded: a null payload row is dropped by their isNotNull guards
+  // before the require() kernels see it, so they run — and pass — in
+  // this lane; only genuinely undecodable non-null bytes trip their
+  // loudness, which is spec-pinned elsewhere. (ADVICE r17: comment
+  // previously claimed a wider skip set than the code had.)
   private val skip = Set(
     "stream_watermark_late", "stream_stateful_custom", "stream_stream_join",
     "stream_transform_with_state",
