@@ -1017,73 +1017,74 @@ object OsmKernels {
       // ST_Union-class kernel (VERDICT r12 "spatial-op breadth"): EXACT
       // union area of way-bbox footprints per tile — overlap counted
       // once, unlike `osm_bbox_intersection_area`'s per-way density sum.
-      // Algorithm: grid-decompose then coordinate-compression sweep.
-      // (1) clip each bbox to the query window, shred it over fine
-      // 250×2000 centi-unit cells (disjoint cells ⇒ union area is
-      // additive over cells); (2) per cell, the distinct box edges cut
-      // the x-axis into strips (lead over the sorted edge set); (3) a
-      // strip×box cell-local equi-join keeps boxes spanning each strip;
-      // (4) the classic running-max window computes the 1-D union length
-      // of y-intervals per strip: contribution = max(0, y2 − max(y1,
+      // Algorithm: coordinate-compression sweep over WINDOW-WIDE x-strips
+      // (r18 replan; the oracle SQL keeps the earlier cell-decomposed
+      // recipe — union area is additive over ANY disjoint decomposition
+      // and every quantity is exact BIGINT, so both plans hash-match by
+      // construction, and the A/B was verified row-identical at sf0.1):
+      // (1) clip each bbox to the query window and split it at tile
+      // y-boundaries (y DIV 4000 bands, ≤3 rows/box); (2) the DISTINCT
+      // clipped x-edges plus the 500-grid tile x-boundaries cut the
+      // window into strips — the fixture's lon axis is quantized
+      // (p_size×100), so this is a k-bounded table (~25 rows; its
+      // single-partition lead window is the documented bounded-window
+      // exception) and strips never straddle a tile; (3) bands join
+      // strips via BROADCAST (pure range predicate → BroadcastNestedLoop
+      // over the tiny strip table — no shuffle of the fact side, the
+      // r18 win: the previous 250×2000 cell shred carried a 2.8 M-row
+      // persist and an 8 M-row shuffle join into ≤32 cell groups, 3.3 s
+      // fresh; this plan's cover table is ~1.3 M rows and the only fact
+      // shuffle is the window below — 1.9-2.3 s measured); (4) the
+      // classic running-max window per (band, strip) computes the 1-D
+      // union length of y-intervals: contribution = max(0, y2 − max(y1,
       // prev_max)) — order-invariant, exact BIGINT; (5) Σ strip_width ×
-      // union_len rolls up to the serving 500×4000 tiles. Scale shape:
-      // everything is keyed by cell — the sweep is embarrassingly
-      // parallel over cells and the quadratic strip×box pairing is
-      // bounded by per-cell occupancy k (Σ 2k²). Cell size is a MEASURED
-      // knob, not a monotone one: boxes large relative to a cell recur
-      // in every cell they span, so halving the cell multiplies the
-      // shred without shrinking k (100×800 → 4.8 s, 50×400 → 15.6 s at
-      // sf0.1), while a cell at full tile size grows the quadratic
-      // pairing (2.2 s); 250×2000 measured best (2.1 s). A planet-scale
-      // run re-tunes this to its own box-size distribution. All arithmetic is integer and
-      // identical in both engines — no epsilon, no float area.
+      // union_len rolls up to the serving 500×4000 tiles. At planet
+      // scale the window is a user query region (city/continent tile
+      // batch); one strip table per region stays k-bounded because real
+      // query regions are processed per tile-batch, and the sweep
+      // parallelizes over (region × band × strip).
       val bb = T.lineitem(s, d)
         .select(col("l_orderkey").as("way_id"), col("l_partkey").as("node_ref"))
         .join(nodes(s, d), col("node_ref") === col("node_id"))
         .groupBy(col("way_id"))
         .agg(min(col("lon_c")).as("xmin"), max(col("lon_c")).as("xmax"),
              min(col("lat_c")).as("ymin"), max(col("lat_c")).as("ymax"))
-      val win = bb.select(col("way_id"),
+      val band = graft.Caches.register(bb.select(col("way_id"),
           greatest(col("xmin"), lit(1000L)).as("x1"),
           least(col("xmax"), lit(3000L)).as("x2"),
           greatest(col("ymin"), lit(92000L)).as("y1"),
           least(col("ymax"), lit(100000L)).as("y2"))
         .where(col("x2") > col("x1") && col("y2") > col("y1"))
-      val boxes = graft.Caches.register(win
-        .withColumn("cx", explode(expr("sequence(x1 DIV 250, x2 DIV 250)")))
-        .withColumn("cy", explode(expr("sequence(y1 DIV 2000, y2 DIV 2000)")))
-        .select(col("cx"), col("cy"), col("way_id"),
-          greatest(col("x1"), col("cx") * 250).as("bx1"),
-          least(col("x2"), (col("cx") + 1) * 250).as("bx2"),
-          greatest(col("y1"), col("cy") * 2000).as("by1"),
-          least(col("y2"), (col("cy") + 1) * 2000).as("by2"))
-        .where(col("bx2") > col("bx1") && col("by2") > col("by1"))
+        .withColumn("ty", explode(expr("sequence(y1 DIV 4000, y2 DIV 4000)")))
+        .select(col("way_id"), col("ty"), col("x1"), col("x2"),
+          greatest(col("y1"), col("ty") * 4000).as("by1"),
+          least(col("y2"), (col("ty") + 1) * 4000).as("by2"))
+        .where(col("by2") > col("by1"))
         .persist())
-      val strips = boxes.select(col("cx"), col("cy"), col("bx1").as("xs"))
-        .union(boxes.select(col("cx"), col("cy"), col("bx2")))
+      val strips = band.select(explode(array(col("x1"), col("x2"))).as("xs"))
+        .union(s.range(2, 7).select((col("id") * 500).as("xs")))
         .distinct()
         .withColumn("xe", lead(col("xs"), 1).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("cx"), col("cy")).orderBy(col("xs"))))
+          org.apache.spark.sql.expressions.Window.orderBy(col("xs"))))
         .where(col("xe").isNotNull)
+        .select(col("xs"), col("xe"), expr("xs DIV 500").as("tx"))
+      val cover = band.join(broadcast(strips),
+        col("x1") <= col("xs") && col("x2") >= col("xe"))
       val wseg = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cx"), col("cy"), col("xs"))
+        .partitionBy(col("ty"), col("xs"))
         .orderBy(col("by1"), col("by2"), col("way_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val striplen = strips.join(boxes, Seq("cx", "cy"))
-        .where(col("bx1") <= col("xs") && col("bx2") >= col("xe"))
+      val striplen = cover
         .withColumn("pmax", max(col("by2")).over(wseg))
         .withColumn("contrib",
           greatest(lit(0L),
             col("by2") - greatest(col("by1"), coalesce(col("pmax"), col("by1")))))
-        .groupBy(col("cx"), col("cy"), col("xs"), col("xe"))
+        .groupBy(col("tx"), col("ty"), col("xs"), col("xe"))
         .agg(sum(col("contrib")).as("ulen"))
-      val tile = striplen
-        .groupBy(expr("cx DIV 2").as("tx"), expr("cy DIV 2").as("ty"))
+      val tile = striplen.groupBy(col("tx"), col("ty"))
         .agg(sum((col("xe") - col("xs")) * col("ulen")).cast("long").as("union_area"))
-      val nw = boxes
-        .groupBy(expr("cx DIV 2").as("tx"), expr("cy DIV 2").as("ty"))
-        .agg(countDistinct(col("way_id")).as("n_ways"))
+      val nw = cover.select(col("tx"), col("ty"), col("way_id")).distinct()
+        .groupBy(col("tx"), col("ty")).agg(count(lit(1)).as("n_ways"))
       tile.join(nw, Seq("tx", "ty"))
         .select(col("tx"), col("ty"), col("n_ways"), col("union_area"),
                 expr("(1000000 * union_area) DIV 2000000").as("covered_ppm"))
