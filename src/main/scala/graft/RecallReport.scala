@@ -73,6 +73,42 @@ object RecallReport {
     println(s"| key | recall ($sfDir, n=$nVec, ${globalDropped.size} global >=tau drops) | spec floor |")
     println("|---|---|---|")
     rows.foreach { case (k, r, f) => println(f"| `$k` | $r%.3f | $f |") }
+
+    // --- recall@10 vs budget curves (VERDICT r17 #4): sweep each
+    // approximate key's budget knob through the conf it reads, so the
+    // committed floors derive from a measured curve instead of a single
+    // asserted point. Defaults are restored after each sweep — the
+    // production settings are the starred rows.
+    println()
+    println(s"### recall@10 vs budget ($sfDir)")
+    println("| key | knob | budget (candidates driven) | recall@10 |")
+    println("|---|---|---|---|")
+    for (r <- Seq(0, 1, 2, 3)) {
+      spark.conf.set("spark.sql.graft.ann.lshRadius", r.toString)
+      val rec = vsExactCos("sim_cosine_lsh")
+      val probes = (0 until 256).count(m => Integer.bitCount(m) <= r)
+      val star = if (r == 2) " *" else ""
+      println(f"| `sim_cosine_lsh` | radius=$r$star | $probes probes of 256 buckets | $rec%.3f |")
+    }
+    spark.conf.unset("spark.sql.graft.ann.lshRadius")
+    for (np <- Seq(1, 2, 3, 4, 6)) {
+      spark.conf.set("spark.sql.graft.ann.nprobe", np.toString)
+      val recIvf = vsExactCos("sim_cosine_ivf")
+      val recPart = vsExactCos("sim_ivf_partitioned")
+      val star = if (np == 3) " *" else ""
+      println(f"| `sim_cosine_ivf` | nprobe=$np$star | $np cells scanned | $recIvf%.3f |")
+      println(f"| `sim_ivf_partitioned` | nprobe=$np$star | $np partition dirs opened | $recPart%.3f |")
+    }
+    spark.conf.unset("spark.sql.graft.ann.nprobe")
+    for (b <- Seq(2, 4, 8, 16)) {
+      spark.conf.set("spark.sql.graft.ann.beam", b.toString)
+      val out = SparkEntry.queries("sim_graph_search")(spark, sfDir).collect()
+      val rec = out.map(_.getLong(0)).count(exactCos).toDouble / exactCos.size
+      val (nv, nr) = out.headOption.map(r0 => (r0.getLong(2), r0.getLong(3))).getOrElse((0L, 0L))
+      val star = if (b == 8) " *" else ""
+      println(f"| `sim_graph_search` | beam=$b$star | $nv visited / $nr rounds | $rec%.3f |")
+    }
+    spark.conf.unset("spark.sql.graft.ann.beam")
     spark.stop()
   }
 }

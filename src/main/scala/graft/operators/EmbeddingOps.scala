@@ -591,9 +591,10 @@ object EmbeddingOps {
       // driven by a joined column. The data path never funnels through
       // the driver.
       val q = T.embeddings(s, d).where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val nprobe = s.conf.get("spark.sql.graft.ann.nprobe", "3").toInt // RecallReport sweeps this
       val probeCids = s.read.parquet(s"$root/codebook").crossJoin(broadcast(q))
         .select(col("cid"), graft.functions.CosineSimilarity(col("centroid"), col("qe")).as("qc"))
-        .orderBy(col("qc").desc).limit(3)
+        .orderBy(col("qc").desc).limit(nprobe)
         .collect().map(_.getLong(0))
       // …and the index read prunes to those partition dirs (static
       // partition filter — only nprobe/k of the lake's files are opened).
@@ -631,7 +632,7 @@ object EmbeddingOps {
                 graft.functions.CosineSimilarity(
                   expr("transform(centroid, x -> CAST(x AS FLOAT))"), col("qe")).as("qc"))
         .orderBy(col("qc").desc)
-        .limit(3)
+        .limit(s.conf.get("spark.sql.graft.ann.nprobe", "3").toInt) // RecallReport sweeps this
         .select(col("label"))
       e.where(col("vec_id") =!= 0)
         .join(broadcast(probed), Seq("label"), "left_semi")

@@ -927,7 +927,7 @@ object LlmOps {
           .crossJoin(qDf)
           .select(col("vec_id"), round(cosine("embedding", "q"), 6).as("score"))
           .collect().map(r => (r.getLong(0), r.getDouble(1)))
-      val B = 8
+      val B = s.conf.get("spark.sql.graft.ann.beam", "8").toInt // RecallReport sweeps this
       var visited = scoreOf(Seq(entry)).toMap
       var expanded = Set.empty[Long]
       var rounds = 0
@@ -1055,9 +1055,11 @@ object LlmOps {
       val e = T.embeddings(s, d).withColumn("bucket", lshBucket(col("embedding")))
       val q = e.where(col("vec_id") === 0)
         .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
-      // all XOR masks with ≤ 2 of 8 bits set: 1 + 8 + 28 = 37 probes
-      val masks = (0L +: (0 until 8).map(i => 1L << i)) ++
-        (for (i <- 0 until 8; j <- (i + 1) until 8) yield (1L << i) | (1L << j))
+      // multi-probe budget knob (RecallReport sweeps it; default = the
+      // production setting): all XOR masks with ≤ radius of 8 bits set —
+      // radius 2 → 1 + 8 + 28 = 37 probes
+      val radius = s.conf.get("spark.sql.graft.ann.lshRadius", "2").toInt
+      val masks = (0 until 256).filter(m => Integer.bitCount(m) <= radius).map(_.toLong)
       val maskArr = array(masks.map(lit): _*)
       val probes = broadcast(
         q.select(col("qe"), col("qbucket"), explode(maskArr).as("m"))
