@@ -118,6 +118,34 @@ object PostgisLoadJob {
       s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates"
   }
 
+  /** The ON CONFLICT arbiter index for [[upsertSql]]'s key columns.
+    * Found by the REAL-Postgres lane (r18, `tools/pg_real_check.py`):
+    * Postgres rejects `ON CONFLICT (cols)` outright — "no unique or
+    * exclusion constraint matching the ON CONFLICT specification" —
+    * unless a unique index on exactly those columns exists, and neither
+    * [[postgresDdl]] (faithful to what `df.write.jdbc` executes, which
+    * never adds constraints) nor the grammar lane could surface that: the
+    * statement is grammatically perfect and fails only at execution. A
+    * deployment must run this once after the CREATE TABLE, before the
+    * first upsert. */
+  def uniqueIndexSql(table: String, keyCols: Seq[String]): String = {
+    require(keyCols.nonEmpty, "uniqueIndexSql: key columns required")
+    s"CREATE UNIQUE INDEX IF NOT EXISTS ${table}_${keyCols.mkString("_")}_key " +
+      s"ON $table (${keyCols.mkString(", ")})"
+  }
+
+  /** The UNLOGGED staging table the staged [[upsertSql]] mode reads from —
+    * same dialect-rendered column list as the target (so `df.write.jdbc`
+    * into the stage needs no pins), UNLOGGED because the stage is
+    * truncated after every merge and must not pay WAL. */
+  def stageDdl(table: String, df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    val dialect = JdbcDialects.get("jdbc:postgresql://localhost/osm")
+    s"CREATE UNLOGGED TABLE ${table}_stage (" +
+      JdbcUtils.schemaString(dialect, df.schema, caseSensitive = false, None) + ")"
+  }
+
   /** Orchestration-level slice column stamped on every loaded row in
     * region mode. Named `load_region` (not `region`) because the lake's
     * `ways` table already carries a DATA-derived `region` partition

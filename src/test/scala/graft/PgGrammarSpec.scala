@@ -34,6 +34,12 @@ class PgGrammarSpec extends GraftSuite {
     Seq(
       "create_osm_ways.sql" ->
         plans.PostgisLoadJob.postgresDdl("osm_ways", ways),
+      "create_osm_ways_stage.sql" ->
+        plans.PostgisLoadJob.stageDdl("osm_ways", ways),
+      "create_unique_way_id.sql" ->
+        plans.PostgisLoadJob.uniqueIndexSql("osm_ways", Seq("way_id")),
+      "create_unique_way_id_pgosm_date.sql" ->
+        plans.PostgisLoadJob.uniqueIndexSql("osm_ways", Seq("way_id", "pgosm_date")),
       "upsert_staged.sql" ->
         plans.PostgisLoadJob.upsertSql("osm_ways", ways,
           Seq("way_id", "pgosm_date"), Some("osm_ways_stage")),
@@ -85,6 +91,28 @@ class PgGrammarSpec extends GraftSuite {
       java.nio.charset.StandardCharsets.UTF_8)
     assert(proc.waitFor() == 0, s"pg_grammar_check failed:\n$out")
     assert(out.contains("grammar OK"), out)
+  }
+
+  test("goldens run the dual-lane check — REAL Postgres when available (VERDICT r17 #5)") {
+    val have = try {
+      new ProcessBuilder("python3", "--version").start().waitFor() == 0
+    } catch { case _: java.io.IOException => false }
+    assume(have, "python3 not on PATH — dual-lane skipped")
+    val proc = new ProcessBuilder("python3", "tools/pg_real_check.py")
+      .directory(new java.io.File(sys.props.getOrElse("user.dir", ".")))
+      .redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(proc.waitFor() == 0, s"pg_real_check failed:\n$out")
+    // the tool must DECLARE which lane ran — a silent lane is the drift
+    // dag_check.py's mode report exists to prevent
+    assert(out.contains("mode=real") || out.contains("mode=grammar"), out)
+    info(out.linesIterator.next())
+    if (out.contains("mode=real")) {
+      // the whole point of the lane: ON CONFLICT executed, not just parsed
+      assert(out.contains("idempotent-update verified") &&
+             out.contains("exactly-once verified"), out)
+    }
   }
 
   test("the grammar checker itself rejects non-Postgres text (not a rubber stamp)") {

@@ -1,13 +1,15 @@
 #!/usr/bin/env python3
 """Grammar validation for the Postgres dialect artifacts PostgisLoadJob
-emits (VERDICT r16 #3): no Postgres binary ships in this sandbox, so the
-emitted CREATE TABLE / INSERT ... ON CONFLICT / DELETE statements are
-checked against a hand-implemented subset of the PUBLISHED PostgreSQL 15
-grammar (doc/src/sgml/ref/{create_table,insert,delete}.sgml productions,
-restricted to exactly the statement shapes the job emits). The point is
-that a dialect drift — a type name Postgres does not have, an unquoted
-reserved word, a malformed conflict target — fails a spec here instead of
-a user's first real load.
+emits (VERDICT r16 #3): the emitted CREATE [UNLOGGED] TABLE / CREATE
+UNIQUE INDEX / INSERT ... ON CONFLICT / DELETE statements are checked
+against a hand-implemented subset of the PUBLISHED PostgreSQL 15 grammar
+(doc/src/sgml/ref/{create_table,create_index,insert,delete}.sgml
+productions, restricted to exactly the statement shapes the job emits).
+The point is that a dialect drift — a type name Postgres does not have,
+an unquoted reserved word, a malformed conflict target — fails a spec
+here instead of a user's first real load. This is the FALLBACK lane of
+`pg_real_check.py`, which executes the same goldens on a real Postgres
+when one is available (VERDICT r17 #5).
 
 Usage: pg_grammar_check.py FILE [FILE...]
 Each file holds ONE SQL statement (whitespace/newlines free-form).
@@ -165,7 +167,10 @@ class P:
 
     # ---- statement productions ------------------------------------
     def create_table(self):
-        self.expect_kw("create", "table")
+        self.expect_kw("create")
+        if self.kw_ahead("unlogged"):
+            self.next()  # CREATE UNLOGGED TABLE (the staging-table form)
+        self.expect_kw("table")
         if self.kw_ahead("if"):
             self.expect_kw("if", "not", "exists")
         self.identifier("table name")
@@ -245,6 +250,22 @@ class P:
             self.next()
         self.end()
 
+    def create_unique_index(self):
+        # CREATE UNIQUE INDEX [IF NOT EXISTS] name ON table (col [, ...])
+        # — the ON CONFLICT arbiter (create_index.sgml production subset)
+        self.expect_kw("create", "unique", "index")
+        if self.kw_ahead("if"):
+            self.expect_kw("if", "not", "exists")
+        self.identifier("index name")
+        self.expect_kw("on")
+        self.identifier("table name")
+        if self.next() != "(":
+            raise ParseError("expected ( column list ) after table name")
+        self.column_list()
+        if self.next() != ")":
+            raise ParseError("expected ) closing the index column list")
+        self.end()
+
     def delete(self):
         self.expect_kw("delete", "from")
         self.identifier("table name")
@@ -264,7 +285,9 @@ class P:
 
     def statement(self):
         head = (self.toks[0].lower() if self.toks else "")
-        if head == "create":
+        if head == "create" and len(self.toks) > 1 and self.toks[1].lower() == "unique":
+            self.create_unique_index()
+        elif head == "create":
             self.create_table()
         elif head == "insert":
             self.insert()
@@ -272,7 +295,8 @@ class P:
             self.delete()
         else:
             raise ParseError(f"unsupported statement head {head!r} "
-                             "(checker covers CREATE TABLE / INSERT / DELETE)")
+                             "(checker covers CREATE [UNLOGGED] TABLE / "
+                             "CREATE UNIQUE INDEX / INSERT / DELETE)")
 
 
 def main(paths):
