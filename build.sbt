@@ -37,3 +37,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // forked `run` output goes straight through, without sbt's "[info] "
 // log prefix — Bench/Verify print machine-parsed JSON lines to stdout.
 run / outputStrategy := Some(StdoutOutput)
+
+// Two-tier test invocation (VERDICT r17 #7): the per-commit lane skips
+// the `graft.Heavy`-tagged whole-registry sweeps / tri-scale probes /
+// streaming soaks; the full matrix still runs with plain `sbt test` at
+// round close. See TestBase.scala for the tagging rule.
+addCommandAlias("quickTest", "Test / testOnly * -- -l graft.Heavy")

@@ -585,6 +585,100 @@ object Aggs {
           |ORDER BY scope""".stripMargin)
     },
 
+    Q.smoke("agg_theta_intersect") { (s, d) =>
+      // MERGEABLE THETA-SKETCH SET ALGEBRA (Apache DataSketches theta
+      // family; Dasgupta et al., "Theta-Sketch Framework") — the rung
+      // agg_hll_union cannot express: HLL merges support UNION only,
+      // while theta sketches close the set algebra — distinct-count
+      // INTERSECTIONS and DIFFERENCES across slices with published
+      // error bounds. 100 TB shape: per-partition UpdateSketches fold
+      // each split (the Gram-fold mapPartitions exception — k-bounded
+      // sketch state, never row state), per-partition compact blobs
+      // (≤ ~8·2^lgK bytes each) collect as METADATA (≤ partitions ×
+      // |slices| rows), and the set algebra runs on sketches, never on
+      // data. A deployed lake persists the per-slice sketches next to
+      // the slices (the agg_hll_union discipline), so "parts returned
+      // under flag A but never under R this quarter" is sketch algebra
+      // over stored ~32 KB blobs — zero rescan. No SQL oracle (DuckDB
+      // has no theta type); Round18OpsSpec pins every estimate inside
+      // the sketch's own 99%-confidence bounds AND within the published
+      // relative-error envelope of the exact distinct counts.
+      import s.implicits._
+      import org.apache.datasketches.theta.{SetOperation, Sketch, UpdateSketch}
+      import org.apache.datasketches.memory.Memory
+      val lgK = 12
+      val parts = T.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_partkey").as("k"))
+        .where(col("flag").isin("A", "R"))
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          val sks = scala.collection.mutable.HashMap.empty[String, UpdateSketch]
+          it.foreach { case (f, k) =>
+            sks.getOrElseUpdate(f,
+              UpdateSketch.builder().setLogNominalEntries(lgK).build()).update(k)
+          }
+          sks.iterator.map { case (f, sk) => (f, sk.compact().toByteArray) }
+        }
+        .collect()
+      def slice(flag: String): Sketch = {
+        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+        parts.iterator.filter(_._1 == flag)
+          .foreach(p => u.union(Sketch.wrap(Memory.wrap(p._2))))
+        u.getResult
+      }
+      val a = slice("A")
+      val r = slice("R")
+      val inter = SetOperation.builder().buildIntersection()
+      inter.intersect(a); inter.intersect(r)
+      val aNotR = SetOperation.builder().buildANotB().aNotB(a, r)
+      Seq(("A", a.getEstimate), ("R", r.getEstimate),
+          ("A_INTERSECT_R", inter.getResult.getEstimate),
+          ("A_NOT_R", aNotR.getEstimate))
+        .toDF("scope", "est_raw")
+        .select(col("scope"), round(col("est_raw")).cast("long").as("est"))
+        .orderBy(col("scope"))
+    },
+
+    Q.smoke("agg_kll_quantiles") { (s, d) =>
+      // MERGEABLE KLL QUANTILE SKETCH (Karnin-Lang-Liberty, FOCS 2016;
+      // Apache DataSketches) — completes the sketch ladder: HLL answers
+      // "how many distinct", CMS "how often is THIS one", theta "how do
+      // slices intersect", KLL "what does the DISTRIBUTION look like" —
+      // with a published NORMALIZED RANK error (±1.65% at k=200, 99%
+      // conf), unlike agg_approx_percentile whose one-shot estimate
+      // cannot be stored or merged. Same distributed shape as
+      // agg_theta_intersect: per-partition sketches fold each split
+      // (k-bounded state), ~3 KB compact blobs collect as metadata, one
+      // driver merge — in a lake the per-slice/per-day sketches persist
+      // and "p99 latency last quarter" is a merge over stored rows.
+      // Estimates are RETAINED data values (KLL returns actual items):
+      // prices enter as exact cents, so outputs are integer-exact cents.
+      // No SQL oracle (approximate by construction); Round18OpsSpec pins
+      // each estimate's true rank inside the sketch's own rank-error
+      // envelope vs the exact distribution.
+      import s.implicits._
+      import org.apache.datasketches.kll.KllDoublesSketch
+      import org.apache.datasketches.memory.Memory
+      val blobs = T.lineitem(s, d)
+        .select((col("l_extendedprice") * 100).cast("long").as("cents"))
+        .as[Long]
+        .mapPartitions { it =>
+          val sk = KllDoublesSketch.newHeapInstance(200)
+          it.foreach(c => sk.update(c.toDouble))
+          if (sk.isEmpty) Iterator.empty else Iterator.single(sk.toByteArray)
+        }
+        .collect()
+      val merged = KllDoublesSketch.newHeapInstance(200)
+      blobs.foreach(b => merged.merge(KllDoublesSketch.wrap(Memory.wrap(b))))
+      val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+      qs.map { q =>
+        val v = if (merged.isEmpty) 0L else merged.getQuantile(q).toLong
+        (q, v, merged.getNormalizedRankError(false))
+      }.toDF("q", "est_cents", "rank_err")
+        .select(col("q"), col("est_cents"), round(col("rank_err"), 6).as("rank_err"))
+        .orderBy(col("q"))
+    },
+
     Q.smoke("agg_count_min") { (s, d) =>
       // Count–min sketch point-frequency estimates — the mergeable
       // sublinear sibling of agg_approx_distinct_hll (HLL answers "how

@@ -953,6 +953,83 @@ object EventOps {
     },
 
     Q(
+      "event_ab_mwu",
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT m,
+        |         CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM u GROUP BY m),
+        |r AS (
+        |  SELECT m, ca, c,
+        |         CAST(coalesce(sum(c) OVER (ORDER BY m
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+        |  FROM g),
+        |s AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |         CAST(sum(c - ca) AS BIGINT) AS n_b,
+        |         CAST(sum(ca * (2 * below + c + 1)) AS BIGINT) AS r2_a,
+        |         CAST(sum(c * c * c - c) AS BIGINT) AS tie_term
+        |  FROM r)
+        |SELECT n_a, n_b,
+        |       CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a, tie_term,
+        |       CASE WHEN n_a > 0 AND n_b > 0
+        |              AND (n_a + n_b + 1.0) - CAST(tie_term AS DOUBLE)
+        |                  / ((n_a + n_b) * (n_a + n_b - 1.0)) > 0
+        |            THEN round(((r2_a - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
+        |              / sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1.0)
+        |                 - CAST(tie_term AS DOUBLE) / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6)
+        |            ELSE NULL END AS z
+        |FROM s""".stripMargin
+    ) { (s, d) =>
+      // Mann-Whitney U — event_ab_test's NONPARAMETRIC sibling (Mann &
+      // Whitney 1947): compares the full per-user metric DISTRIBUTIONS
+      // across variants instead of a conversion proportion, so a heavy
+      // tail can't hide behind an unchanged mean. Metric = per-user
+      // purchase count (discrete and domain-bounded, which keeps every
+      // stage exact and the rank table k-bounded). Exact-integer rank
+      // algebra: for a tie group of size c with `below` users ranked
+      // beneath it, DOUBLED average rank = 2·below + c + 1 (always an
+      // integer), so R2_a = Σ ca·(2·below+c+1) and u2_a = 2·U_a =
+      // R2_a − n_a(n_a+1) are pure BIGINT in both engines; only the
+      // final z (normal approximation with the standard tie-corrected
+      // variance) is IEEE, spliced as identical text, NULL-guarded for
+      // the degenerate all-tied case (the event_trend_mk discipline).
+      // Plan: one shuffle to per-user counts, one bounded-domain
+      // group-by (≤ max purchases/user rows), and the cumulative window
+      // runs over that BOUNDED table (the k-bounded window exception —
+      // an unbounded metric would ride the partial-offset rank device
+      // instead, as text_quality_buckets does).
+      val u = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+               .cast("long").as("m"))
+        .withColumn("variant", col("user_id") % 2)
+      val g = u.groupBy(col("m"))
+        .agg(sum(when(col("variant") === 0, 1).otherwise(0)).cast("long").as("ca"),
+             count(lit(1)).cast("long").as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("m"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      g.withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+        .agg(sum(col("ca")).cast("long").as("n_a"),
+             sum(col("c") - col("ca")).cast("long").as("n_b"),
+             sum(col("ca") * (col("below") * 2 + col("c") + 1)).cast("long").as("r2_a"),
+             sum(col("c") * col("c") * col("c") - col("c")).cast("long").as("tie_term"))
+        .selectExpr("n_a", "n_b",
+          "CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a", "tie_term",
+          """CASE WHEN n_a > 0 AND n_b > 0
+            |       AND (n_a + n_b + 1.0) - CAST(tie_term AS DOUBLE)
+            |           / ((n_a + n_b) * (n_a + n_b - 1.0)) > 0
+            |     THEN round(((r2_a - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
+            |       / sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1.0)
+            |          - CAST(tie_term AS DOUBLE) / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6)
+            |     ELSE NULL END AS z""".stripMargin)
+    },
+
+    Q(
       "event_streaks",
       """WITH days AS (
         |  SELECT DISTINCT user_id,

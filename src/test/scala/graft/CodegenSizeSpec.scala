@@ -49,7 +49,7 @@ class CodegenSizeSpec extends GraftSuite {
     // data_drift_psi, pin still trips ~20% template growth
     "text_zipf_fit"           -> 6500)
 
-  test("audited template keys: every whole-stage method stays under its JIT-cliff budget") {
+  test("audited template keys: every whole-stage method stays under its JIT-cliff budget", Heavy) {
     val report = audited.map { case (key, allowance) =>
       val df = SparkEntry.queries(key)(spark, sf)
       df.collect() // finalize AQE stages; compile hits the codegen cache

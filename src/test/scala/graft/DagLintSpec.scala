@@ -37,4 +37,34 @@ class DagLintSpec extends GraftSuite {
     assert(out.contains("mode=real-import") || out.contains("mode=stubs"),
       s"dag_check did not report its lane mode:\n$out")
   }
+
+  // VERDICT r17 #6 — lane parity: the stub lane and the real-import lane
+  // must assert the SAME task/chain inventory. dag_check.py centralizes
+  // it in module-level WANT_* constants; this test pins that BOTH code
+  // paths read them (a lane that re-hardcodes its own list reintroduces
+  // silent drift), and that the optional-install pin exists so the
+  // real lane lights up the moment pip is permitted.
+  test("dag_check: both lanes read the shared WANT_* inventory; install pin exists") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/dag_check.py")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def body(marker: String): String = {
+      val i = src.indexOf(marker)
+      assert(i >= 0, s"$marker not found in dag_check.py")
+      val next = src.indexOf("\ndef ", i + 1)
+      src.substring(i, if (next >= 0) next else src.length)
+    }
+    val real = body("def check_real_import")
+    val stub = body("def check(")
+    for (const <- Seq("WANT_LEAVES", "WANT_CHAIN"))
+      assert(real.contains(const),
+        s"real-import lane no longer reads $const — inventory parity broken")
+    for (const <- Seq("WANT_ETL_TASKS", "WANT_LOAD_TASKS", "WANT_CHAIN"))
+      assert(stub.contains(const),
+        s"stub lane no longer reads $const — inventory parity broken")
+    val req = java.nio.file.Paths.get("tools/requirements-optional.txt")
+    assert(java.nio.file.Files.exists(req) &&
+      new String(java.nio.file.Files.readAllBytes(req)).contains("apache-airflow"),
+      "tools/requirements-optional.txt must pin apache-airflow for the real lane")
+  }
 }

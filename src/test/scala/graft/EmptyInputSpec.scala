@@ -30,7 +30,7 @@ class EmptyInputSpec extends GraftSuite {
     "stream_transform_with_state",
     "sink_stream_foreachbatch", "source_stream_file", "source_dsv2")
 
-  test("every batch query executes on empty inputs") {
+  test("every batch query executes on empty inputs", Heavy) {
     val failures = SparkEntry.registry
       .filterNot(q => skip(q.key))
       .flatMap { q =>

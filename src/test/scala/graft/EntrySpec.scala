@@ -50,7 +50,7 @@ class EntrySpec extends GraftSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every registered query executes at sf0.001") {
+  test("every registered query executes at sf0.001", Heavy) {
     val failures = SparkEntry.registry.flatMap { q =>
       try { q.run(spark, sf).count(); None }
       catch { case e: Throwable => Some(q.key -> e.getMessage.take(120)) }
@@ -64,7 +64,7 @@ class EntrySpec extends GraftSuite {
   // record (the r17 emb_whitening/emb_pca_project err records). Pin the
   // contract: no registered query may emit a float/double array column
   // at any nesting depth — posexplode to (id, pos, value) rows instead.
-  test("no registered query emits a float/double array column") {
+  test("no registered query emits a float/double array column", Heavy) {
     import org.apache.spark.sql.types._
     def hasFloatArray(dt: DataType): Boolean = dt match {
       case ArrayType(FloatType | DoubleType, _) => true

@@ -61,7 +61,7 @@ class NullInputSpec extends GraftSuite {
     "stream_transform_with_state",
     "sink_stream_foreachbatch", "source_stream_file", "source_dsv2")
 
-  test("every batch query executes on a corpus with 10% null payloads") {
+  test("every batch query executes on a corpus with 10% null payloads", Heavy) {
     val failures = SparkEntry.registry
       .filterNot(q => skip(q.key))
       .flatMap { q =>

@@ -589,7 +589,7 @@ class PlanSpec extends GraftSuite {
       s"the fact must scan once into the checkpointed collapse, found ${factScans.size} live scans")
   }
 
-  test("no query plan contains a CartesianProduct except the declared cross join") {
+  test("no query plan contains a CartesianProduct except the declared cross join", Heavy) {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
     // construction runs whole jobs — none can form a cartesian product

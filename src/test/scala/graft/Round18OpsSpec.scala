@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-18 additions. */
+class Round18OpsSpec extends GraftSuite {
+
+  private def thetaEsts(dir: String): Map[String, Long] =
+    SparkEntry.queries("agg_theta_intersect")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def exactSets(dir: String): (Set[Long], Set[Long]) = {
+    val rows = T.lineitem(spark, dir)
+      .where(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    (rows.collect { case ("A", k) => k }.toSet,
+     rows.collect { case ("R", k) => k }.toSet)
+  }
+
+  test("agg_theta_intersect: exact mode below k — estimates equal the true set algebra") {
+    // at sf0.001 each slice's distinct partkeys sit below k = 2^12, so
+    // the theta sketch is in exact mode and every estimate must equal
+    // the true distinct count bit-for-bit — the strongest pin the
+    // approximate family allows anywhere
+    val (a, r) = exactSets(sf)
+    assume(a.size < 4096 && r.size < 4096, "fixture outgrew exact mode")
+    val est = thetaEsts(sf)
+    assert(est("A") == a.size.toLong, s"A: ${est("A")} vs ${a.size}")
+    assert(est("R") == r.size.toLong, s"R: ${est("R")} vs ${r.size}")
+    assert(est("A_INTERSECT_R") == (a & r).size.toLong,
+      s"A∩R: ${est("A_INTERSECT_R")} vs ${(a & r).size}")
+    assert(est("A_NOT_R") == (a -- r).size.toLong,
+      s"A∖R: ${est("A_NOT_R")} vs ${(a -- r).size}")
+  }
+
+  test("agg_kll_quantiles: every estimate is a retained data value whose true rank sits in the envelope") {
+    val out = SparkEntry.queries("agg_kll_quantiles")(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+    val cents = T.lineitem(spark, sf)
+      .select((col("l_extendedprice") * 100).cast("long")).collect().map(_.getLong(0)).sorted
+    val n = cents.length.toDouble
+    val values = cents.toSet
+    out.foreach { case (q, est, err) =>
+      assert(values(est), s"q=$q estimate $est is not a retained data value")
+      val rank = cents.count(_ <= est) / n
+      // the sketch's own normalized rank error, doubled for slack (the
+      // published bound is 99%-confidence per query; 5 queries here)
+      assert(math.abs(rank - q) <= 2 * err + 1e-9,
+        s"q=$q est=$est true rank $rank outside ±${2 * err}")
+    }
+  }
+
+  test("event_ab_mwu: exact rank algebra matches a driver-side recompute") {
+    val row = SparkEntry.queries("event_ab_mwu")(spark, sf).collect()(0)
+    val users = T.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("m"))
+      .collect().map(r => (r.getLong(0) % 2, r.getLong(1)))
+    val nA = users.count(_._1 == 0L).toLong
+    val nB = users.length - nA
+    // doubled average ranks over the sorted metric (ties share a rank)
+    val sorted = users.sortBy(_._2)
+    val rank2 = sorted.map(_._2).zipWithIndex.groupBy(_._1).map { case (m, g) =>
+      m -> (2 * g.head._2 + g.length + 1).toLong // 2*below + c + 1
+    }
+    val r2a = sorted.collect { case (0L, m) => rank2(m) }.sum
+    val u2a = r2a - nA * (nA + 1)
+    assert(row.getLong(0) == nA && row.getLong(1) == nB)
+    assert(row.getLong(2) == u2a, s"u2_a ${row.getLong(2)} vs recomputed $u2a")
+    val ties = users.groupBy(_._2).values.map(_.length.toLong)
+      .map(c => c * c * c - c).sum
+    assert(row.getLong(3) == ties)
+    val nn = (nA + nB).toDouble
+    val varU = nA * nB / 12.0 * ((nn + 1.0) - ties / (nn * (nn - 1.0)))
+    if (varU > 0) {
+      val z = (u2a / 2.0 - nA * nB / 2.0) / math.sqrt(varU)
+      assert(math.abs(row.getDouble(4) - z) < 1e-6,
+        s"z ${row.getDouble(4)} vs recomputed $z")
+    } else assert(row.isNullAt(4))
+  }
+
+  test("agg_theta_intersect: estimation mode at sf0.01 stays inside the error envelope", Heavy) {
+    // sf0.01 pushes the slices past k into estimation mode; the
+    // published theta-framework bound is ~1/sqrt(k) relative error per
+    // sketch (k=4096 → 1.6%), degrading for intersections of weakly
+    // overlapping sets — 10% slice / 15% set-op slack is ~6 sigma
+    val dir = "/root/testdata/sf0.01"
+    val (a, r) = exactSets(dir)
+    val est = thetaEsts(dir)
+    def rel(e: Long, exact: Int): Double =
+      math.abs(e - exact).toDouble / math.max(1, exact)
+    assert(rel(est("A"), a.size) < 0.10, s"A: ${est("A")} vs ${a.size}")
+    assert(rel(est("R"), r.size) < 0.10, s"R: ${est("R")} vs ${r.size}")
+    assert(rel(est("A_INTERSECT_R"), (a & r).size) < 0.15,
+      s"A∩R: ${est("A_INTERSECT_R")} vs ${(a & r).size}")
+    assert(rel(est("A_NOT_R"), (a -- r).size) < 0.15,
+      s"A∖R: ${est("A_NOT_R")} vs ${(a -- r).size}")
+  }
+}

@@ -21,6 +21,17 @@ object TestSpark {
   val sf: String = "/root/testdata/sf0.001"
 }
 
+/** Tag for the whole-registry sweeps, tri-scale probes, and streaming
+  * soak tests (VERDICT r17 #7: suite wall clock grows linearly with the
+  * key inventory — 321 tests → ~13 min). The per-commit lane runs
+  * `sbt quickTest` (excludes these); the full matrix (`sbt test`) runs
+  * at round close and before any driver hand-off. Tag a test Heavy when
+  * it iterates the whole registry or runs a multi-batch streaming query;
+  * every Heavy test must have a quick sibling covering the same code's
+  * single-key path (the registry sweeps are breadth, not depth).
+  */
+object Heavy extends org.scalatest.Tag("graft.Heavy")
+
 abstract class GraftSuite extends AnyFunSuite {
   protected lazy val spark: SparkSession = TestSpark.spark
   protected val sf: String = TestSpark.sf

@@ -29,6 +29,17 @@ import types
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
+# ---- the ONE inventory both lanes must check (VERDICT r17 #6: stub and
+# real lanes asserting different things is how drift hides. These
+# constants are the single source; a lane that stops reading them fails
+# the parity test in DagLintSpec, which greps both code paths).
+WANT_ETL_TASKS = ["etl_colorado_osm", "etl_spain_osm"]
+WANT_LOAD_TASKS = ["load_colorado_postgis", "load_spain_postgis"]
+WANT_SOLO_TASKS = ["curate_corpus"]
+WANT_LEAVES = sorted(WANT_ETL_TASKS + WANT_LOAD_TASKS + WANT_SOLO_TASKS)
+WANT_CHAIN = [("etl_regions_osm", "curate_corpus"),
+              ("curate_corpus", "load_postgis")]
+
 
 def _real_airflow_available() -> bool:
     """True iff a genuine airflow distribution (not our stubs) imports."""
@@ -61,10 +72,19 @@ def check_real_import() -> int:
     dag = bag.dags["osm_spark_dag"]
     # leaf task ids (real Airflow prefixes group ids: group.task)
     leaves = sorted(t.split(".")[-1] for t in dag.task_dict)
-    want = sorted(["etl_colorado_osm", "etl_spain_osm", "curate_corpus",
-                   "load_colorado_postgis", "load_spain_postgis"])
-    if leaves != want:
+    if leaves != WANT_LEAVES:
         bad(f"task inventory drifted under real import: {leaves}")
+    # the chain, as the scheduler resolved it: a group >> task edge
+    # expands to leaf edges, so every WANT_CHAIN pair must appear as
+    # (member-of-upstream, member-of-downstream) in the task graph
+    def members(name):
+        return {tid for tid in dag.task_dict
+                if tid == name or tid.startswith(name + ".")}
+    for up, down in WANT_CHAIN:
+        ups, downs = members(up), members(down)
+        ok = any(d in dag.get_task(u).downstream_task_ids for u in ups for d in downs)
+        if not ok:
+            bad(f"dependency edge {up} >> {down} missing under real import")
     return fails
 
 # ---------------------------------------------------------------- stubs
@@ -201,9 +221,9 @@ def check() -> int:
 
     etl_ids = sorted(t.task_id for t in groups["etl_regions_osm"].tasks)
     load_ids = sorted(t.task_id for t in groups["load_postgis"].tasks)
-    if etl_ids != ["etl_colorado_osm", "etl_spain_osm"]:
+    if etl_ids != sorted(WANT_ETL_TASKS):
         bad(f"per-region ETL fan-out drifted: {etl_ids}")
-    if load_ids != ["load_colorado_postgis", "load_spain_postgis"]:
+    if load_ids != sorted(WANT_LOAD_TASKS):
         bad(f"per-region load fan-out drifted: {load_ids}")
 
     # unique ids across the whole dag
@@ -217,7 +237,7 @@ def check() -> int:
         return getattr(x, "group_id", None) or getattr(x, "task_id", None)
 
     edges = {(name(a), name(b)) for a, b in _EDGES}
-    for e in [("etl_regions_osm", "curate_corpus"), ("curate_corpus", "load_postgis")]:
+    for e in WANT_CHAIN:
         if e not in edges:
             bad(f"dependency edge {e[0]} >> {e[1]} missing (chain mirrors "
                 f"osm_etl.py:93); found {sorted(edges)}")
@@ -242,11 +262,26 @@ def check() -> int:
 
 if __name__ == "__main__":
     if _real_airflow_available():
-        mode = "real-import"
+        # real import is the primary lane; the stub lane still runs as a
+        # supplement IN A SUBPROCESS (the stubs poison sys.modules), so
+        # both lanes always check the same WANT_* inventory
+        mode = "real-import+stubs"
         n = check_real_import()
+        import subprocess
+        sub = subprocess.run(
+            [sys.executable, __file__, "--stubs-only"], capture_output=True, text=True)
+        if sub.returncode != 0:
+            print(sub.stdout, end="")
+            print("DAGCHECK: stub supplement lane failed")
+            n += 1
+    elif "--stubs-only" in sys.argv:
+        mode = "stubs"
+        n = check()
     else:
         mode = "stubs"
         n = check()
+        print("DAGCHECK: real airflow absent — install via "
+              "tools/requirements-optional.txt to light the real-import lane")
     print(f"DAGCHECK: mode={mode}")
     if n == 0:
         print("DAGCHECK: osm_spark_dag.py structure OK "
