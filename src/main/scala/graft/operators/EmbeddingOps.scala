@@ -819,10 +819,14 @@ object EmbeddingOps {
     // exchange). No oracle: eigenvectors are iteration-order artifacts —
     // Round17bOpsSpec pins the INVARIANT instead (whitened covariance ≈
     // identity on the directions the corpus actually spans).
-    // Output shape: (vec_id, pos, value) scalar rows — the driver
-    // canonicalizes every registered key's output through a pandas
-    // sort, which cannot hash raw array<double> cells (r17 err record);
-    // EntrySpec pins the no-float-array-output contract repo-wide.
+    // Output shape: (vec_id, whitened: STRING) — 6-dp values joined to
+    // one CSV cell per vector. The driver canonicalizes every key's
+    // output through a pandas sort, which cannot hash raw array<double>
+    // cells (r17 err record); EntrySpec pins the no-float-array contract
+    // repo-wide. A posexplode to (vec_id, pos, value) rows was measured
+    // first: the 64× generator fan-out costs ~2.6× the whole key
+    // (0.72 → 1.49 s at sf0.1) for zero information gain, so the
+    // compact row-per-vector string is the kept shape.
     Q.smoke("emb_whitening") { (s, d) =>
       import s.implicits._
       val e = T.embeddings(s, d)
@@ -830,7 +834,8 @@ object EmbeddingOps {
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"))
       val dims = e.select(size(col("x")).as("d")).limit(1).collect()
       if (dims.isEmpty) {
-        e.select(col("vec_id"), posexplode(col("x")).as(Seq("pos", "value"))) // empty corpus: keep schema
+        e.select(col("vec_id"),
+                 expr("array_join(transform(x, v -> CAST(v AS STRING)), ',')").as("whitened"))
       } else {
         val dim = dims(0).getInt(0)
         val (n, mu, c) = covariance(e, dim)
@@ -853,8 +858,9 @@ object EmbeddingOps {
               aggregate(zip_with(row, centered, (a, b) => a * b),
                         lit(0.0), (acc, v) => acc + v)).as("y"))
           .select(col("vec_id"),
-                  posexplode(expr("transform(y, v -> round(v, 6))")).as(Seq("pos", "value")))
-          .orderBy(col("vec_id"), col("pos"))
+                  expr("array_join(transform(y, v -> CAST(round(v, 6) AS STRING)), ',')")
+                    .as("whitened"))
+          .orderBy(col("vec_id"))
       }
     },
 
@@ -870,15 +876,17 @@ object EmbeddingOps {
     // oracle (eigenbasis from an iterative solver) — Round17bOpsSpec
     // pins component variances ≈ the top eigenvalues, decorrelation,
     // and captured-variance dominance.
-    // Output shape: (vec_id, pos, value) scalar rows — same driver-
-    // canonicalization contract as emb_whitening (EntrySpec-pinned).
+    // Output shape: (vec_id, proj: STRING) — same compact CSV-cell
+    // driver-canonicalization contract as emb_whitening (EntrySpec-
+    // pinned; the measured argument against posexplode lives there).
     Q.smoke("emb_pca_project") { (s, d) =>
       val e = T.embeddings(s, d)
         .where(col("embedding").isNotNull) // null payload: no vector, no row (NullInputSpec)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"))
       val dims = e.select(size(col("x")).as("d")).limit(1).collect()
       if (dims.isEmpty) {
-        e.select(col("vec_id"), posexplode(col("x")).as(Seq("pos", "value"))) // empty corpus: keep schema
+        e.select(col("vec_id"),
+                 expr("array_join(transform(x, v -> CAST(v AS STRING)), ',')").as("proj"))
       } else {
         val dim = dims(0).getInt(0)
         val k = math.min(8, dim)
@@ -899,8 +907,9 @@ object EmbeddingOps {
               aggregate(zip_with(row, centered, (a, b) => a * b),
                         lit(0.0), (acc, v) => acc + v)).as("y"))
           .select(col("vec_id"),
-                  posexplode(expr("transform(y, v -> round(v, 6))")).as(Seq("pos", "value")))
-          .orderBy(col("vec_id"), col("pos"))
+                  expr("array_join(transform(y, v -> CAST(round(v, 6) AS STRING)), ',')")
+                    .as("proj"))
+          .orderBy(col("vec_id"))
       }
     }
   )

@@ -2008,6 +2008,65 @@ object EventOps {
     },
 
     Q(
+      "event_theil_sen",
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT a.event_type,
+        |         CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (
+        |  SELECT event_type, slope,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM sl)
+        |SELECT event_type, CAST(min(n) AS BIGINT) AS n_pairs,
+        |       round(avg(slope), 6) AS sen_slope
+        |FROM r
+        |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      // Theil-Sen estimator (Theil 1950, Sen 1968) — event_trend_mk's
+      // MAGNITUDE sibling: Mann-Kendall answers "is the daily series
+      // drifting" with a significance z; Theil-Sen answers "by HOW MUCH
+      // per day" with the median of all pairwise slopes — robust to
+      // ~29% outliers where an OLS slope is dragged by one bad day.
+      // Exactness: each slope is ONE IEEE division of exact BIGINTs
+      // (identical bit pattern in both engines), the median picks the
+      // middle value(s) by rank (equal-slope tie order cannot change
+      // the picked VALUE), and the even-count midpoint is one IEEE avg
+      // of two identical doubles. Scale: the pair join runs on the
+      // DAILY table — calendar-bounded O(days²) per type after one
+      // fact collapse (the event_trend_mk exception, never
+      // corpus-sized); the rank window partitions by type over that
+      // same bounded pair table.
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"),
+                 (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val sl = daily.as("a")
+        .join(daily.as("b"),
+              col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+                ((col("b.c") - col("a.c")).cast("double") /
+                 (col("b.day") - col("a.day")).cast("double")).as("slope"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("slope"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      sl.withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn).cast("long"))
+        .where(expr("rn = (n + 1) DIV 2 OR rn = (n + 2) DIV 2"))
+        .groupBy(col("event_type"))
+        .agg(min(col("n")).cast("long").as("n_pairs"),
+             round(avg(col("slope")), 6).as("sen_slope"))
+        .orderBy(col("event_type"))
+    },
+
+    Q(
       "event_benford",
       s"""WITH v AS (
          |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c

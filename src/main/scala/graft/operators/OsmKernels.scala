@@ -2009,6 +2009,105 @@ object OsmKernels {
     },
 
     Q(
+      "osm_hausdorff_pairs",
+      """WITH pts AS (
+        |  SELECT l_orderkey AS way_id, CAST(p_size * 100 AS BIGINT) AS x,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |seq AS (
+        |  SELECT l_orderkey AS way_id, l_partkey AS node_ref,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber, l_partkey) AS pos
+        |  FROM lineitem),
+        |edges AS (
+        |  SELECT a.way_id, least(a.node_ref, b.node_ref) AS n1,
+        |         greatest(a.node_ref, b.node_ref) AS n2
+        |  FROM seq a JOIN seq b ON a.way_id = b.way_id AND b.pos = a.pos + 1),
+        |pairs AS (
+        |  SELECT a.way_id AS way_a, b.way_id AS way_b,
+        |         CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM edges a JOIN edges b
+        |    ON a.n1 = b.n1 AND a.n2 = b.n2 AND a.way_id < b.way_id
+        |  GROUP BY 1, 2),
+        |dab AS (
+        |  SELECT p.way_a, p.way_b, pa.x, pa.y,
+        |         min((pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y)) AS dmin
+        |  FROM pairs p JOIN pts pa ON pa.way_id = p.way_a
+        |               JOIN pts pb ON pb.way_id = p.way_b
+        |  GROUP BY 1, 2, 3, 4),
+        |hab AS (SELECT way_a, way_b, CAST(max(dmin) AS BIGINT) AS h_ab FROM dab GROUP BY 1, 2),
+        |dba AS (
+        |  SELECT p.way_a, p.way_b, pb.x, pb.y,
+        |         min((pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y)) AS dmin
+        |  FROM pairs p JOIN pts pa ON pa.way_id = p.way_a
+        |               JOIN pts pb ON pb.way_id = p.way_b
+        |  GROUP BY 1, 2, 3, 4),
+        |hba AS (SELECT way_a, way_b, CAST(max(dmin) AS BIGINT) AS h_ba FROM dba GROUP BY 1, 2)
+        |SELECT p.way_a, p.way_b, p.n_shared, hab.h_ab, hba.h_ba,
+        |       greatest(hab.h_ab, hba.h_ba) AS hausdorff2
+        |FROM pairs p JOIN hab USING (way_a, way_b) JOIN hba USING (way_a, way_b)
+        |ORDER BY p.way_a, p.way_b""".stripMargin
+    ) { (s, d) =>
+      // Discrete Hausdorff distance between NEAR-duplicate way pairs —
+      // the QA rung above osm_duplicate_ways: that key catches ways with
+      // IDENTICAL node sequences; this one scores how far apart two ways
+      // that merely SHARE geometry actually run (JOSM's "overlapping
+      // ways" class needs the magnitude to rank fixes). H²(A,B) =
+      // max(h(A,B), h(B,A)), h(A,B) = max over A's vertices of the min
+      // squared centi-unit distance to B's vertices — pure BIGINT, no
+      // sqrt, no epsilon, bit-identical in both engines. Scale shape:
+      // candidate pairs come from SHARED-EDGE blocking (two ways are
+      // "overlapping" in the JOSM sense only when they trace a common
+      // SEGMENT, i.e. the same consecutive node pair): the normalized
+      // edge table equi-joins on (n1, n2) — measured at sf0.1 this
+      // drives ~500 joined rows where the first cut (ways sharing ≥3
+      // nodes ANYWHERE) drove a 9M-row expansion that then produced
+      // ZERO survivors; the point×point expansion runs only per
+      // surviving pair, bounded by way length² — the index-first,
+      // measure-second asymmetry Osmose runs at planet scale.
+      val pts = T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_partkey").as("node_ref"))
+        .join(nodes(s, d), col("node_ref") === col("node_id"))
+        .select(col("way_id"), col("lon_c").as("x"), col("lat_c").as("y"))
+      // edges via ONE per-way regroup (the osm_way_geometry discipline —
+      // a window + positional self-join would pay two extra exchanges)
+      val edges = T.lineitem(s, d)
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber"),
+                col("l_partkey").as("node_ref"))
+        .groupBy(col("way_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(l_linenumber, node_ref))), p -> p.node_ref)")
+               .as("ns"))
+        .select(col("way_id"), explode(expr(
+          """transform(slice(ns, 1, size(ns) - 1),
+            |          (x, i) -> struct(least(x, ns[i + 1]) AS n1,
+            |                           greatest(x, ns[i + 1]) AS n2))""".stripMargin)).as("e"))
+        .select(col("way_id"), col("e.n1").as("n1"), col("e.n2").as("n2"))
+      val pairs = edges.as("a")
+        .join(edges.as("b"),
+              col("a.n1") === col("b.n1") && col("a.n2") === col("b.n2") &&
+              col("a.way_id") < col("b.way_id"))
+        .groupBy(col("a.way_id").as("way_a"), col("b.way_id").as("way_b"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+      val cross = graft.Caches.register(pairs
+        .join(pts.select(col("way_id").as("way_a"), col("x").as("xa"), col("y").as("ya")), Seq("way_a"))
+        .join(pts.select(col("way_id").as("way_b"), col("x").as("xb"), col("y").as("yb")), Seq("way_b"))
+        .withColumn("d2", (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+                          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .persist())
+      def directed(px: String, py: String, out: String) = cross
+        .groupBy(col("way_a"), col("way_b"), col(px), col(py))
+        .agg(min(col("d2")).as("dmin"))
+        .groupBy(col("way_a"), col("way_b"))
+        .agg(max(col("dmin")).cast("long").as(out))
+      val hab = directed("xa", "ya", "h_ab")
+      val hba = directed("xb", "yb", "h_ba")
+      pairs.join(hab, Seq("way_a", "way_b")).join(hba, Seq("way_a", "way_b"))
+        .select(col("way_a"), col("way_b"), col("n_shared"), col("h_ab"), col("h_ba"),
+                greatest(col("h_ab"), col("h_ba")).as("hausdorff2"))
+        .orderBy(col("way_a"), col("way_b"))
+    },
+
+    Q(
       "osm_tag_cooccurrence",
       """WITH t AS (
         |  SELECT p_partkey,

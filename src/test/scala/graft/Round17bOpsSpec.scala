@@ -209,11 +209,10 @@ class Round17bOpsSpec extends GraftSuite {
   }
 
   test("emb_pca_project: component variances match the top eigenvalues, decorrelated") {
-    // output is exploded (vec_id, pos, value) rows (driver contract) —
-    // regroup into per-vector arrays for the covariance checks
+    // output is one CSV string cell per vector (driver contract) —
+    // parse back into per-vector arrays for the covariance checks
     val proj = SparkEntry.queries("emb_pca_project")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-      .groupBy(_._1).values.map(rs => rs.sortBy(_._2).map(_._3)).toArray
+      .collect().map(_.getString(1).split(",").map(_.toDouble))
     val n = proj.length
     val k = proj.head.length
     assert(k == 8 && n > 100)
@@ -359,11 +358,10 @@ class Round17bOpsSpec extends GraftSuite {
   }
 
   test("emb_whitening: whitened covariance is the identity on spanned directions") {
-    // output is exploded (vec_id, pos, value) rows (driver contract) —
-    // regroup into per-vector arrays for the covariance checks
+    // output is one CSV string cell per vector (driver contract) —
+    // parse back into per-vector arrays for the covariance checks
     val out = SparkEntry.queries("emb_whitening")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-      .groupBy(_._1).values.map(rs => rs.sortBy(_._2).map(_._3)).toArray
+      .collect().map(_.getString(1).split(",").map(_.toDouble))
     val n = out.length
     assert(n > 100, "fixture should have hundreds of vectors")
     val d = out.head.length

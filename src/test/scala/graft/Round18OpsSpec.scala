@@ -81,6 +81,50 @@ class Round18OpsSpec extends GraftSuite {
     } else assert(row.isNullAt(4))
   }
 
+  test("event_theil_sen: slope is the median of all pairwise daily slopes, robust recompute") {
+    val out = SparkEntry.queries("event_theil_sen")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val daily = T.events(spark, sf)
+      .groupBy(col("event_type"),
+               (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val ds = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- ds.indices; j <- (i + 1) until ds.length
+      } yield (ds(j)._2 - ds(i)._2).toDouble / (ds(j)._1 - ds(i)._1)).sorted
+      val n = slopes.length
+      if (n > 0) {
+        val med = (slopes((n + 1) / 2 - 1) + slopes((n + 2) / 2 - 1)) / 2.0
+        val (nPairs, slope) = (out(tpe)._1, out(tpe)._2)
+        assert(nPairs == n.toLong, s"$tpe: n_pairs $nPairs vs $n")
+        assert(math.abs(slope - med) < 1e-6 + 1e-9, s"$tpe: slope $slope vs median $med")
+      }
+    }
+  }
+
+  test("osm_hausdorff_pairs: directed max-min distances match a driver recompute; pairs exist") {
+    val out = SparkEntry.queries("osm_hausdorff_pairs")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(out.nonEmpty, "fixture produced no shared-edge candidate pairs")
+    val pts = T.lineitem(spark, sf)
+      .join(T.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), (col("p_size").cast("long") * 100).as("x"),
+              expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (w, ps) => w -> ps.map(p => (p._2, p._3)).distinct }
+    def h(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Long =
+      a.map(p => b.map(q => (p._1 - q._1) * (p._1 - q._1) + (p._2 - q._2) * (p._2 - q._2)).min).max
+    out.foreach { case ((wa, wb), (_, hab, hba, h2)) =>
+      val (a, b) = (pts(wa).toSeq, pts(wb).toSeq)
+      assert(hab == h(a, b), s"($wa,$wb) h_ab $hab vs ${h(a, b)}")
+      assert(hba == h(b, a), s"($wa,$wb) h_ba $hba vs ${h(b, a)}")
+      assert(h2 == math.max(hab, hba))
+    }
+  }
+
   test("agg_theta_intersect: estimation mode at sf0.01 stays inside the error envelope", Heavy) {
     // sf0.01 pushes the slices past k into estimation mode; the
     // published theta-framework bound is ~1/sqrt(k) relative error per
