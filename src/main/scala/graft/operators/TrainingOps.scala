@@ -521,6 +521,79 @@ object TrainingOps {
     },
 
     Q(
+      "text_perplexity_kn",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |b AS (
+         |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM w, unnest(range(1, len(w))) AS t(i)),
+         |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+         |cu AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+         |n1f AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1f FROM cb GROUP BY 1),
+         |n1b AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM cb GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM cb),
+         |lm AS (
+         |  SELECT doc_id,
+         |         CAST(round(${lnProbTpl("((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE) + (0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)) * (CAST(n1b AS DOUBLE) / CAST(tt AS DOUBLE)))")} * 1000.0) AS BIGINT) AS l
+         |  FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1)
+         |         JOIN n1f USING (w1) JOIN n1b USING (w2), tt)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST((-sum(l)) // count(*) AS BIGINT) AS nll_millinats
+         |FROM lm GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // KNESER-NEY bigram perplexity — the published-best n-gram
+      // smoother (Kneser & Ney 1995; Chen & Goodman 1999's empirical
+      // winner), completing the ladder above raw MLE (text_perplexity)
+      // and Jelinek-Mercer (text_perplexity_interp): absolute
+      // discounting with a CONTINUATION-count backoff, P(w2|w1) =
+      // (c12 - D)/c1 + D*N1+(w1,.)/c1 * N1+(.,w2)/T with D = 3/4
+      // (dyadic, exact in binary) - the insight being that "Francisco"
+      // follows only "San", so its unigram backoff must count CONTEXTS,
+      // not tokens. Only seen bigrams score (the same convention the
+      // ladder's other rungs pin), so c12 >= 1 > D and the max(.,0)
+      // clamp is algebraically dead; every P lands in (0,1] -
+      // lnProbTpl's domain - and positions round to integer millinats
+      // BEFORE the per-doc sum. Scale: the corpus collapses ONCE to the
+      // vocab^2-bounded bigram model; the three smoothing statistics
+      // (c1, N1+ forward, N1+ backward) are aggregates OF THE MODEL,
+      // not the corpus, all size-gate-broadcast back; T is a 1-row
+      // cross-join. Scoring stays map-side.
+      import graft.functions.{HashedBigramPairs, HashedWordGramsSeq}
+      val staged = T.documents(s, d)
+        .select(col("doc_id"),
+                HashedWordGramsSeq(col("text"), 1).as("u"),
+                HashedBigramPairs(col("text")).as("bp"))
+      val b = staged.where(size(col("bp")) > 0)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(bp)), i ->
+            |  struct(element_at(bp, i).h1 AS h1,
+            |         element_at(u, i + 1) AS h2tok,
+            |         element_at(bp, i).h2 AS hp))""".stripMargin)).as("t"))
+        .select(col("doc_id"), col("t.h1").as("h1"),
+                col("t.h2tok").as("h2tok"), col("t.hp").as("hp"))
+      val cb = b.groupBy(col("hp"), col("h1"), col("h2tok"))
+        .agg(count(lit(1)).as("c12"))
+      val cu = cb.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
+      val n1f = cb.groupBy(col("h1")).agg(count(lit(1)).as("n1f"))
+      val n1b = cb.groupBy(col("h2tok")).agg(count(lit(1)).as("n1b"))
+      val tt = cb.agg(count(lit(1)).as("tt"))
+      b.join(graft.Gate.bcast(cb.select(col("hp"), col("c12"))), Seq("hp"))
+        .join(graft.Gate.bcast(cu), Seq("h1"))
+        .join(graft.Gate.bcast(n1f), Seq("h1"))
+        .join(graft.Gate.bcast(n1b), Seq("h2tok"))
+        .crossJoin(broadcast(tt))
+        .select(col("doc_id"),
+          expr(s"CAST(round(${lnProbTpl("((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE) + (0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)) * (CAST(n1b AS DOUBLE) / CAST(tt AS DOUBLE)))")} * 1000.0) AS BIGINT)").as("l"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             expr("(-sum(l)) DIV count(1)").cast("long").as("nll_millinats"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "text_pii_redact",
       """SELECT doc_id,
         |       regexp_replace(regexp_replace(regexp_replace(pii,
@@ -983,6 +1056,61 @@ object TrainingOps {
           when(b < 80, "train").when(b < 90, "val").otherwise("test"))
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "sample_weighted_reservoir",
+      s"""WITH s0 AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         CAST(${fpSql("text")} % 1000003 + 1 AS BIGINT) AS uraw
+         |  FROM documents
+         |  WHERE lang IS NOT NULL AND text IS NOT NULL AND n_chars > 0),
+         |k AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         -(${lnProbTpl("(CAST(uraw AS DOUBLE) / 1000004.0)")}) / CAST(n_chars AS DOUBLE) AS es_key
+         |  FROM s0),
+         |r AS (
+         |  SELECT lang, doc_id, n_chars, es_key,
+         |         row_number() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rank
+         |  FROM k)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+         |       CAST(n_chars AS BIGINT) AS weight, round(es_key, 6) AS es_key
+         |FROM r WHERE rank <= 20
+         |ORDER BY lang, rank""".stripMargin
+    ) { (s, d) =>
+      // WEIGHTED reservoir sampling (Efraimidis & Spirakis 2006, the
+      // A-ES exponential-key scheme) - the quality-weighted sampler the
+      // unweighted sample_fixed_k cannot express: each doc draws key
+      // u^(1/w) (equivalently minimizes -ln(u)/w) and the top-k keys
+      // per language ARE a weighted-without-replacement sample, so a
+      // doc's selection probability scales with its weight (n_chars
+      // here, standing in for a quality score). DETERMINISTIC u: the
+      // content rolling-hash folded into (0,1] as exact integers over
+      // 1000004 - any rebuild, reshard, or engine re-draws the same
+      // sample (the sample_split discipline); ln rides the shared
+      // bit-deterministic template, so the key doubles are bit-identical
+      // in both engines and the rank order cannot flap (doc_id breaks
+      // exact ties). Scale shape: the exponential-key formulation is
+      // exactly what makes weighted reservoirs MERGEABLE at 100 TB -
+      // each partition keeps its k smallest keys and the merge keeps
+      // the k smallest of the union (same shape as the sketch family);
+      // the registered demo uses the |langs|-partition rank window over
+      // the one scored pass, the same k-bounded readout the other
+      // sample_* keys pin.
+      val u = (fpSpark("text") % 1000003 + 1).cast("long")
+      T.documents(s, d)
+        .where(col("lang").isNotNull && col("text").isNotNull && col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"), u.as("uraw"))
+        .selectExpr("doc_id", "lang", "n_chars",
+          s"-(${lnProbTpl("(CAST(uraw AS DOUBLE) / 1000004.0)")}) / CAST(n_chars AS DOUBLE) AS es_key")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(col("es_key"), col("doc_id"))))
+        .where(col("rank") <= 20)
+        .select(col("lang"), col("rank").cast("long").as("rank"), col("doc_id"),
+                col("n_chars").cast("long").as("weight"),
+                round(col("es_key"), 6).as("es_key"))
+        .orderBy(col("lang"), col("rank"))
     },
 
     Q(

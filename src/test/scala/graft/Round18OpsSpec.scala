@@ -125,6 +125,58 @@ class Round18OpsSpec extends GraftSuite {
     }
   }
 
+  test("text_perplexity_kn: covers every >=2-token doc; per-context seen mass <= 1") {
+    val kn = SparkEntry.queries("text_perplexity_kn")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val mle = SparkEntry.queries("text_perplexity")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kn.keySet == mle.keySet, "KN and MLE rungs must score the same docs")
+    assert(kn.values.forall(_ > 0), "nll must be positive on a natural corpus")
+    // soundness of the smoothing algebra: for every context w1, the KN
+    // mass assigned to its SEEN continuations is <= 1 (discount D frees
+    // exactly D*n1f/c1, and the continuation backoff re-spends at most
+    // that); recomputed driver-side from the raw token streams
+    val bigrams = T.documents(spark, sf)
+      .select(split(col("text"), " ").as("w")).collect()
+      .map(_.getSeq[String](0)).filter(_.length >= 2)
+      .flatMap(w => w.sliding(2).map(p => (p(0), p(1))))
+    val cb = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1f = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val n1b = cb.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val tt = cb.size.toDouble
+    val D = 0.75
+    cb.groupBy(_._1._1).foreach { case (w1, m) =>
+      val mass = m.map { case ((_, w2), c12) =>
+        (c12 - D) / c1(w1) + D * n1f(w1) / c1(w1) * (n1b(w2) / tt)
+      }.sum
+      assert(mass <= 1.0 + 1e-9, s"context '$w1' seen mass $mass > 1")
+    }
+  }
+
+  test("sample_weighted_reservoir: 20 per language, deterministic, weight-biased") {
+    val out = SparkEntry.queries("sample_weighted_reservoir")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perLang = out.groupBy(_._1)
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length), s"$lang ranks not dense")
+      assert(rows.length <= 20)
+    }
+    // determinism: an independent second run draws the identical sample
+    val again = SparkEntry.queries("sample_weighted_reservoir")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == again.toSeq, "re-run drew a different sample")
+    // weight bias: selection probability scales with n_chars, so the
+    // sampled mean weight must exceed the corpus mean (deterministic on
+    // the fixed fixture; a tie would mean the weights are being ignored)
+    val corpusMean = T.documents(spark, sf)
+      .where(col("lang").isNotNull && col("text").isNotNull && col("n_chars") > 0)
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val sampleMean = out.map(_._4).sum.toDouble / out.length
+    assert(sampleMean > corpusMean,
+      s"sampled mean weight $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("agg_theta_intersect: estimation mode at sf0.01 stays inside the error envelope", Heavy) {
     // sf0.01 pushes the slices past k into estimation mode; the
     // published theta-framework bound is ~1/sqrt(k) relative error per
