@@ -2008,6 +2008,89 @@ object EventOps {
     },
 
     Q(
+      "event_qte",
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |         coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+        |                            THEN CAST(round(value * 100) AS BIGINT)
+        |                            ELSE CAST(0 AS BIGINT) END) AS BIGINT), 0) // 100 AS m
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT variant, m, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2),
+        |r AS (
+        |  SELECT variant, m, c,
+        |         CAST(coalesce(sum(c) OVER (PARTITION BY variant ORDER BY m
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+        |         CAST(sum(c) OVER (PARTITION BY variant) AS BIGINT) AS n
+        |  FROM g),
+        |pos AS (
+        |  SELECT r.*, q.q,
+        |         (q.q * (r.n - 1)) // 4 + 1 AS plo,
+        |         ((q.q * (r.n - 1)) + 3) // 4 + 1 AS phi
+        |  FROM r CROSS JOIN (SELECT unnest(range(1, 4)) AS q) q),
+        |v AS (
+        |  SELECT variant, q,
+        |         CAST(sum(CASE WHEN below < plo AND plo <= below + c THEN m ELSE 0 END) AS BIGINT) AS vlo,
+        |         CAST(sum(CASE WHEN below < phi AND phi <= below + c THEN m ELSE 0 END) AS BIGINT) AS vhi,
+        |         CAST(min(n) AS BIGINT) AS n
+        |  FROM pos GROUP BY 1, 2)
+        |SELECT a.q AS quartile, a.n AS n_a, b.n AS n_b,
+        |       round((a.vlo + a.vhi) / 2.0, 6) AS q_a,
+        |       round((b.vlo + b.vhi) / 2.0, 6) AS q_b,
+        |       round((b.vlo + b.vhi) / 2.0 - (a.vlo + a.vhi) / 2.0, 6) AS qte
+        |FROM (SELECT * FROM v WHERE variant = 0) a
+        |JOIN (SELECT * FROM v WHERE variant = 1) b USING (q)
+        |ORDER BY quartile""".stripMargin
+    ) { (s, d) =>
+      // Quantile treatment effect - the EFFECT-SIZE readout next to
+      // event_ab_mwu's significance: per-variant quartiles of the
+      // per-user purchase spend and their differences, showing WHERE in
+      // the distribution a treatment moves users (a mean lift hiding in
+      // the top quartile reads completely differently from a uniform
+      // shift). Metric = per-user spend in whole DOLLARS (exact cents
+      // sum, integer DIV 100): dollar quantization bounds the DISTINCT
+      // metric domain, so the rank machinery runs entirely on the
+      // (variant, dollars) counts table - quantile value at rank r is
+      // the row where below < r <= below + c, no corpus-sized window
+      // (the event_ab_mwu bounded-domain discipline; cent-resolution
+      // would ride the partial-offset device instead). Quartile q =
+      // midpoint of the order statistics at floor/ceil of q(n-1)/4 -
+      // pure integer ranks, one IEEE halving spliced identically, so
+      // both engines agree bit-for-bit.
+      val u = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("event_type") === "purchase",
+                               round(col("value") * 100).cast("long"))
+                            .otherwise(0L)), lit(0L)).as("cents"))
+        .select((col("user_id") % 2).as("variant"),
+                expr("cents DIV 100").as("m"))
+      val g = u.groupBy(col("variant"), col("m")).agg(count(lit(1)).as("c"))
+      val W = org.apache.spark.sql.expressions.Window
+      val r = g
+        .withColumn("below", coalesce(sum(col("c")).over(
+          W.partitionBy(col("variant")).orderBy(col("m"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("c")).over(W.partitionBy(col("variant"))))
+      val pos = r.crossJoin(broadcast(s.range(1, 4).select(col("id").as("q"))))
+        .withColumn("plo", expr("(q * (n - 1)) DIV 4 + 1"))
+        .withColumn("phi", expr("((q * (n - 1)) + 3) DIV 4 + 1"))
+      val v = pos.groupBy(col("variant"), col("q"))
+        .agg(sum(when(col("below") < col("plo") && col("plo") <= col("below") + col("c"),
+                      col("m")).otherwise(0L)).cast("long").as("vlo"),
+             sum(when(col("below") < col("phi") && col("phi") <= col("below") + col("c"),
+                      col("m")).otherwise(0L)).cast("long").as("vhi"),
+             min(col("n")).cast("long").as("n"))
+      v.where(col("variant") === 0).as("a")
+        .join(v.where(col("variant") === 1).as("b"), Seq("q"))
+        .selectExpr("q AS quartile", "a.n AS n_a", "b.n AS n_b",
+          // 2.0D: Spark parses a bare 2.0 literal as DECIMAL(2,1) where
+          // DuckDB reads DOUBLE — the halving must be IEEE in both
+          "round((a.vlo + a.vhi) / 2.0D, 6) AS q_a",
+          "round((b.vlo + b.vhi) / 2.0D, 6) AS q_b",
+          "round((b.vlo + b.vhi) / 2.0D - (a.vlo + a.vhi) / 2.0D, 6) AS qte")
+        .orderBy(col("quartile"))
+    },
+
+    Q(
       "event_theil_sen",
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,

@@ -177,6 +177,30 @@ class Round18OpsSpec extends GraftSuite {
       s"sampled mean weight $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("event_qte: quartiles match a driver-side order-statistic recompute") {
+    val out = SparkEntry.queries("event_qte")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val users = T.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+                             round(col("value") * 100).cast("long")).otherwise(0L)), lit(0L)).as("cents"))
+      .collect().map(r => (r.getLong(0) % 2, r.getLong(1) / 100))
+    def quart(v: Seq[Long], q: Int): Double = {
+      val s0 = v.sorted; val n = s0.length.toLong
+      val lo = ((q * (n - 1)) / 4 + 1).toInt; val hi = ((q * (n - 1) + 3) / 4 + 1).toInt
+      (s0(lo - 1) + s0(hi - 1)) / 2.0
+    }
+    val a = users.collect { case (0L, m) => m }.toSeq
+    val b = users.collect { case (1L, m) => m }.toSeq
+    (1 to 3).foreach { q =>
+      val (nA, nB, qA, qB, qte) = out(q.toLong)
+      assert(nA == a.length.toLong && nB == b.length.toLong)
+      assert(qA == quart(a, q), s"q$q A: $qA vs ${quart(a, q)}")
+      assert(qB == quart(b, q), s"q$q B: $qB vs ${quart(b, q)}")
+      assert(math.abs(qte - (quart(b, q) - quart(a, q))) < 1e-9)
+    }
+  }
+
   test("agg_theta_intersect: estimation mode at sf0.01 stays inside the error envelope", Heavy) {
     // sf0.01 pushes the slices past k into estimation mode; the
     // published theta-framework bound is ~1/sqrt(k) relative error per
