@@ -446,6 +446,70 @@ object Windows {
     },
 
     Q(
+      "win_hampel",
+      """WITH c AS (
+        |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT c.event_type, c.day + g.g AS day, c.n AS nb
+        |  FROM c CROSS JOIN generate_series(-3, 3) g(g)),
+        |m AS (
+        |  SELECT w.event_type, w.day, c.n, quantile_cont(w.nb, 0.5) AS med
+        |  FROM w JOIN c ON c.event_type = w.event_type AND c.day = w.day
+        |  GROUP BY 1, 2, 3),
+        |md AS (
+        |  SELECT w.event_type, w.day, quantile_cont(abs(w.nb - m.med), 0.5) AS mad
+        |  FROM w JOIN m ON m.event_type = w.event_type AND m.day = w.day
+        |  GROUP BY 1, 2)
+        |SELECT m.event_type, m.day, m.n,
+        |       round(m.med, 4) AS med7, round(md.mad, 4) AS mad7,
+        |       abs(m.n - m.med) > 4.4478 * md.mad AS is_outlier,
+        |       round(CASE WHEN abs(m.n - m.med) > 4.4478 * md.mad
+        |                  THEN m.med ELSE CAST(m.n AS DOUBLE) END, 4) AS repaired
+        |FROM m JOIN md ON md.event_type = m.event_type AND md.day = m.day
+        |ORDER BY m.event_type, m.day""".stripMargin
+    ) { (s, d) =>
+      // Hampel filter - the rolling outlier REPAIR rung above
+      // win_rolling_median's smoothing: a point farther than
+      // k*1.4826*MAD from the centered 7-day rolling median is replaced
+      // BY that median (the standard telemetry de-spiker; 1.4826 scales
+      // MAD to sigma under normality, k = 3, spliced as the single
+      // 4.4478 literal so both engines compare the identical double).
+      // MAD needs the window's own median per element, which no SQL
+      // window frame can express - so the centered window materializes
+      // through the offset-join device (win_rolling_corr's
+      // generate_series trick re-expressed as explode(sequence), a pure
+      // equi-join on (type, day)) and TWO grouped percentile passes
+      // compute median then MAD. Everything runs on the collapsed daily
+      // table - days x types x 7 rows, never facts; medians interpolate
+      // exact integers (and exact .5 midpoints) identically in both
+      // engines, the agg_percentile-proven recipe.
+      val c = T.events(s, d)
+        .select(col("event_type"),
+                floor(unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val w = c.select(col("event_type"), col("n").as("nb"),
+                       explode(expr("sequence(-3, 3)")).as("g"),
+                       (col("day") + col("g")).as("day"))
+        .select(col("event_type"), col("day"), col("nb"))
+      val m = w.join(c, Seq("event_type", "day"))
+        .groupBy(col("event_type"), col("day"), col("n"))
+        .agg(expr("percentile(nb, 0.5)").as("med"))
+      val md = w.join(m.select(col("event_type"), col("day"), col("med")),
+                      Seq("event_type", "day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(expr("percentile(abs(nb - med), 0.5)").as("mad"))
+      m.join(md, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n"),
+                round(col("med"), 4).as("med7"), round(col("mad"), 4).as("mad7"),
+                (abs(col("n") - col("med")) > lit(4.4478) * col("mad")).as("is_outlier"),
+                round(when(abs(col("n") - col("med")) > lit(4.4478) * col("mad"),
+                           col("med")).otherwise(col("n").cast("double")), 4).as("repaired"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    Q(
       "win_rolling_corr",
       """WITH e AS (
         |  SELECT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
