@@ -1414,6 +1414,55 @@ object TrainingOps {
     },
 
     Q(
+      "shard_rendezvous",
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(${fpSql("text")} AS BIGINT) AS fp
+         |  FROM documents WHERE text IS NOT NULL),
+         |x AS (
+         |  SELECT doc_id, fp, g.s,
+         |         (fp * ((g.s + 1) * 2654435761 % 1000000007) + g.s) % 1000000007 AS score
+         |  FROM f CROSS JOIN (SELECT unnest(range(0, 8)) AS s) g),
+         |r AS (
+         |  SELECT doc_id, s, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, s) AS rn
+         |  FROM x)
+         |SELECT doc_id, CAST(s AS BIGINT) AS shard, CAST(score AS BIGINT) AS hrw_score
+         |FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Rendezvous (highest-random-weight) sharding - Thaler &
+      // Ravishankar 1998, the consistent-placement scheme behind cache
+      // rings and shard maps: each doc scores every shard with a
+      // deterministic integer mix of (content fingerprint, shard id)
+      // and lands on the argmax. THE property shard_balanced and a
+      // plain hash-mod deal both lack: removing a shard remaps ONLY the
+      // docs that lived on it (every other doc's argmax is untouched) -
+      // Round18OpsSpec proves exactly that by recomputing the argmax
+      // over 7 shards. Scores are pure BIGINT arithmetic over the
+      // content rolling-hash (fp < 1e9, mixed with a Knuth multiplier
+      // mod 1e9+7: products stay under 2^63 in both engines), so
+      // assignment is bit-identical and rebuild-stable (the
+      // sample_split discipline). Scale shape: map-only scoring + a
+      // per-doc-keyed rank window (millions of 8-row groups - embarrassingly
+      // parallel, no corpus-wide sort; at a larger shard count the 8-row
+      // axis is still a broadcast literal).
+      val f = T.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), fpSpark("text").cast("long").as("fp"))
+      val x = f.crossJoin(broadcast(s.range(0, 8).select(col("id").as("s"))))
+        .withColumn("score",
+          expr("(fp * ((s + 1) * 2654435761 % 1000000007) + s) % 1000000007"))
+      x.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("score").desc, col("s"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("s").cast("long").as("shard"),
+                col("score").cast("long").as("hrw_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "shard_balanced",
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

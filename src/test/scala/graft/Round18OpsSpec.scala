@@ -201,6 +201,27 @@ class Round18OpsSpec extends GraftSuite {
     }
   }
 
+  test("shard_rendezvous: removing a shard remaps ONLY that shard's docs (the HRW property)") {
+    val out = SparkEntry.queries("shard_rendezvous")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet.size == 8, "all 8 shards should win somewhere on the fixture")
+    // recompute the argmax with shard 7 removed, driver-side from the
+    // same fingerprints
+    val fps = T.documents(spark, sf).where(col("text").isNotNull)
+      .select(col("doc_id"), graft.functions.RollingHash(col("text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def score(fp: Long, sh: Long) = (fp * ((sh + 1) * 2654435761L % 1000000007L) + sh) % 1000000007L
+    fps.foreach { case (id, fp) =>
+      val without7 = (0L to 6L).maxBy(sh => (score(fp, sh), -sh))
+      if (out(id) != 7L)
+        assert(without7 == out(id),
+          s"doc $id moved from shard ${out(id)} to $without7 when shard 7 left — HRW violated")
+    }
+    // ...and the docs that WERE on 7 spread over the survivors
+    val moved = fps.filter { case (id, _) => out(id) == 7L }
+    assert(moved.nonEmpty)
+  }
+
   test("agg_theta_intersect: estimation mode at sf0.01 stays inside the error envelope", Heavy) {
     // sf0.01 pushes the slices past k into estimation mode; the
     // published theta-framework bound is ~1/sqrt(k) relative error per
