@@ -47,7 +47,9 @@ class CodegenSizeSpec extends GraftSuite {
     // cut — input bounded at 100 rows by construction, so interpreted
     // execution would cost microseconds; same exemption class as
     // data_drift_psi, pin still trips ~20% template growth
-    "text_zipf_fit"           -> 6500)
+    "text_zipf_fit"           -> 6500,
+    "text_perplexity_kn"      -> budget, // lnProbTpl over the KN mixture (r18)
+    "sample_weighted_reservoir" -> budget) // lnProbTpl over the ES key (r18)
 
   test("audited template keys: every whole-stage method stays under its JIT-cliff budget", Heavy) {
     val report = audited.map { case (key, allowance) =>
