@@ -1523,6 +1523,53 @@ object TrainingOps {
     },
 
     Q(
+      "text_lexical_richness",
+      s"""WITH t AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+         |  WHERE source IS NOT NULL AND text IS NOT NULL),
+         |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+         |a AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) AS BIGINT) AS vocab,
+         |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+         |  FROM c GROUP BY 1)
+         |SELECT source, n_tokens, vocab, hapax,
+         |       CAST((1000000 * hapax) // vocab AS BIGINT) AS hapax_ppm,
+         |       round((${lnProbTpl("(1.0 / CAST(vocab AS DOUBLE))")}) / (${lnProbTpl("(1.0 / CAST(n_tokens AS DOUBLE))")}), 6) AS herdan_c
+         |FROM a ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      // Lexical-richness profile per source domain - the vocabulary-side
+      // QA siblings of text_zipf_fit's frequency slope: hapax share
+      // (singleton vocabulary fraction - boilerplate-heavy or
+      // template-spun sources sit LOW, organic prose high) and Herdan's
+      // C = ln V / ln N (Herdan 1960; Heaps' law exponent in disguise),
+      // the size-robust type-token ratio the raw V/N is not. Exactness:
+      // counts are exact BIGINTs off ONE (source, token) collapse;
+      // hapax_ppm is integer floor arithmetic; ln V and ln N enter as
+      // -ln(1/V), -ln(1/N) through the shared bit-deterministic template
+      // (1/N stays above the ladder's 2^-32 floor through ~4e9 tokens -
+      // a planet corpus extends the octave ladder, same discipline), and
+      // the single IEEE division splices as identical text. Scale: the
+      // corpus collapses once via the fused unigram hasher (the
+      // text_source_divergence convention: hashed grams stand in for
+      // string tokens, collision-free on the fixture vocabulary); the
+      // richness readout is |sources| rows of arithmetic.
+      val c = T.documents(s, d)
+        .where(col("source").isNotNull && col("text").isNotNull)
+        .select(col("source"),
+          explode(graft.functions.HashedWordGramsSeq(col("text"), 1)).as("h"))
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+      c.groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+             count(lit(1)).cast("long").as("vocab"),
+             sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("hapax"))
+        .selectExpr("source", "n_tokens", "vocab", "hapax",
+          "CAST((1000000 * hapax) DIV vocab AS BIGINT) AS hapax_ppm",
+          s"round((${lnProbTpl("(1.0 / CAST(vocab AS DOUBLE))")}) / (${lnProbTpl("(1.0 / CAST(n_tokens AS DOUBLE))")}), 6) AS herdan_c")
+        .orderBy(col("source"))
+    },
+
+    Q(
       "text_source_divergence",
       s"""WITH t AS (
          |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
