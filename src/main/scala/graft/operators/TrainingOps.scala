@@ -633,6 +633,81 @@ object TrainingOps {
     },
 
     Q(
+      "dedup_cdc_chunks",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE text IS NOT NULL),
+         |tok AS (
+         |  SELECT doc_id, w[i] AS tok, i
+         |  FROM w, unnest(range(1, len(w) + 1)) AS t(i)),
+         |b AS (
+         |  SELECT doc_id, tok, i,
+         |         CASE WHEN ${fpSql("tok")} % 16 = 0 THEN 1 ELSE 0 END AS bnd
+         |  FROM tok),
+         |cid AS (
+         |  SELECT doc_id, tok, i,
+         |         CAST(coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cid
+         |  FROM b),
+         |ch AS (
+         |  SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY i) AS chunk,
+         |         CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM cid GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id, cid, n_tok, CAST(${fpSql("chunk")} AS BIGINT) AS chunk_sig
+         |  FROM ch)
+         |SELECT chunk_sig,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_occ,
+         |       CAST(min(n_tok) AS BIGINT) AS n_tok,
+         |       CAST(min(doc_id) AS BIGINT) AS canonical_doc
+         |FROM sig GROUP BY chunk_sig HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_sig""".stripMargin
+    ) { (s, d) =>
+      // Content-defined chunking dedup (the LBFS/rsync device: Muthitacharoen
+      // et al. 2001) - the SUB-document rung between dedup_exact (whole
+      // doc) and text_span_dedup (fixed windows): chunk boundaries are
+      // declared by the CONTENT itself (a token whose fingerprint is
+      // ≡ 0 mod 16 ends its chunk, expected length 16 tokens — tuned so
+      // the fixture's planted near-dups actually share whole chunks at
+      // every scale; a crawl corpus would chunk coarser), so an
+      // insertion early in a document shifts every fixed window but
+      // leaves all LATER CDC chunks bit-identical - the property that
+      // makes cross-crawl chunk-level dedup converge. The boundary
+      // fingerprint and the chunk signature both ride the 131-polynomial
+      // rolling hash (exact integers, mirrored in SQL by the fpSql
+      // template - the sample_split discipline), so the report is
+      // bit-identical in both engines. Scale shape: one token explode
+      // (map-only), a per-doc running-sum window (millions of small
+      // groups, embarrassingly parallel), ONE regroup to chunks, and the
+      // duplicate report groups by chunk signature - the shuffle carries
+      // chunk signatures, never the corpus text twice.
+      val toks = T.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i0", "tok")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
+      val b = toks.withColumn("bnd",
+        when(fpSpark("tok") % 16 === 0, 1).otherwise(0))
+      val cid = b.withColumn("cid", coalesce(sum(col("bnd")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("i"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0)).cast("long"))
+      val ch = cid.groupBy(col("doc_id"), col("cid"))
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(i, tok))), p -> p.tok), ' ')")
+               .as("chunk"),
+             count(lit(1)).cast("long").as("n_tok"))
+      ch.select(col("doc_id"), col("n_tok"), fpSpark("chunk").cast("long").as("chunk_sig"))
+        .groupBy(col("chunk_sig"))
+        .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+             count(lit(1)).cast("long").as("n_occ"),
+             min(col("n_tok")).cast("long").as("n_tok"),
+             min(col("doc_id")).cast("long").as("canonical_doc"))
+        .where(col("n_docs") >= 2)
+        .orderBy(col("chunk_sig"))
+    },
+
+    Q(
       "dedup_url",
       """WITH u AS (
         |  SELECT doc_id,
