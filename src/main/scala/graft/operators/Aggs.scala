@@ -660,7 +660,7 @@ object Aggs {
       import org.apache.datasketches.kll.KllDoublesSketch
       import org.apache.datasketches.memory.Memory
       val blobs = T.lineitem(s, d)
-        .select((col("l_extendedprice") * 100).cast("long").as("cents"))
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
         .as[Long]
         .mapPartitions { it =>
           val sk = KllDoublesSketch.newHeapInstance(200)

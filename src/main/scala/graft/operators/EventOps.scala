@@ -977,11 +977,13 @@ object EventOps {
         |SELECT n_a, n_b,
         |       CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a, tie_term,
         |       CASE WHEN n_a > 0 AND n_b > 0
-        |              AND (n_a + n_b + 1.0) - CAST(tie_term AS DOUBLE)
-        |                  / ((n_a + n_b) * (n_a + n_b - 1.0)) > 0
-        |            THEN round(((r2_a - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
-        |              / sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1.0)
-        |                 - CAST(tie_term AS DOUBLE) / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6)
+        |              AND (n_a + n_b + CAST(1 AS DOUBLE)) - CAST(tie_term AS DOUBLE)
+        |                  / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)) > 0
+        |            THEN round((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2
+        |                        - CAST(n_a AS DOUBLE) * n_b / 2)
+        |              / sqrt(CAST(n_a AS DOUBLE) * n_b / 12 * ((n_a + n_b + CAST(1 AS DOUBLE))
+        |                 - CAST(tie_term AS DOUBLE)
+        |                   / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 6)
         |            ELSE NULL END AS z
         |FROM s""".stripMargin
     ) { (s, d) =>
@@ -1020,12 +1022,20 @@ object EventOps {
              sum(col("c") * col("c") * col("c") - col("c")).cast("long").as("tie_term"))
         .selectExpr("n_a", "n_b",
           "CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a", "tie_term",
+          // All-DOUBLE splice (r19, ADVICE): bare decimal literals like
+          // 12.0 parse as DECIMAL in Spark and the division rounds at
+          // scale 6 before the double promotion, while DuckDB divides in
+          // DOUBLE — so every operand is CAST to DOUBLE and the literals
+          // are integers, making the text identical in both engines AND
+          // the arithmetic pure IEEE in both.
           """CASE WHEN n_a > 0 AND n_b > 0
-            |       AND (n_a + n_b + 1.0) - CAST(tie_term AS DOUBLE)
-            |           / ((n_a + n_b) * (n_a + n_b - 1.0)) > 0
-            |     THEN round(((r2_a - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
-            |       / sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1.0)
-            |          - CAST(tie_term AS DOUBLE) / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6)
+            |       AND (n_a + n_b + CAST(1 AS DOUBLE)) - CAST(tie_term AS DOUBLE)
+            |           / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)) > 0
+            |     THEN round((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2
+            |                 - CAST(n_a AS DOUBLE) * n_b / 2)
+            |       / sqrt(CAST(n_a AS DOUBLE) * n_b / 12 * ((n_a + n_b + CAST(1 AS DOUBLE))
+            |          - CAST(tie_term AS DOUBLE)
+            |            / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 6)
             |     ELSE NULL END AS z""".stripMargin)
     },
 
@@ -1980,7 +1990,7 @@ object EventOps {
       // O(n log n) inversion-count formulation, same output.
       val daily = T.events(s, d)
         .groupBy(col("event_type"),
-                 (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+                 floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
         .agg(count(lit(1)).as("c"))
       val sStat = daily.as("a")
         .join(daily.as("b"),
@@ -2129,7 +2139,7 @@ object EventOps {
       // same bounded pair table.
       val daily = T.events(s, d)
         .groupBy(col("event_type"),
-                 (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+                 floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
         .agg(count(lit(1)).as("c"))
       val sl = daily.as("a")
         .join(daily.as("b"),

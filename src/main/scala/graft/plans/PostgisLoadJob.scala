@@ -127,11 +127,23 @@ object PostgisLoadJob {
     * never adds constraints) nor the grammar lane could surface that: the
     * statement is grammatically perfect and fails only at execution. A
     * deployment must run this once after the CREATE TABLE, before the
-    * first upsert. */
+    * first upsert.
+    *
+    * NULLS NOT DISTINCT (r19): [[postgresDdl]] leaves every non-key
+    * column nullable (faithful to `df.write.jdbc`), and `pgosm_date` is a
+    * KEY column in the staged mode. Under Postgres's default
+    * NULLS-DISTINCT semantics two rows with a NULL `pgosm_date` never
+    * collide on the index, so a retried staged merge would INSERT a
+    * duplicate instead of taking the DO UPDATE arm — silently breaking
+    * the exactly-once-under-retries guarantee this index exists to
+    * provide. PG15+ (the grammar the checker targets) lets the index
+    * treat NULLs as equal, restoring the arbiter for NULL-keyed rows;
+    * the real lane (`pg_real_check.py` scenario B) retries a NULL-dated
+    * row to pin this. */
   def uniqueIndexSql(table: String, keyCols: Seq[String]): String = {
     require(keyCols.nonEmpty, "uniqueIndexSql: key columns required")
     s"CREATE UNIQUE INDEX IF NOT EXISTS ${table}_${keyCols.mkString("_")}_key " +
-      s"ON $table (${keyCols.mkString(", ")})"
+      s"ON $table (${keyCols.mkString(", ")}) NULLS NOT DISTINCT"
   }
 
   /** The UNLOGGED staging table the staged [[upsertSql]] mode reads from —

@@ -39,7 +39,8 @@ class Round18OpsSpec extends GraftSuite {
       .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
     assert(out.map(_._1).toSeq == Seq(0.01, 0.25, 0.5, 0.75, 0.99))
     val cents = T.lineitem(spark, sf)
-      .select((col("l_extendedprice") * 100).cast("long")).collect().map(_.getLong(0)).sorted
+      .select(round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
     val n = cents.length.toDouble
     val values = cents.toSet
     out.foreach { case (q, est, err) =>

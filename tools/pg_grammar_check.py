@@ -252,7 +252,10 @@ class P:
 
     def create_unique_index(self):
         # CREATE UNIQUE INDEX [IF NOT EXISTS] name ON table (col [, ...])
-        # — the ON CONFLICT arbiter (create_index.sgml production subset)
+        #   [NULLS NOT DISTINCT]
+        # — the ON CONFLICT arbiter (create_index.sgml production subset;
+        # NULLS NOT DISTINCT is PG15+, required so NULL-keyed rows still
+        # collide and a retried staged merge stays exactly-once)
         self.expect_kw("create", "unique", "index")
         if self.kw_ahead("if"):
             self.expect_kw("if", "not", "exists")
@@ -264,6 +267,8 @@ class P:
         self.column_list()
         if self.next() != ")":
             raise ParseError("expected ) closing the index column list")
+        if self.kw_ahead("nulls"):
+            self.expect_kw("nulls", "not", "distinct")
         self.end()
 
     def delete(self):

@@ -128,6 +128,10 @@ def find_server():
 ROW1 = "(1, '\\x0102'::bytea, 'eu', 'spain', 4, 2.5, '2024-07-25', 'eu-spain')"
 ROW1B = "(1, '\\x0102'::bytea, 'eu', 'spain', 9, 7.5, '2024-07-25', 'eu-spain')"
 ROW2 = "(2, '\\x0304'::bytea, 'eu', 'france', 6, 3.5, '2024-07-25', 'eu-france')"
+# NULL pgosm_date: a KEY column left NULL — under default NULLS DISTINCT
+# the arbiter index never matches it and a retried merge inserts a
+# duplicate; the NULLS NOT DISTINCT arbiter (r19) must keep it exactly-once
+ROW3 = "(3, '\\x0506'::bytea, 'eu', 'italy', 5, 1.5, NULL, 'eu-italy')"
 PREP_TYPES = "(bigint, bytea, text, text, int, float8, text, text)"
 
 
@@ -174,7 +178,16 @@ def real_lane(db):
     db.run(staged)
     area = db.run("SELECT area FROM osm_ways WHERE way_id = 1")
     assert area == "9.75", f"scenario B carry-over update not applied: area={area}"
-    print("scenario B (staged ON CONFLICT (way_id, pgosm_date) merge): executed, exactly-once verified")
+    # NULL-keyed retry: pgosm_date IS NULL must still hit the arbiter
+    # (NULLS NOT DISTINCT) — a duplicate here is the silent-dupe bug
+    db.run("TRUNCATE osm_ways_stage")
+    db.run(f"INSERT INTO osm_ways_stage VALUES {ROW3}")
+    db.run(staged)
+    db.run(staged)  # retry with the NULL-dated row: must update, not insert
+    nulls = db.run("SELECT count(*) FROM osm_ways WHERE pgosm_date IS NULL")
+    assert nulls == "1", f"scenario B NULL-date retry duplicated: {nulls} rows"
+    print("scenario B (staged ON CONFLICT (way_id, pgosm_date) merge): "
+          "executed, exactly-once verified incl. NULL-keyed retry")
 
     missing = EXPECTED - used
     assert not missing, f"real lane did not exercise goldens: {missing}"
