@@ -328,7 +328,7 @@ object Aggs {
         |       round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) * p_size) AS DOUBLE) / sum(p_size), 4) AS wavg_price
         |FROM part
         |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin
+        |ORDER BY p_brand NULLS FIRST""".stripMargin
     ) { (s, d) =>
       T.part(s, d).groupBy(col("p_brand"))
         .agg(WeightedAvg(col("p_retailprice"), col("p_size")).as("wavg_price"))
@@ -442,7 +442,7 @@ object Aggs {
         |  FROM customer GROUP BY 1, 2),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY c_nationkey
-        |           ORDER BY cnt DESC, c_mktsegment) AS rn
+        |           ORDER BY cnt DESC, c_mktsegment NULLS FIRST) AS rn
         |  FROM c)
         |SELECT c_nationkey, c_mktsegment AS mode_segment, cnt AS n
         |FROM r WHERE rn = 1

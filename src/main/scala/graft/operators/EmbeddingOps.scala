@@ -453,7 +453,8 @@ object EmbeddingOps {
       """WITH m AS (
         |  SELECT vec_id, label, i AS pos, CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS xm
         |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
-        |               generate_subscripts(embedding, 1) AS i FROM embeddings) t),
+        |               generate_subscripts(embedding, 1) AS i FROM embeddings
+        |        WHERE embedding IS NOT NULL AND label IS NOT NULL) t),
         |c AS (SELECT label, pos, CAST(round(CAST(sum(xm) AS DOUBLE) / count(*)) AS BIGINT) AS cm
         |      FROM m GROUP BY label, pos),
         |dd AS (SELECT vec_id, m.label, CAST(sum((xm - cm) * (xm - cm)) AS BIGINT) AS d2
@@ -483,7 +484,10 @@ object EmbeddingOps {
       // an approx-percentile d2 boundary broadcast (event_rfm's
       // argument); the fixture-scale exact cut is what the oracle pins.
       import org.apache.spark.sql.expressions.Window
+      // a row without an embedding (or a label to group under) has no
+      // distance — excluded in BOTH engines, not scored as NULL
       val e = T.embeddings(s, d)
+        .where(col("embedding").isNotNull && col("label").isNotNull)
       val cent = e
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .withColumn("m", expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
@@ -551,7 +555,7 @@ object EmbeddingOps {
         |             generate_subscripts(embedding, 1) AS i
         |      FROM embeddings) x
         |GROUP BY label, i
-        |ORDER BY label, pos""".stripMargin
+        |ORDER BY label NULLS FIRST, pos""".stripMargin
     ) { (s, d) =>
       centroids(T.embeddings(s, d)).orderBy(col("label"), col("pos"))
     },
@@ -688,7 +692,7 @@ object EmbeddingOps {
         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
         |           list_transform(embedding[33:64], x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)),
         |           (a, v) -> a * 2 + v) AS w1
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |q AS (SELECT w0 AS q0, w1 AS q1 FROM b WHERE vec_id = 0)
         |SELECT vec_id, label,
         |       CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) AS BIGINT) AS hamming
@@ -715,7 +719,7 @@ object EmbeddingOps {
         s"""aggregate(slice(embedding, $lo, 32),
            |  CAST(0 AS BIGINT),
            |  (a, x) -> a * 2 + IF(x > 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))""".stripMargin
-      val b = T.embeddings(s, d).select(
+      val b = T.embeddings(s, d).where(col("embedding").isNotNull).select(
         col("vec_id"), col("label").cast("long").as("label"),
         expr(pack(1)).as("w0"), expr(pack(33)).as("w1"))
       val q = b.where(col("vec_id") === 0)

@@ -641,7 +641,8 @@ object EventOps {
     Q(
       "event_markov",
       """WITH o AS (
-        |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events
+        |  WHERE event_type IS NOT NULL),
         |p AS (
         |  SELECT event_type AS from_type,
         |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS to_type
@@ -667,7 +668,11 @@ object EventOps {
       // in either plan. The totals table is |types|-sized → size-gated
       // broadcast back onto the pair counts.
       val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      // null-typed events are not states: excluded BEFORE the lead in
+      // both engines (the event_path_topk rule), so a transition bridges
+      // over them rather than producing a null-keyed matrix row
       val c = T.events(s, d)
+        .where(col("event_type").isNotNull)
         .select(col("user_id"), col("event_type").as("from_type"),
                 unix_millis(col("ts")).as("ms"), col("event_id"))
         .withColumn("to_type", lead(col("from_type"), 1).over(w))
@@ -743,7 +748,8 @@ object EventOps {
     Q(
       "event_path_topk",
       """WITH o AS (
-        |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events
+        |  WHERE event_type IS NOT NULL),
         |w AS (
         |  SELECT user_id, event_type,
         |         lead(event_type, 1) OVER win AS t2,
@@ -763,7 +769,11 @@ object EventOps {
       // is a partial+final agg over a bounded (|types|³) key space and
       // the cut fuses to TakeOrderedAndProject with a path tie-break.
       val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      // null-typed events are excluded BEFORE the leads in both engines:
+      // concat_ws would silently skip a null step (emitting a 2-step
+      // path as a 3-step one) while the oracle's || nulls the whole path
       T.events(s, d)
+        .where(col("event_type").isNotNull)
         .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"),
                 col("event_id"))
         .withColumn("t2", lead(col("event_type"), 1).over(w))
@@ -837,7 +847,7 @@ object EventOps {
         |       max(CASE WHEN rn = 1 THEN value END) AS open,
         |       max(CASE WHEN rn = cnt THEN value END) AS close
         |FROM r GROUP BY event_type, hour
-        |ORDER BY event_type, hour""".stripMargin
+        |ORDER BY event_type NULLS FIRST, hour""".stripMargin
     ) { (s, d) =>
       // Time-series downsampling to hourly OHLC bars per event type —
       // the resample primitive for metrics/trading-style logs. open and
@@ -924,7 +934,7 @@ object EventOps {
         |       CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
         |       / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_detected
         |FROM c
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type NULLS FIRST""".stripMargin
     ) { (s, d) =>
       // Sample-ratio mismatch — event_ab_test's HYGIENE sibling: before
       // reading any z statistic, check that the 50/50 user-id hash split
@@ -1871,7 +1881,7 @@ object EventOps {
          |  FROM events GROUP BY event_type)
          |SELECT event_type, n,
          |       ${EventOps.powerSelect}
-         |FROM m ORDER BY event_type""".stripMargin
+         |FROM m ORDER BY event_type NULLS FIRST""".stripMargin
     ) { (s, d) =>
       // Experiment power / sample-size planning — the pre-test sibling
       // of event_ab_test's post-test z readout: for each metric
@@ -2178,7 +2188,7 @@ object EventOps {
          |SELECT event_type, digit, CAST(n_obs AS BIGINT) AS n_obs,
          |       ${EventOps.benfordSelect}
          |FROM g
-         |ORDER BY event_type, digit""".stripMargin
+         |ORDER BY event_type NULLS FIRST, digit""".stripMargin
     ) { (s, d) =>
       // Benford first-digit conformance (Newcomb-Benford law) — the
       // standard forensic/data-quality screen: organically-generated

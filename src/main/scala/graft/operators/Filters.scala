@@ -17,7 +17,7 @@ object Filters {
       """SELECT p_partkey,
         |       upper(p_brand)             AS brand_uc,
         |       p_retailprice * p_size     AS price_volume,
-        |       concat(p_type, '/', p_brand) AS type_brand
+        |       p_type || '/' || p_brand   AS type_brand
         |FROM part
         |ORDER BY p_partkey""".stripMargin
     ) { (s, d) =>

@@ -57,7 +57,7 @@ object Joins {
          |FROM lineitem
          |JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand
-         |ORDER BY p_brand""".stripMargin
+         |ORDER BY p_brand NULLS FIRST""".stripMargin
     ) { (s, d) =>
       // Sort-merge: robust at 100 TB when both sides are huge (spills
       // gracefully, no hash table to blow up).
@@ -323,7 +323,7 @@ object Joins {
       """WITH t AS (SELECT event_id AS trade_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),
         |q AS (SELECT event_id AS qid, user_id, ts, value FROM events
-        |      WHERE event_type IN ('view', 'click')),
+        |      WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
         |m AS (
         |  SELECT t.trade_id, t.user_id, t.ts,
         |         arg_max(q.value,
@@ -353,7 +353,11 @@ object Joins {
       // (→ max qid wins), the same deterministic composite-arg_max
       // choice join_asof pins (ADVICE r16).
       val ev = T.events(s, d)
-      val quotes = ev.where(col("event_type").isin("view", "click"))
+      // null-valued quotes are not quotes: the struct carrier would keep
+      // them visible to last(ignoreNulls) (struct(ts, NULL) is non-null),
+      // so the filter restores the join_asof ignoreNulls semantics
+      val quotes = ev.where(col("event_type").isin("view", "click")
+                            && col("value").isNotNull)
         .select(col("user_id"), col("ts"),
                 expr("struct(ts AS qts, value AS qvalue)").as("q"),
                 col("event_id").as("qid"),
@@ -383,7 +387,7 @@ object Joins {
       """WITH t AS (SELECT event_id AS trade_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),
         |q AS (SELECT user_id, ts AS qts, value FROM events
-        |      WHERE event_type IN ('view', 'click')),
+        |      WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
         |j AS (SELECT t.trade_id, t.user_id, t.ts, q.qts, q.value
         |      FROM t JOIN q ON t.user_id = q.user_id AND q.qts <= t.ts),
         |r AS (SELECT *, max(qts) OVER (PARTITION BY trade_id) AS mts FROM j)
@@ -415,7 +419,10 @@ object Joins {
       val trades = ev.where(col("event_type") === "purchase")
         .select(col("event_id").as("trade_id"), col("user_id"),
                 col("ts"), unix_millis(col("ts")).as("ms"))
-      val quotes = ev.where(col("event_type").isin("view", "click"))
+      // null-valued quotes are not quotes (the join_asof ignoreNulls
+      // semantics, spelled identically in the oracle's q CTE)
+      val quotes = ev.where(col("event_type").isin("view", "click")
+                            && col("value").isNotNull)
         .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
       org.apache.spark.sql.graft.Asof
         .join(trades, quotes, "user_id", "ms", "value", "quote_value")
@@ -553,7 +560,7 @@ object Joins {
          |FROM orders
          |JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment
-         |ORDER BY c_mktsegment""".stripMargin
+         |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
     ) { (s, d) =>
       // Bucketed co-located join — THE shuffle-elimination layout at
       // 100 TB: both tables are written bucketed (and sorted) on the join

@@ -850,7 +850,8 @@ object LlmOps {
       // already proves cross-engine-stable) with vec_id tie-break — raw
       // last-ulp float noise can never reorder ranks. Scale path for the
       // window: per-partition partial top-k (topk_per_group's shape).
-      val e = T.embeddings(s, d)
+      // no embedding, no node — the oracle's unnest drops them implicitly
+      val e = T.embeddings(s, d).where(col("embedding").isNotNull)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_a")).orderBy(col("cosine").desc, col("vec_b"))
       e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
@@ -1093,7 +1094,7 @@ object LlmOps {
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents
         |GROUP BY lang
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang NULLS FIRST""".stripMargin
     ) { (s, d) =>
       T.documents(s, d)
         .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
@@ -1323,14 +1324,15 @@ object LlmOps {
 
     Q(
       "text_fingerprint",
-      """SELECT doc_id,
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+        |SELECT doc_id,
         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
         |         list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
         |         (acc, c) -> (acc * 131 + c) % 1000000007) AS fp_full,
         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
         |         list_transform(range(1, least(length(text), 64) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
         |         (acc, c) -> (acc * 131 + c) % 1000000007) AS fp_prefix64
-        |FROM documents
+        |FROM d
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       // Polynomial rolling-hash fingerprint, mod 1e9+7 so the fold never
@@ -1339,10 +1341,12 @@ object LlmOps {
       // Codegen'd fused loop (graft.functions.RollingHash) instead of the
       // interpreted aggregate/transform lambda fold; RollingHashSpec pins
       // both formulations equal over the real corpus.
+      // NULL text fingerprints as '' (fp 0) in both engines — the fpSql
+      // helper rule (degraded-fixture lane, r19)
       T.documents(s, d).select(
         col("doc_id"),
-        graft.functions.RollingHash(col("text")).as("fp_full"),
-        graft.functions.RollingHash(col("text"), 64).as("fp_prefix64"))
+        graft.functions.RollingHash(coalesce(col("text"), lit(""))).as("fp_full"),
+        graft.functions.RollingHash(coalesce(col("text"), lit("")), 64).as("fp_prefix64"))
         .orderBy(col("doc_id"))
     },
 
@@ -1400,7 +1404,8 @@ object LlmOps {
     Q(
       "dedup_span_trim",
       """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
         |s AS (
         |  SELECT doc_id, i, list_aggregate(w[i:i+9], 'string_agg', ' ') AS span
         |  FROM w, unnest(range(1, len(w) - 8)) AS t(i)),
@@ -1445,7 +1450,8 @@ object LlmOps {
       // rewrite is one higher-order filter against each doc's sorted
       // cover array. Oracle carries raw span strings; Spark ships
       // xxhash64 longs (the 2^-64 collision argument of hashedShingles).
-      val docs = T.documents(s, d)
+      // null text -> no row in BOTH engines (the text_chunk_overlap rule)
+      val docs = T.documents(s, d).where(col("text").isNotNull)
       val spans = docs.select(col("doc_id"),
         posexplode(graft.functions.HashedWordGramsSeq(col("text"), 10)).as(Seq("pos", "h")))
       val dupH = spans.select(col("doc_id"), col("h")).distinct()
@@ -1483,7 +1489,7 @@ object LlmOps {
         |       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
         |       CAST(cum - n_tokens - 2048 * CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS BIGINT) AS pack_offset
         |FROM c
-        |ORDER BY lang, doc_id""".stripMargin
+        |ORDER BY lang NULLS FIRST, doc_id""".stripMargin
     ) { (s, d) =>
       // Sequence packing for training shards: assign each doc a pack id by
       // cumulative token budget (2048/pack). The running sum is a window
@@ -1515,7 +1521,7 @@ object LlmOps {
         |       (n_chars * 7) % 480 AS meta_height,
         |       CAST(ceil(octet_length(CAST(text AS BLOB)) / 4.0) AS BIGINT) AS thumb_bytes,
         |       md5(text) AS feature_hash
-        |FROM documents
+        |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       // Multimodal column plumbing (§2.K `multimodal_struct`): opaque

@@ -22,7 +22,7 @@ object Scalars {
     Q(
       "fn_string",
       """SELECT p_partkey,
-        |       concat(p_brand, '/', p_type)        AS brand_type,
+        |       p_brand || '/' || p_type            AS brand_type,
         |       lower(p_name)                       AS name_lc,
         |       upper(p_brand)                      AS brand_uc,
         |       substring(p_name, 1, 8)             AS name_prefix,
@@ -32,7 +32,7 @@ object Scalars {
         |       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
         |       replace(p_type, ' ', '_')           AS type_snake,
         |       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
-        |       trim(concat(' ', p_brand, ' '))     AS brand_trimmed
+        |       trim(' ' || p_brand || ' ')         AS brand_trimmed
         |FROM part
         |ORDER BY p_partkey""".stripMargin
     ) { (s, d) =>
@@ -310,7 +310,7 @@ object Scalars {
         |       count(DISTINCT p_type) AS n_types
         |FROM part
         |GROUP BY lower(p_brand)
-        |ORDER BY brand_ci""".stripMargin
+        |ORDER BY brand_ci NULLS FIRST""".stripMargin
     ) { (s, d) =>
       // Spark 4 COLLATION — case-insensitive grouping declared as a TYPE
       // property (`collate(c, 'UTF8_LCASE')`) instead of materializing

@@ -224,7 +224,7 @@ object Scans {
       """SELECT doc_id,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |       md5(text) AS content_md5
-        |FROM documents WHERE doc_id % 25 = 0
+        |FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       // `binaryFile` ingest — how raw multimodal payloads (images,

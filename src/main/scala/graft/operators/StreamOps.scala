@@ -25,7 +25,7 @@ object StreamOps {
         |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY window_start, event_type""".stripMargin
+        |ORDER BY window_start, event_type NULLS FIRST""".stripMargin
     ) { (s, d) =>
       StreamingOps.tumbling(T.events(s, d))
         .orderBy(col("window_start"), col("event_type"))
@@ -37,7 +37,7 @@ object StreamOps {
         |       event_type, count(*) AS n_events
         |FROM events, unnest([0, 1, 2, 3]) AS t(i)
         |GROUP BY 1, 2
-        |ORDER BY window_start, event_type""".stripMargin
+        |ORDER BY window_start, event_type NULLS FIRST""".stripMargin
     ) { (s, d) =>
       // 1h window sliding every 15min → every event lands in exactly 4
       // windows; the oracle materializes that expansion arithmetically.
@@ -78,7 +78,7 @@ object StreamOps {
         |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type NULLS FIRST""".stripMargin
     ) { (s, d) =>
       // Double the input, dedup on (event_id, ts) → original stream back.
       // In streaming this is exactly-once delivery within the watermark
@@ -98,7 +98,7 @@ object StreamOps {
         |FROM events
         |JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
     ) { (s, d) =>
       // Stream enriched with a static dim: dim broadcast per micro-batch,
       // no streaming state at all.

@@ -17,16 +17,23 @@ object TrainingOps {
     * stays in 63-bit range — Spark wraps silently on overflow, DuckDB
     * errors, staying small keeps both exact).
     */
-  private def fpSql(col: String): String =
+  private def fpSql(c: String): String = {
+    // NULL text hashes as the empty string (0) in BOTH engines — without
+    // the coalesce, DuckDB's list fold degenerates to 0 while Spark's
+    // RollingHash is null-propagating, and every fp-keyed sampler
+    // diverges the moment the corpus carries a null payload (degraded
+    // -fixture lane, r19)
+    val col = s"coalesce($c, '')"
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(range(1, length($col) + 1), i -> CAST(ascii(substring($col, i, 1)) AS BIGINT))),
        |  (acc, c) -> (acc * 131 + c) % 1000000007)""".stripMargin
+  }
 
   // codegen'd fused loop (graft.functions.RollingHash) — the equivalent
   // aggregate/transform lambda fold runs interpreted (measured ~25×);
   // RollingHashSpec pins both formulations equal over the real corpus
   private def fpSpark(c: String): org.apache.spark.sql.Column =
-    graft.functions.RollingHash(col(c))
+    graft.functions.RollingHash(coalesce(col(c), lit("")))
 
   /** Bit-deterministic ln over a probability-valued double t ∈ (0, 1] —
     * the same shared-template discipline as `osm_project_mercator`'s
@@ -130,7 +137,7 @@ object TrainingOps {
         |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
         |  FROM documents)
         |SELECT doc_id, lang, rk FROM r WHERE rk <= 20
-        |ORDER BY lang, doc_id""".stripMargin
+        |ORDER BY lang NULLS FIRST, doc_id""".stripMargin
     ) { (s, d) =>
       // Exact-k-per-stratum sample (the reservoir-sampling contract, made
       // reproducible): rank each stratum by a content-independent keyed
@@ -291,7 +298,7 @@ object TrainingOps {
         |    SELECT count(*) AS cnt FROM embeddings GROUP BY label))
         |SELECT label, rk, vec_id
         |FROM r, m WHERE rk <= m.m
-        |ORDER BY label, rk""".stripMargin
+        |ORDER BY label NULLS FIRST, rk""".stripMargin
     ) { (s, d) =>
       // Class-BALANCED downsample — sample_fixed_k's sibling where k is
       // not a constant but the MINORITY class size: every label keeps
@@ -719,7 +726,7 @@ object TrainingOps {
         |       count(*) - 1 AS n_dups
         |FROM u
         |GROUP BY canonical_url
-        |ORDER BY canonical_url""".stripMargin
+        |ORDER BY canonical_url NULLS FIRST""".stripMargin
     ) { (s, d) =>
       // Provenance dedup by canonical URL — the cheapest, highest-yield
       // dedup pass of a web corpus (mirrors, tracking params, protocol
@@ -1002,7 +1009,7 @@ object TrainingOps {
         |       CAST(sum(oov) AS BIGINT) AS n_oov,
         |       (1000000 * CAST(sum(oov) AS BIGINT)) // count(*) AS oov_ppm
         |FROM j GROUP BY source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source NULLS FIRST""".stripMargin
     ) { (s, d) =>
       // Vocabulary COVERAGE — the tokenizer-health readout next to
       // text_heavy_hitters' mining: fix a top-K corpus vocabulary
@@ -1349,7 +1356,7 @@ object TrainingOps {
         |         SELECT e.dst AS host, CAST(sum((r2.rank * e.w) // o.outw) AS BIGINT) AS cs
         |         FROM e JOIN o USING (src) JOIN r2 ON r2.host = e.src GROUP BY e.dst) s
         |       USING (host))
-        |SELECT host, rank AS rank_ppm FROM r3 ORDER BY host""".stripMargin
+        |SELECT host, rank AS rank_ppm FROM r3 ORDER BY host NULLS FIRST""".stripMargin
     ) { (s, d) =>
       // Host-graph PageRank — the crawl-frontier/source-weighting
       // centrality every web-corpus curation stack keeps next to its
@@ -1922,7 +1929,7 @@ object TrainingOps {
          |  FROM f)
          |SELECT event_type, CAST(max(n0) AS BIGINT) AS n_before, CAST(max(n1) AS BIGINT) AS n_after,
          |       CAST(sum(term) AS BIGINT) AS psi_micronats
-         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+         |FROM m GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
     ) { (s, d) =>
       // Population-stability-index drift monitor — the data-quality
       // alarm a continuously-crawled corpus pipeline runs between

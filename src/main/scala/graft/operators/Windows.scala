@@ -306,7 +306,7 @@ object Windows {
         |                       / CAST(k * sxx - sx * sx AS DOUBLE), 6)
         |       END AS slope_per_day
         |FROM m
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type NULLS FIRST, day""".stripMargin
     ) { (s, d) =>
       // ROLLING regression slope — the windowed trend detector ("is
       // this event type's daily volume ramping?") that pairs
@@ -423,7 +423,7 @@ object Windows {
         |SELECT event_type, day, n,
         |       round(quantile_cont(n, 0.5) OVER (PARTITION BY event_type ORDER BY day
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
-        |FROM c ORDER BY event_type, day""".stripMargin
+        |FROM c ORDER BY event_type NULLS FIRST, day""".stripMargin
     ) { (s, d) =>
       // Rolling 7-day MEDIAN of daily volume per event type — the
       // outlier-robust smoothing baseline `event_anomaly`'s mean/σ

@@ -15,37 +15,12 @@ import org.apache.spark.sql.functions._
   */
 class NullInputSpec extends GraftSuite {
 
-  // one-in-ten rows determined by a content-independent hash of the
-  // row's key column, so the injection is deterministic run-to-run
-  private def nullify(df: org.apache.spark.sql.DataFrame, keyCol: String,
-                      cols: Seq[String]): org.apache.spark.sql.DataFrame =
-    cols.foldLeft(df) { (acc, c) =>
-      acc.withColumn(c,
-        when(abs(xxhash64(col(keyCol), lit(c))) % 10 === 0, lit(null))
-          .otherwise(col(c)))
-    }
-
+  // injection logic lives in graft.DegradedCorpus (r19) so this crash
+  // lane and the oracle-parity lane (DegradedCorpus main -> Verify ->
+  // tools/check.py) degrade the corpus IDENTICALLY
   private lazy val nulledDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_nulls").toString
-    val payload: Map[String, (String, Seq[String])] = Map(
-      "region"   -> ("r_regionkey", Seq("r_comment")),
-      "nation"   -> ("n_nationkey", Seq("n_comment")),
-      "customer" -> ("c_custkey", Seq("c_comment", "c_phone", "c_mktsegment")),
-      "supplier" -> ("s_suppkey", Seq("s_comment", "s_phone")),
-      "part"     -> ("p_partkey", Seq("p_comment", "p_mfgr", "p_brand")),
-      "orders"   -> ("o_orderkey", Seq("o_comment", "o_clerk")),
-      "lineitem" -> ("l_orderkey", Seq("l_comment", "l_shipinstruct", "l_shipmode")),
-      "documents" -> ("doc_id", Seq("text", "lang", "source")),
-      "embeddings" -> ("vec_id", Seq("embedding", "label")))
-    for ((t, (key, cols)) <- payload) {
-      val base = T(spark, sf, t)
-      val avail = cols.filter(base.columns.contains)
-      nullify(base, key, avail).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    }
-    // events: value + event_type + props are payload; ts/user_id are keys
-    nullify(T.events(spark, sf), "event_id", Seq("value", "event_type", "props"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    DegradedCorpus.write(spark, sf, dir)
     dir
   }
 

@@ -143,9 +143,16 @@ def structural_checks(out_dir: str, oracle: dict) -> int:
 def main():
     out_dir = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    # optional 4th arg: comma-separated key subset (local dev loop only —
+    # skips the structural lane, which needs the full inventory)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
-    n_structural = structural_checks(out_dir, oracle)
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
+        n_structural = 0
+    else:
+        n_structural = structural_checks(out_dir, oracle)
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
