@@ -3,14 +3,14 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** 64-bit SimHash of a token array as ONE fused map-side expression:
   * bit b of the result is set iff Σ over token OCCURRENCES of
-  * (bit b of xxhash64(token) ? +1 : −1) is ≥ 0.
+  * (bit b of hash(token) ? +1 : −1) is ≥ 0.
   *
   * Replaces 64 `sum(when(...))` aggregate columns over exploded token
   * rows — the same janino-class-size/shuffle shape the MinHash signature
@@ -21,9 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * weighted by construction, and the weighting is measured essential on
   * this corpus (LlmOps `dedup_simhash` notes).
   *
-  * Token hash = `XXH64.hashUTF8String(t, 42)` ≡ Spark's `xxhash64(t)`,
-  * so signatures are bit-identical to the aggregate formulation's and
-  * SmokeOpsSpec's measured hamming margins carry over unchanged.
+  * Token hash (r19, the change that made `dedup_simhash` ORACLE-able):
+  * `mix64(RollingHash.hash(t))` — the repo's cross-engine-exact
+  * polynomial code-point fingerprint widened to 64 well-mixed bits by
+  * the splitmix64 finalizer. Unlike the previous xxhash64 (Spark
+  * -internal, not reproducible in DuckDB), every step is plain mod-2^64
+  * integer algebra the oracle spells with UBIGINT/HUGEINT — so the full
+  * signature, and therefore the hamming pair set, is DuckDB-checkable.
+  * Poly collisions (~30-bit space) merely merge two tokens' votes — and
+  * identically so in both engines. PropertySpec re-pins the fused kernel
+  * ≡ the 64-agg-column formulation over the same hash.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -50,6 +57,16 @@ object SimHash64 {
   def apply(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
 
+  /** splitmix64 finalizer (Steele et al., "Fast Splittable Pseudorandom
+    * Number Generators", OOPSLA 2014 — the public-domain mix function):
+    * Long wrapping arithmetic ≡ the oracle's HUGEINT mod-2^64 algebra. */
+  def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Shared eval/codegen kernel (static call keeps codegen bodies tiny). */
   def compute(tokens: ArrayData): Long = {
     val acc = new Array[Int](64)
@@ -57,7 +74,7 @@ object SimHash64 {
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+        val h = mix64(RollingHash.hash(tokens.getUTF8String(i), Int.MaxValue))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1

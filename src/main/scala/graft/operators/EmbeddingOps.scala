@@ -299,6 +299,57 @@ object EmbeddingOps {
     }
   }
 
+  /** DuckDB oracle for `emb_kmeans`: the spherical-Lloyd loop unrolled
+    * as a CTE chain — cb0 = the k lowest vec_ids, then per round an
+    * assignment (index-ordered double-fold cosine, argmax ties to the
+    * lowest cid) and an exact micro-unit centroid mean, ending on the
+    * FINAL assignment (the Spark loop assigns against the codebook of
+    * the previous round's update, so `iters` rounds = `iters`
+    * assignments over `iters - 1` updates). Every arithmetic step is
+    * one IEEE op on identical operands in both engines — see the key's
+    * registration comment.
+    */
+  def kmeansOracleSql(k: Int, iters: Int): String = {
+    def fold(expr: String, n: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, $n + 1), i -> $expr)),
+         |    (a, x) -> a + x)""".stripMargin
+    def cos(v: String, c: String): String = {
+      val n = s"least(len($v), len($c))"
+      s"""(${fold(s"CAST($v[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)", n)}
+         | / (sqrt(${fold(s"CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)", n)})
+         |  * sqrt(${fold(s"CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE)", n)})))""".stripMargin
+    }
+    val rounds = (1 to iters).map { j =>
+      val cb = s"cb${j - 1}"
+      val assign =
+        s"""s$j AS (SELECT t.vec_id, t.v, c.cid, ${cos("t.v", "c.c")} AS cos
+           |        FROM vecs t CROSS JOIN $cb c),
+           |a$j AS (SELECT vec_id, v, cid, cos FROM (
+           |          SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                    ORDER BY cos DESC, cid) AS rn FROM s$j)
+           |        WHERE rn = 1)""".stripMargin
+      val update = if (j == iters) "" else
+        s""",
+           |cb$j AS (
+           |  SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS c
+           |  FROM (SELECT cid, pos, CAST(sum(micro) AS DOUBLE) / count(*) / 1e6 AS m
+           |        FROM (SELECT a.cid, generate_subscripts(a.v, 1) AS pos,
+           |                     CAST(round(CAST(unnest(a.v) AS DOUBLE) * 1000000) AS BIGINT) AS micro
+           |              FROM a$j a)
+           |        GROUP BY cid, pos)
+           |  GROUP BY cid)""".stripMargin
+      assign + update
+    }.mkString(",\n")
+    s"""WITH vecs AS (SELECT vec_id, embedding AS v FROM embeddings
+       |              WHERE embedding IS NOT NULL),
+       |cb0 AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < $k),
+       |$rounds
+       |SELECT vec_id, cid, round(cos, 6) AS cos
+       |FROM a$iters
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "emb_fps_sample",
@@ -560,10 +611,21 @@ object EmbeddingOps {
       centroids(T.embeddings(s, d)).orderBy(col("label"), col("pos"))
     },
 
-    // Spherical k-means training loop (see kmeans above). Iterative +
-    // fp-argmax assignment → no SQL oracle; KmeansSpec asserts monotone
-    // inertia, full coverage of inputs, and deterministic re-run equality.
-    Q.smoke("emb_kmeans") { (s, d) =>
+    // Spherical k-means training loop (see kmeans above). ORACLED since
+    // r19 (VERDICT r18 #4): every step is cross-engine-exact — seeds are
+    // the k lowest vec_ids, each cosine is an index-ordered DOUBLE fold
+    // over FLOAT inputs (one IEEE op per step in both engines: the fused
+    // kernel's loop ≡ DuckDB's sequential list_reduce), argmax ties break
+    // to the lowest cid in both spellings, and centroid updates are
+    // exact integer micro-unit sums divided once (then one double→float
+    // rounding, IEEE round-to-nearest in both). So the oracle UNROLLS
+    // the three Lloyd rounds as a CTE chain and must reproduce the
+    // assignment table bit-for-bit. KmeansSpec keeps the monotone-
+    // inertia, coverage and re-run-determinism pins.
+    Q(
+      "emb_kmeans",
+      EmbeddingOps.kmeansOracleSql(k = 8, iters = 3)
+    ) { (s, d) =>
       kmeans(T.embeddings(s, d), k = 8, iters = 3)._1
         .orderBy(col("vec_id"))
     },

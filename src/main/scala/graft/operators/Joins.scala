@@ -534,6 +534,53 @@ object Joins {
     },
 
     Q(
+      "join_range_native",
+      """WITH t AS (SELECT event_id AS trade_id, user_id, epoch_ms(ts) AS ms FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events
+        |      WHERE event_type = 'click' AND value IS NOT NULL)
+        |SELECT t.trade_id,
+        |       CAST(count(c.value) AS BIGINT) AS n_clicks,
+        |       CAST(coalesce(sum(CAST(round(c.value * 100) AS BIGINT)), 0) AS BIGINT) AS sum_cents
+        |FROM t LEFT JOIN c
+        |  ON t.user_id = c.user_id
+        | AND c.ms BETWEEN t.ms - 7200000 AND t.ms + 7200000
+        |GROUP BY t.trade_id
+        |ORDER BY t.trade_id""".stripMargin
+    ) { (s, d) =>
+      // Keyed BAND join through the engine's second WHOLE-OPERATOR
+      // extension (org.apache.spark.sql.graft.RangeJoin — VERDICT r18
+      // #5): every click of the same user within ±2 h of each purchase,
+      // via the logical-node → strategy → merge-scan exec ladder
+      // join_asof_native proved out. Where join_range rides a broadcast
+      // theta-join (right because its band dim is 3 rows) and
+      // join_interval pays grid-blocking's bounded explode, the exec
+      // declares clustered distribution + (key, time) ordering, so the
+      // planner spends exactly two exchanges and two sorts — then one
+      // forward merge-scan per partition pair holds only the live
+      // ±delta deque: O(|L| + |R| + matches), state bounded by band
+      // density, nothing quadratic per key anywhere (PlanSpec pins the
+      // exec node, the two hash exchanges, and row-level equivalence to
+      // a windowless SQL recompute). Null-valued clicks are not quotes
+      // (the join_asof rule); the readout rounds each value ONCE to
+      // exact cents so the per-trade sum is order-free BIGINT in both
+      // engines.
+      val ev = T.events(s, d)
+      val trades = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("trade_id"), col("user_id"),
+                unix_millis(col("ts")).as("ms"))
+      val clicks = ev.where(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      org.apache.spark.sql.graft.Ranged
+        .join(trades, clicks, "user_id", "ms", "value", "click_value", 7200000L)
+        .groupBy(col("trade_id"))
+        .agg(count(col("click_value")).as("n_clicks"),
+             coalesce(sum(round(col("click_value") * 100).cast("long")), lit(0L))
+               .as("sum_cents"))
+        .orderBy(col("trade_id"))
+    },
+
+    Q(
       "join_self",
       """SELECT a.l_orderkey AS orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
         |       a.l_quantity AS qty_a, b.l_quantity AS qty_b

@@ -551,13 +551,55 @@ object LlmOps {
     // chunk equal), verified by bit_count(xor) ≤ 4 — below the measured
     // random-pair floor, so precision is 1.0 here. xxhash64-based → no
     // DuckDB oracle; SmokeOpsSpec asserts concentration + precision.
-    Q.smoke("dedup_simhash") { (s, d) =>
+    Q(
+      "dedup_simhash",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |  WHERE text IS NOT NULL),
+        |ph AS (
+        |  SELECT doc_id,
+        |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(t) + 1), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+        |           (acc, c) -> (acc * 131 + c) % 1000000007) AS UBIGINT) AS x
+        |  FROM tok),
+        |m0 AS (SELECT doc_id, CAST((CAST(x AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z FROM ph),
+        |m1 AS (SELECT doc_id, CAST((CAST(xor(z, z >> 30) & 4294967295 AS HUGEINT) * 13787848793156543929
+        |         + ((CAST(xor(z, z >> 30) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS UBIGINT) AS z FROM m0),
+        |m2 AS (SELECT doc_id, CAST((CAST(xor(z, z >> 27) & 4294967295 AS HUGEINT) * 10723151780598845931
+        |         + ((CAST(xor(z, z >> 27) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296)
+        |         % 18446744073709551616 AS UBIGINT) AS z FROM m1),
+        |mx AS (SELECT doc_id, xor(z, z >> 31) AS h FROM m2),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM mx CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INT) AS b)
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN v >= 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+        |                       ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS sig
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin
+    ) { (s, d) =>
+      // ORACLED since r19: the per-token hash is mix64(poly(token)) —
+      // plain mod-2^64 integer algebra both engines spell exactly (see
+      // functions/SimHash64.scala) — so the DuckDB side recomputes the
+      // FULL signature per doc (majority vote over 64 bits) and
+      // brute-forces the <=4-hamming pair set; the engine's pigeonhole
+      // blocking must reproduce it exactly, which is precisely the
+      // blocked-equals-brute-force guarantee PropertySpec pins.
       // The 64-bit signature is ONE fused map-side expression
       // (functions/SimHash64.scala) over the doc's own token array — no
       // explode, no 64-column aggregate, no shuffle (same escape from
       // the janino-class-size cliff as MinHashSignature; bit-identical
       // values, so the measured hamming margins above are unchanged).
       val sig = T.documents(s, d)
+        .where(col("text").isNotNull)
         .select(col("doc_id"),
                 graft.functions.SimHash64(split(col("text"), " ")).as("simhash"))
       // pigeonhole: hamming ≤ 4 guarantees ≥1 untouched chunk as soon as

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Physical-plan shape guards (SURVEY.md §4): the optimizations we rely on
   * at 100 TB must be visible in the executed plan, not assumed. A failure
   * here means a code change silently broke pushdown / broadcast / top-k
@@ -496,6 +498,44 @@ class PlanSpec extends GraftSuite {
     val windowed = SparkEntry.queries("join_asof")(spark, sf).collect().toSeq
     assert(native.map(_.toSeq) == windowed.map(_.toSeq),
       "native merge-scan and union+window emulation must produce identical rows")
+  }
+
+  test("join_range_native: custom RangeJoinExec plans with two exchanges, no Generate/Window") {
+    val (_, ns) = execNodes("join_range_native")
+    assert(ns.exists(_.isInstanceOf[org.apache.spark.sql.graft.RangeJoinExec]),
+      "the custom strategy must plan the RangeJoin logical node")
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) &&
+           !ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]),
+      "the native band join replaces both the window emulation and grid-blocking's explode")
+    // exactly two exchanges feed the exec (the readout aggregate above it
+    // legitimately re-shuffles on trade_id — count below the join only)
+    val under = ns.collect {
+      case e: org.apache.spark.sql.graft.RangeJoinExec => nodes(e)
+    }.flatten
+    val hashEx = under.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.size == 2,
+      s"EnsureRequirements must co-partition exactly the two sides, found ${hashEx.size}")
+    // row-identity with a windowless theta-join recompute of the same band
+    val ev = T.events(spark, sf)
+    val trades = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("trade_id"), col("user_id").as("tu"),
+              unix_millis(col("ts")).as("tms"))
+    val clicks = ev.where(col("event_type") === "click" && col("value").isNotNull)
+      .select(col("user_id").as("cu"), unix_millis(col("ts")).as("cms"), col("value"))
+    val emulated = trades.join(clicks,
+        col("tu") === col("cu") &&
+        col("cms").between(col("tms") - 7200000L, col("tms") + 7200000L), "left")
+      .groupBy(col("trade_id"))
+      .agg(count(col("value")).as("n_clicks"),
+           coalesce(sum(round(col("value") * 100).cast("long")), lit(0L)).as("sum_cents"))
+      .orderBy(col("trade_id"))
+      .collect().toSeq
+    val native = SparkEntry.queries("join_range_native")(spark, sf).collect().toSeq
+    assert(native.map(_.toSeq) == emulated.map(_.toSeq),
+      "native merge-scan and theta-join emulation must produce identical rows")
   }
 
   test("tokenizer_bpe_pairs: generator pair-forming + fused top-k, no join, text-only scan") {

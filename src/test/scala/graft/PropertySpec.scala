@@ -171,25 +171,43 @@ class PropertySpec extends GraftSuite {
     for ((v, lbl) <- out if !inPairs(v)) assert(v == lbl)
   }
 
-  test("SimHash64 expression is bit-identical to the 64-agg-column formulation") {
+  test("SimHash64 expression is bit-identical to an independent driver recompute") {
     // The fused kernel (round 4) replaced 64 sum(when(...)) aggregate bit
-    // columns; this pins the claimed equivalence on the REAL corpus, so
-    // the measured hamming margins provably carry over.
+    // columns; since r19 the token hash is mix64(poly) so the whole chain
+    // is recomputable outside Spark entirely — the recompute below spells
+    // poly, splitmix64 and the majority vote from scratch (its own
+    // constants, no calls into graft.functions), pinning the kernel on
+    // the real corpus. ExtensionsSpec keeps the bag-order-invariance pin.
     val docs = T.documents(spark, sf).limit(200)
     val fused = docs
       .select(col("doc_id"), graft.functions.SimHash64(split(col("text"), " ")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitCols = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    def poly(t: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        acc = (acc * 131L + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      acc
     }
-    val packed = (0 until 64)
-      .map(b => when(col(s"b$b") >= 0, shiftleft(lit(1L), b)).otherwise(0L))
-      .reduce(_ + _)
-    val legacy = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"), packed.as("s"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val legacy = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val votes = new Array[Int](64)
+      r.getString(1).split(" ", -1).foreach { t =>
+        val h = mix(poly(t))
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      }
+      var sig = 0L
+      (0 until 64).foreach(b => if (votes(b) >= 0) sig |= 1L << b)
+      r.getLong(0) -> sig
+    }.toMap
     assert(fused.keySet == legacy.keySet)
     fused.foreach { case (id, s) => assert(s == legacy(id), s"doc $id signature differs") }
   }

@@ -47,13 +47,13 @@ class SmokeOpsSpec extends GraftSuite {
     val simhashPairs = q("dedup_simhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(simhashPairs.nonEmpty, "simhash found none of the planted pairs")
+    // signatures straight from the kernel: THIS assertion tests the
+    // pigeonhole BLOCKING (blocked pair set == brute-force all-pairs at
+    // the same threshold); the signature's own correctness is pinned
+    // independently by PropertySpec's driver recompute
     val sig = T.documents(spark, sf).select(col("doc_id"),
-      expr(
-        """aggregate(zip_with(transform(sequence(0, 63), b ->
-          |  CASE WHEN aggregate(split(text, ' '), 0L,
-          |    (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
-          |  THEN 1L ELSE 0L END), sequence(0, 63), (bit, i) -> shiftleft(bit, i)), 0L, (a, x) -> a + x)""".stripMargin)
-        .as("h")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        graft.functions.SimHash64(split(col("text"), " ")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(p: (Long, Long)) = java.lang.Long.bitCount(sig(p._1) ^ sig(p._2)).toDouble
     // Operator correctness: the chunk-blocked + verified output must equal
     // brute-force all-pairs at the same hamming threshold (5 chunks
