@@ -51,6 +51,19 @@ class CodegenSizeSpec extends GraftSuite {
     "text_perplexity_kn"      -> budget, // lnProbTpl over the KN mixture (r18)
     "sample_weighted_reservoir" -> budget) // lnProbTpl over the ES key (r18)
 
+  test("r16 incident key stays under its JIT-cliff budget (quick lane)") {
+    // single-key sibling of the Heavy sweep below (TagDisciplineSpec):
+    // the per-commit lane re-audits the one key where the cliff was hit
+    // live, so a template regression is caught without the full matrix
+    val df = SparkEntry.queries("osm_dwithin_count")(spark, sf)
+    df.collect()
+    val sizes = org.apache.spark.sql.GraftCodegenProbe.maxMethodBytecode(df.queryExecution.executedPlan)
+    Caches.drain()
+    val worst = if (sizes.isEmpty) 0 else sizes.map(_._2).max
+    assert(worst <= budget,
+      s"osm_dwithin_count: $worst bytecode bytes exceeds the $budget-byte budget; per-stage: $sizes")
+  }
+
   test("audited template keys: every whole-stage method stays under its JIT-cliff budget", Heavy) {
     val report = audited.map { case (key, allowance) =>
       val df = SparkEntry.queries(key)(spark, sf)

@@ -36,6 +36,16 @@ class NullInputSpec extends GraftSuite {
     "stream_transform_with_state",
     "sink_stream_foreachbatch", "source_stream_file", "source_dsv2")
 
+  test("representative null-sensitive keys stay green on the nulled corpus (quick lane)") {
+    // single-key sibling of the Heavy sweep below (TagDisciplineSpec):
+    // one key per null-divergence class fixed by the degraded-parity
+    // lane (r19) — payload-hash sampler, null-quote asof, null-typed
+    // event states, null-text doc fan-out
+    for (k <- Seq("sample_split", "join_asof_tolerance", "event_markov",
+                  "text_chunk_overlap"))
+      assert(SparkEntry.queries(k)(spark, nulledDir).count() >= 0, k)
+  }
+
   test("every batch query executes on a corpus with 10% null payloads", Heavy) {
     val failures = SparkEntry.registry
       .filterNot(q => skip(q.key))
