@@ -53,6 +53,26 @@ object EventOps {
     ).mkString(",\n")
   }
 
+  /** Binary-segmentation gain expressions for `event_changepoint` (the
+    * cupedSelect device): the SSE reduction of splitting a segment after
+    * local index i, from exact BIGINT prefix sums — numerators are exact
+    * integer products CAST once to DOUBLE (tot ≤ ~3e9 keeps tot² inside
+    * BIGINT — the event_cusum overflow-bound class), each division is
+    * one IEEE op, so the argmax ranking compares IDENTICAL doubles in
+    * both engines. Level-1 splits the full series (nd, tot); level-2
+    * splits the [1..i1] and (i1..nd] halves around the level-1 winner
+    * (preS = prefix at i1). */
+  private[operators] val cpGain1: String =
+    "(CAST(pre * pre AS DOUBLE) / i + CAST((tot - pre) * (tot - pre) AS DOUBLE) / (nd - i)" +
+      " - CAST(tot * tot AS DOUBLE) / nd)"
+  private[operators] val cpGainL: String =
+    "(CAST(pre * pre AS DOUBLE) / i + CAST((preS - pre) * (preS - pre) AS DOUBLE) / (i1 - i)" +
+      " - CAST(preS * preS AS DOUBLE) / i1)"
+  private[operators] val cpGainR: String =
+    "(CAST((pre - preS) * (pre - preS) AS DOUBLE) / (i - i1)" +
+      " + CAST((tot - pre) * (tot - pre) AS DOUBLE) / (nd - i)" +
+      " - CAST((tot - preS) * (tot - preS) AS DOUBLE) / (nd - i1))"
+
   /** Difference-in-differences output expressions (the cupedSelect
     * device): per-cell means from exact cent sums, DiD estimate =
     * (treat post−pre) − (control post−pre), rendered once for both
@@ -2167,6 +2187,98 @@ object EventOps {
         .agg(min(col("n")).cast("long").as("n_pairs"),
              round(avg(col("slope")), 6).as("sen_slope"))
         .orderBy(col("event_type"))
+    },
+
+    Q(
+      "event_changepoint",
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |x AS (
+         |  SELECT event_type, day, n,
+         |         CAST(row_number() OVER w AS BIGINT) AS i,
+         |         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
+         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |t AS (SELECT event_type, CAST(max(i) AS BIGINT) AS nd,
+         |             CAST(sum(n) AS BIGINT) AS tot
+         |      FROM x GROUP BY 1),
+         |c AS (SELECT x.event_type, day, i, pre, nd, tot
+         |      FROM x JOIN t ON x.event_type = t.event_type WHERE i < nd),
+         |g1 AS (SELECT event_type, day, i, pre, nd, tot, ${EventOps.cpGain1} AS gain FROM c),
+         |r1 AS (SELECT event_type, day AS cp_day, i AS i1, pre AS preS, gain
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY gain DESC, day) AS rn FROM g1)
+         |       WHERE rn = 1),
+         |l2 AS (SELECT c.event_type, c.day, c.i, c.pre, c.nd, c.tot, r.i1, r.preS
+         |       FROM c JOIN r1 r ON c.event_type = r.event_type),
+         |g2 AS (
+         |  SELECT event_type, day, CAST(2 AS BIGINT) AS cp_rank, ${EventOps.cpGainL} AS gain
+         |  FROM l2 WHERE i < i1
+         |  UNION ALL
+         |  SELECT event_type, day, CAST(3 AS BIGINT) AS cp_rank, ${EventOps.cpGainR} AS gain
+         |  FROM l2 WHERE i > i1),
+         |r2 AS (SELECT event_type, cp_rank, day AS cp_day, gain
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY event_type, cp_rank
+         |                       ORDER BY gain DESC, day) AS rn FROM g2)
+         |       WHERE rn = 1)
+         |SELECT event_type, CAST(1 AS BIGINT) AS cp_rank, cp_day, round(gain, 6) AS gain
+         |FROM r1
+         |UNION ALL
+         |SELECT event_type, cp_rank, cp_day, round(gain, 6) AS gain FROM r2
+         |ORDER BY event_type, cp_rank""".stripMargin
+    ) { (s, d) =>
+      // Binary-segmentation change-point detection (Scott & Knott 1974;
+      // the greedy rung above event_cusum's single CUSUM peak): level 1
+      // picks the split of each type's daily series that maximally
+      // reduces total SSE, level 2 re-splits each resulting half —
+      // up to three ranked change points per type, the shape a
+      // monitoring stack actually wants ("the level shifted twice").
+      // Exactness: prefix sums and totals are BIGINT; each candidate's
+      // gain is the spliced all-DOUBLE template (numerators exact
+      // integer products cast once, one IEEE division per term), so the
+      // argmax ranks identical doubles in both engines, ties broken by
+      // day. Degenerate segments (< 2 points) yield no candidates in
+      // either engine — a type with nd = 1 emits nothing at all. Scale:
+      // ONE fact collapse to the calendar-bounded daily table (the
+      // event_cusum exception), every window partitioned by event_type
+      // over that bounded table, the level-1 winners broadcast back.
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"),
+                 floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val x = daily.select(col("event_type"), col("day"), col("n"),
+        row_number().over(w).cast("long").as("i"),
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("pre"))
+      val t = x.groupBy(col("event_type"))
+        .agg(max(col("i")).as("nd"), sum(col("n")).cast("long").as("tot"))
+      val c = x.join(Gate.bcast(t), "event_type").where(col("i") < col("nd"))
+      val g1 = c.selectExpr("event_type", "day", "i", "pre", "nd", "tot",
+                            s"${EventOps.cpGain1} AS gain")
+      val wr = Window.partitionBy(col("event_type")).orderBy(col("gain").desc, col("day"))
+      val r1 = g1.withColumn("rn", row_number().over(wr)).where(col("rn") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+                col("i").as("i1"), col("pre").as("preS"), col("gain"))
+      val l2 = c.join(Gate.bcast(r1.select(col("event_type"), col("i1"), col("preS"))),
+                      "event_type")
+      val g2 = l2.where(col("i") < col("i1"))
+        .selectExpr("event_type", "day", "CAST(2 AS BIGINT) AS cp_rank",
+                    s"${EventOps.cpGainL} AS gain")
+        .unionByName(l2.where(col("i") > col("i1"))
+          .selectExpr("event_type", "day", "CAST(3 AS BIGINT) AS cp_rank",
+                      s"${EventOps.cpGainR} AS gain"))
+      val wr2 = Window.partitionBy(col("event_type"), col("cp_rank"))
+        .orderBy(col("gain").desc, col("day"))
+      val r2 = g2.withColumn("rn", row_number().over(wr2)).where(col("rn") === 1)
+        .select(col("event_type"), col("cp_rank"), col("day").as("cp_day"), col("gain"))
+      r1.select(col("event_type"), lit(1L).as("cp_rank"), col("cp_day"), col("gain"))
+        .unionByName(r2)
+        .select(col("event_type"), col("cp_rank"), col("cp_day"),
+                round(col("gain"), 6).as("gain"))
+        .orderBy(col("event_type"), col("cp_rank"))
     },
 
     Q(

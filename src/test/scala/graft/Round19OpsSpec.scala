@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver-side recomputes for the round-19 keys (the Round18OpsSpec
+  * discipline: every new first-class key gets an independent
+  * from-scratch recompute next to its DuckDB oracle).
+  */
+class Round19OpsSpec extends GraftSuite {
+
+  test("event_changepoint: binary segmentation matches a from-scratch recompute") {
+    val out = SparkEntry.queries("event_changepoint")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val daily = T.events(spark, sf)
+      .groupBy(col("event_type"),
+               floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val series = rows.sortBy(_._2).map(r => (r._2, r._3)).toIndexedSeq
+      val pre = series.scanLeft(0L)(_ + _._2).tail // prefix sums, 1-based
+      // best split of the half-open local index range (lo, hi]: candidates
+      // lo < k < hi, gain = SSE reduction vs the unsplit segment
+      def best(lo: Int, hi: Int): Option[(Int, Double)] = {
+        val segSum = pre(hi - 1) - (if (lo == 0) 0L else pre(lo - 1))
+        val segLen = (hi - lo).toLong
+        val cands = ((lo + 1) until hi).map { k =>
+          val sl = pre(k - 1) - (if (lo == 0) 0L else pre(lo - 1))
+          val nl = (k - lo).toLong
+          val sr = segSum - sl
+          val nr = segLen - nl
+          val gain = (sl * sl).toDouble / nl + (sr * sr).toDouble / nr -
+            (segSum * segSum).toDouble / segLen
+          (k, gain)
+        }
+        // max gain, ties to the earliest day — mirrors (gain DESC, day)
+        if (cands.isEmpty) None else Some(cands.maxBy(c => (c._2, -c._1)))
+      }
+      best(0, series.length).toSeq.flatMap { case (k1, g1v) =>
+        val r1 = Seq((tpe, 1L) -> (series(k1 - 1)._1, g1v))
+        val r2 = best(0, k1).map { case (k, g) => (tpe, 2L) -> (series(k - 1)._1, g) }
+        val r3 = best(k1, series.length).map { case (k, g) => (tpe, 3L) -> (series(k - 1)._1, g) }
+        r1 ++ r2 ++ r3
+      }
+    }.toMap
+    assert(out.keySet == expected.keySet,
+      s"rank rows differ: extra=${out.keySet -- expected.keySet} missing=${expected.keySet -- out.keySet}")
+    out.foreach { case (k, (day, gain)) =>
+      val (eDay, eGain) = expected(k)
+      assert(day == eDay, s"$k: cp_day $day != recomputed $eDay")
+      assert(math.abs(gain - eGain) < 1e-5, s"$k: gain $gain != recomputed $eGain")
+    }
+  }
+
+  test("join_range_native: exec state stays bounded and matches per-trade manual windows") {
+    // hand-window recompute over collected rows (independent of any join)
+    val ev = T.events(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3),
+       if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val trades = ev.filter(_._4 == "purchase")
+    val clicks = ev.filter(e => e._4 == "click" && e._5.isDefined)
+    val expected = trades.map { t =>
+      val ms = clicks.filter(c => c._3 == t._3 && math.abs(c._2 - t._2) <= 7200000L)
+      t._1 -> ((ms.length.toLong,
+        ms.map(c => math.round(c._5.get * 100)).sum))
+    }.toMap
+    val out = SparkEntry.queries("join_range_native")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == expected)
+  }
+}
