@@ -679,6 +679,49 @@ object Aggs {
         .orderBy(col("q"))
     },
 
+    Q.smoke("agg_req_quantiles") { (s, d) =>
+      // MERGEABLE REQ QUANTILE SKETCH (Cormode-Karnin-Liberty-Thaler-
+      // Vesely, "Relative Error Streaming Quantiles", PODS 2021; Apache
+      // DataSketches) — the TAIL-ACCURACY companion of agg_kll_quantiles:
+      // KLL's rank error is UNIFORM (±1.65% everywhere — useless at
+      // p999, where ±1.65% of rank spans the whole tail), REQ's is
+      // RELATIVE to the distance from the accurate end, so p999/p9999
+      // latency-style readouts stay tight while the median costs more.
+      // Same distributed shape as the KLL key: per-partition k-bounded
+      // sketch folds, compact blobs collected as metadata (∝ partitions,
+      // never rows), one driver merge — per-slice REQ sketches persist
+      // in a lake and "p9999 over any date range" is sketch algebra.
+      // Estimates are retained exact-cents values; no SQL oracle
+      // (approximate by construction) — Round19OpsSpec pins each
+      // estimate's TRUE rank inside the sketch's own 2-sigma
+      // [getRankLowerBound, getRankUpperBound] envelope.
+      import s.implicits._
+      import org.apache.datasketches.req.ReqSketch
+      import org.apache.datasketches.memory.Memory
+      val blobs = T.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .as[Long]
+        .mapPartitions { it =>
+          val sk = ReqSketch.builder().setK(12).setHighRankAccuracy(true).build()
+          it.foreach(c => sk.update(c.toFloat))
+          if (sk.isEmpty) Iterator.empty else Iterator.single(sk.toByteArray)
+        }
+        .collect()
+      val merged = ReqSketch.builder().setK(12).setHighRankAccuracy(true).build()
+      blobs.foreach(b => merged.merge(ReqSketch.heapify(Memory.wrap(b))))
+      val qs = Seq(0.5, 0.9, 0.99, 0.999, 0.9999)
+      qs.map { q =>
+        val v = if (merged.isEmpty) 0L else merged.getQuantile(q).toLong
+        val lb = if (merged.isEmpty) 0.0 else merged.getRankLowerBound(q, 2)
+        val ub = if (merged.isEmpty) 1.0 else merged.getRankUpperBound(q, 2)
+        (q, v, lb, ub)
+      }.toDF("q", "est_cents", "rank_lb", "rank_ub")
+        .select(col("q"), col("est_cents"),
+                round(col("rank_lb"), 6).as("rank_lb"),
+                round(col("rank_ub"), 6).as("rank_ub"))
+        .orderBy(col("q"))
+    },
+
     Q.smoke("agg_count_min") { (s, d) =>
       // Count–min sketch point-frequency estimates — the mergeable
       // sublinear sibling of agg_approx_distinct_hll (HLL answers "how

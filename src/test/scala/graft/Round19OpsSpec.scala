@@ -52,6 +52,29 @@ class Round19OpsSpec extends GraftSuite {
     }
   }
 
+  test("agg_req_quantiles: tail estimates are retained values inside the 2-sigma envelope") {
+    val out = SparkEntry.queries("agg_req_quantiles")(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(0.5, 0.9, 0.99, 0.999, 0.9999))
+    val cents = T.lineitem(spark, sf)
+      .select(round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toDouble
+    val values = cents.toSet
+    out.foreach { case (q, est, lb, ub) =>
+      assert(values(est), s"q=$q estimate $est is not a retained data value")
+      val rank = cents.count(_ <= est) / n
+      // the sketch's own 2-sigma rank bounds, widened by one empirical
+      // rank step: true ranks quantize at 1/n, so at tail q's the exact
+      // achievable rank can sit a full step outside the continuous
+      // envelope even for a perfect sketch (seen live: q=0.9999 with
+      // n=6000 — the only achievable neighbors are 0.99983 and 1.0)
+      assert(rank >= lb - 1.0 / n - 1e-6 && rank <= ub + 1.0 / n + 1e-6,
+        s"q=$q est=$est true rank $rank outside [$lb, $ub] ± 1/n")
+      assert(ub - lb < 0.5, s"q=$q envelope [$lb, $ub] degenerately wide")
+    }
+  }
+
   test("join_range_native: exec state stays bounded and matches per-trade manual windows") {
     // hand-window recompute over collected rows (independent of any join)
     val ev = T.events(spark, sf).collect().map(r =>
