@@ -107,9 +107,16 @@ def find_server():
         if p.returncode != 0:
             raise RuntimeError(f"{' '.join(cmd)}:\n{p.stderr}")
 
+    # free TCP port for the Spark wire-protocol leg (scenario D): the
+    # executors connect over 127.0.0.1, psql keeps the unix socket
+    import socket
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
     try:
         sh(["initdb", "-D", data, "-U", "graft", "--auth=trust", "-E", "UTF8"])
-        sh(["pg_ctl", "-D", data, "-o", f"-k {work} -h ''",
+        sh(["pg_ctl", "-D", data, "-o", f"-k {work} -h 127.0.0.1 -p {port}",
             "-l", os.path.join(work, "log"), "start", "-w"])
     except Exception as e:
         print(f"scratch cluster bootstrap failed: {e}", file=sys.stderr)
@@ -121,8 +128,8 @@ def find_server():
                        capture_output=True)
         shutil.rmtree(work, ignore_errors=True)
 
-    return (Psql(f"host={work} user=graft dbname=postgres"), cleanup,
-            f"scratch cluster ({work})")
+    return (Psql(f"host={work} port={port} user=graft dbname=postgres"), cleanup,
+            f"scratch cluster ({work}, tcp {port})")
 
 
 ROW1 = "(1, '\\x0102'::bytea, 'eu', 'spain', 4, 2.5, '2024-07-25', 'eu-spain')"
@@ -193,6 +200,38 @@ def real_lane(db):
     assert not missing, f"real lane did not exercise goldens: {missing}"
 
 
+def wire_lane(db):
+    """Scenario D (r19, VERDICT r18 #3): the Spark->Postgres WRITE leg,
+    executed for real over the raw v3 wire protocol (graft.plans.PgWire)
+    — one connection per Spark partition, batched INSERTs, staged upsert
+    twice — since the org.postgresql JDBC jar cannot exist in the
+    zero-egress sandbox. Requires the compiled engine classes; runs the
+    JVM directly against the Spark jars (no sbt round trip)."""
+    m = re.search(r"port=(\d+)", db.dsn)
+    if not m:
+        print("scenario D (Spark wire write): SKIPPED — no TCP port in DSN")
+        return
+    port = m.group(1)
+    classes = os.path.join(os.path.dirname(HERE), "target", "scala-2.13", "classes")
+    if not os.path.isdir(classes):
+        print("scenario D (Spark wire write): SKIPPED — engine classes not built (run sbt compile)")
+        return
+    db.run("DROP TABLE IF EXISTS osm_ways, osm_ways_stage")
+    p = subprocess.run(
+        ["java", "-cp", classes + ":/opt/spark/jars/*",
+         "-Dderby.stream.error.file=/dev/null", "--add-exports",
+         "java.base/sun.nio.ch=ALL-UNNAMED",
+         "graft.plans.PgWireLoadCheck", "127.0.0.1", port, "graft", "postgres"],
+        capture_output=True, text=True, timeout=300)
+    line = next((l for l in p.stdout.splitlines() if l.startswith('{"job":"pgwire_load_check"')), None)
+    if p.returncode != 0 or line is None:
+        raise RuntimeError(
+            f"scenario D failed (rc={p.returncode}):\n{p.stdout[-1500:]}\n{p.stderr[-1500:]}")
+    rows = db.run("SELECT count(*) FROM osm_ways")
+    assert rows == "300", f"scenario D expected 300 target rows, got {rows}"
+    print(f"scenario D (Spark wire-protocol write, 4 partitions): executed — {line}")
+
+
 def grammar_lane():
     files = sorted(os.path.join(GOLDEN, f) for f in os.listdir(GOLDEN)
                    if f.endswith(".sql"))
@@ -220,6 +259,7 @@ def main():
     try:
         print(f"mode=real ({desc}, {db.run('SELECT version()').split(',')[0]})")
         real_lane(db)
+        wire_lane(db)
         return 0
     finally:
         cleanup()
