@@ -31,6 +31,18 @@ object LlmOps {
   def cosine(a: String, b: String): Column =
     graft.functions.CosineSimilarity(col(a), col(b))
 
+  /** Exact half-away-from-zero rounding of the rational p/q (q > 0) in
+    * pure BIGINT algebra: sign(p)·((2·|p| + q) div (2·q)). Spliced into
+    * BOTH engines with only the integer-division spelling differing
+    * (`DIV` in Spark, `//` in DuckDB — identical on the non-negative
+    * operands the abs() guarantees), so a score whose exact value sits
+    * on a decimal midpoint rounds the SAME way by construction —
+    * `text_readability`'s doc-363 ARI (exactly 32.2065625) is the
+    * measured case IEEE round(…,6) breaks oppositely across engines. */
+  private[operators] def microRoundSql(p: String, q: String, div: String): String =
+    s"(CASE WHEN ($p) >= 0 THEN (2 * ($p) + ($q)) $div (2 * ($q)) " +
+      s"ELSE -((2 * (-($p)) + ($q)) $div (2 * ($q))) END)"
+
   /** LSH bits for `sim_cosine_lsh`'s 256-bucket coarse quantizer. One
     * shared definition: the operator builds its join key with it and
     * SmokeOpsSpec recomputes the reachable set with it, so the recall
@@ -1183,6 +1195,64 @@ object LlmOps {
             .when(col("en") >= col("es") && col("en") >= col("fr"), "en")
             .when(col("es") >= col("fr"), "es")
             .otherwise("fr").as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "text_readability",
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         CAST(greatest(
+         |           (length(text) - length(replace(text, '.', '')))
+         |           + (length(text) - length(replace(text, '!', '')))
+         |           + (length(text) - length(replace(text, '?', ''))), 1) AS BIGINT) AS n_sent
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, n_alpha, n_words, n_sent,
+         |       CAST(${microRoundSql("10000 * (588 * n_alpha - 2960 * n_sent - 1580 * n_words)", "n_words", "//")} AS DOUBLE) / 1000000 AS cli,
+         |       CAST(${microRoundSql("5000 * (942 * n_alpha * n_sent + 100 * n_words * n_words - 4286 * n_words * n_sent)", "n_words * n_sent", "//")} AS DOUBLE) / 1000000 AS ari
+         |FROM c ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // Readability scores — the curation signal between `text_quality`'s
+      // structural ratios and the perplexity ladder: grade-level
+      // formulas flag both token salad (absurdly high grade) and
+      // low-information filler (grade ≪ natural prose). Coleman-Liau
+      // (1975) and ARI (Senter & Smith 1967) are chosen PRECISELY
+      // because they are syllable-free — pure letter/word/sentence
+      // counts. CLI = 0.0588·L − 0.296·S − 15.8 (L, S per 100 words)
+      // and ARI = 4.71·a/w + 0.5·w/s − 21.43 reduce to single exact
+      // rationals — (588a−2960s−1580w)/(100w) and
+      // (942as+100w²−4286ws)/(200ws) — and a first cut that rounded the
+      // IEEE evaluation MEASURED a flap: doc 363 (a=294, w=64, s=1)
+      // lands ARI on the exact 6-decimal midpoint 32.2065625, which
+      // Spark's BigDecimal HALF_UP and DuckDB's double rounding break
+      // oppositely. So the micro-unit is computed EXACTLY:
+      // [[microRoundSql]] does half-away-from-zero integer rounding of
+      // p/q in pure BIGINT algebra (identical text both engines, only
+      // the DIV spelling differs), and the emitted double is
+      // micro/10⁶ — the same integer → the same bits in both engines,
+      // by construction instead of by luck. Counts: letters via one
+      // regexp_replace strip (identical [^A-Za-z] semantics in Java
+      // regex and RE2), words via the repo-wide whitespace split,
+      // sentences via terminator-count length algebra floored at 1 so
+      // period-free docs (this fixture; headlines/fragments in a real
+      // corpus) divide safely. Scale: one scan-parallel projection,
+      // zero shuffles before the output sort — the cheapest shape
+      // there is; BIGINT headroom holds to ~10⁶-word documents.
+      val nSent = greatest(
+        (length(col("text")) - length(regexp_replace(col("text"), "\\.", ""))) +
+        (length(col("text")) - length(regexp_replace(col("text"), "!", ""))) +
+        (length(col("text")) - length(regexp_replace(col("text"), "\\?", ""))), lit(1))
+      T.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+                length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("n_alpha"),
+                size(split(col("text"), " ")).cast("long").as("n_words"),
+                nSent.cast("long").as("n_sent"))
+        .selectExpr("doc_id", "n_alpha", "n_words", "n_sent",
+          s"CAST(${microRoundSql("10000 * (588 * n_alpha - 2960 * n_sent - 1580 * n_words)", "n_words", "DIV")} AS DOUBLE) / 1000000 AS cli",
+          s"CAST(${microRoundSql("5000 * (942 * n_alpha * n_sent + 100 * n_words * n_words - 4286 * n_words * n_sent)", "n_words * n_sent", "DIV")} AS DOUBLE) / 1000000 AS ari")
         .orderBy(col("doc_id"))
     },
 

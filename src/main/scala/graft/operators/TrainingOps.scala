@@ -1979,12 +1979,38 @@ object TrainingOps {
     // frontier-delta iteration instead of a fixed unroll, stopping when
     // the frontier drains, with a LOUD iteration budget (a pathological
     // or adversarial graph aborts with the round count, never spins).
-    // Same planted entity graph and source as the depth-6 key, so at
+    // Same planted entity graph and source as the depth-6 key; at
     // fixture diameter the two agree node-for-node (Round15OpsSpec pins
     // that, plus exactness on a diameter-11 chain the unroll cannot
-    // reach, plus the loud budget). No SQL oracle: the stopping rule is
-    // a runtime property, not a fixed-point SQL can state.
-    Q.smoke("graph_shortest_path_conv") { (s, d) =>
+    // reach, plus the loud budget).
+    //
+    // ORACLED (r19): earlier rounds called the stopping rule "not a
+    // fixed point SQL can state" — true of the RULE, but not of the
+    // RESULT. On an UNWEIGHTED |V|-node graph every finite BFS distance
+    // is < |V|, so a recursive CTE bounded at d < |V| (here 50, the
+    // modulus that defines the node universe) provably reaches the same
+    // fixed point the frontier-drain loop detects at runtime: both
+    // compute min-hop distances, and the bound can never clip a true
+    // distance. DuckDB's UNION-distinct keeps the CTE state ≤ |V|²
+    // (node, d) pairs, so the oracle is cheap at every fixture scale.
+    // (The WEIGHTED sibling `osm_route_dist_conv` stays smoke: its
+    // state space is (node, real-valued path sum) — a hop bound of |V|
+    // forces path enumeration, exponential in DuckDB.)
+    Q(
+      "graph_shortest_path_conv",
+      """WITH RECURSIVE e0 AS (
+        |  SELECT doc_id % 50 AS a, (doc_id // 50) % 50 AS b FROM documents
+        |  WHERE doc_id % 50 <> (doc_id // 50) % 50),
+        |eu AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e0),
+        |e AS (SELECT a AS src, b AS dst FROM eu UNION ALL SELECT b, a FROM eu),
+        |bfs(node, d) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+        |  WHERE bfs.d < 50)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin
+    ) { (s, d) =>
       val und = T.documents(s, d)
         .select(expr("doc_id % 50").as("a"), expr("(doc_id DIV 50) % 50").as("b"))
         .where(col("a") =!= col("b"))

@@ -91,4 +91,41 @@ class Round19OpsSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out == expected)
   }
+
+  test("text_readability: scores equal the exact-rational BigDecimal recompute bit-for-bit") {
+    // Independent path: instead of the operator's integer micro-round
+    // algebra, divide the exact rationals as BigDecimals at scale 6
+    // HALF_UP (= half away from zero on both signs). Equality must be
+    // EXACT double equality — the operator emits micro/10⁶ and both
+    // paths correctly round the same rational to the nearest double.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val docs = T.documents(spark, sf).collect()
+      .flatMap(r => if (r.isNullAt(1)) None else Some(r.getLong(0) -> r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val a = text.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLong
+      val w = text.split(" ", -1).length.toLong
+      val s = math.max(text.count(c => c == '.' || c == '!' || c == '?').toLong, 1L)
+      def ratio6(p: Long, q: Long): Double =
+        new JBD(p).divide(new JBD(q), 6, RoundingMode.HALF_UP).doubleValue
+      val cli = ratio6(588 * a - 2960 * s - 1580 * w, 100 * w)
+      val ari = ratio6(942 * a * s + 100 * w * w - 4286 * w * s, 200 * w * s)
+      id -> ((a, w, s, cli, ari))
+    }.toMap
+    val out = SparkEntry.queries("text_readability")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (id, got) =>
+      assert(got == expected(id), s"doc $id: $got != ${expected(id)}")
+    }
+    // the measured midpoint class must exist in the fixture (ari·10⁶
+    // exactly .5 when w·s divides the scaled numerator into a half) —
+    // guards against a fixture change silently retiring the regression
+    val midpoints = expected.count { case (_, (a, w, s, _, _)) =>
+      val p = 5000L * (942 * a * s + 100 * w * w - 4286 * w * s)
+      val q = w * s
+      2 * (p.abs % q) == q
+    }
+    assert(midpoints >= 1, "fixture no longer exercises a 6-decimal midpoint")
+  }
 }
