@@ -977,8 +977,139 @@ object EmbeddingOps {
                     .as("proj"))
           .orderBy(col("vec_id"))
       }
+    },
+
+    // Frequent Directions (Liberty 2013; Ghashami-Liberty-Phillips-
+    // Woodruff 2016) — the MATRIX rung of the sketch ladder (HLL =
+    // distinct, CMS = frequency, theta = set algebra, KLL/REQ = rank,
+    // FD = spectrum): a mergeable ℓ×d sketch B with the deterministic
+    // guarantee 0 ⪯ AᵀA − BᵀB ⪯ ((‖A‖²F − ‖B‖²F)/ℓ)·I, i.e. every
+    // eigenvalue of the corpus Gram is bracketed by the sketch
+    // eigenvalue and that bound — no randomness, no failure
+    // probability. Why it earns a key next to the EXACT d²-bounded
+    // covariance fold (emb_whitening/emb_pca_project): the exact fold
+    // carries d(d+1)/2 doubles per partition, which dies at modern
+    // embedding widths (d = 4096 → 67 MB per partition, d = 10⁵ →
+    // impossible); FD carries 2ℓ·d (ℓ = 16, d = 4096 → 1 MB) and is the
+    // published answer for streaming/merging spectra at widths where
+    // the Gram itself is the bottleneck. Shape: per-partition fdPass
+    // (the documented mapPartitions exception — insert rows into a
+    // 2ℓ buffer, Jacobi-shrink by σ²ℓ when full; O(ℓ²d + ℓ³) per
+    // shrink, every ℓ rows), per-partition buffers collected as
+    // metadata (∝ partitions·ℓ·d, never rows), ONE driver merge-shrink
+    // (FD is mergeable with the SAME bound — the 2016 paper's theorem),
+    // driver Jacobi of the d×d BᵀB for the readout. Output is k-bounded
+    // (top-8 spectrum estimates + the per-run certificate bound) and
+    // deterministic for a fixed file layout (fixed partition order);
+    // no SQL oracle (iterative shrink algebra) — Round19OpsSpec pins
+    // the theorem itself: exact λᵢ − bound ≤ estimate ≤ exact λᵢ
+    // against an INDEPENDENT max-pivot Jacobi on the exact Gram.
+    Q.smoke("emb_freq_directions") { (s, d) =>
+      import s.implicits._
+      val e = T.embeddings(s, d)
+        .where(col("embedding").isNotNull) // null payload: no vector, no row (NullInputSpec)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"))
+      val dims = e.select(size(col("x")).as("d")).limit(1).collect()
+      // ℓ is the accuracy knob and it is SCALE-FREE: the certificate
+      // (‖A‖²F−‖B‖²F)/ℓ and every true eigenvalue both grow ∝ rows, so
+      // the signal-to-certificate ratio depends only on spectral SHAPE.
+      // This fixture is nearly isotropic (λ₀ ≈ 1.85× the mean — ℓ = 16
+      // MEASURED a 30.0 certificate over a 14.4 top eigenvalue), so ℓ
+      // must sit near d: 48 keeps the certificate under the top
+      // eigenvalues while still sketching at 2ℓ·d ≪ the d² Gram the
+      // exact fold would carry at real embedding widths. Corpora with
+      // genuine spectral decay (the common case) run ℓ ≪ d.
+      val sketchL = s.conf.get("spark.sql.graft.fd.l", "48").toInt
+      if (dims.isEmpty) {
+        Seq.empty[(Long, Double, Double)].toDF("rank", "sigma2_est", "err_bound")
+      } else {
+        val dim = dims(0).getInt(0)
+        val parts = e.as[Seq[Double]].mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val (buf, frob) = fdPass(it.map(_.toArray), dim, sketchL)
+            Iterator.single((buf.map(_.toSeq).toSeq, frob))
+          }
+        }.collect()
+        val frobA = parts.map(_._2).sum
+        val (fin, _) = fdPass(parts.iterator.flatMap(_._1.map(_.toArray)), dim, sketchL)
+        val frobB = fin.map(r => r.map(x => x * x).sum).sum
+        val bound = (frobA - frobB) / sketchL
+        val bt = Array.ofDim[Double](dim, dim)
+        fin.foreach { r =>
+          var i = 0
+          while (i < dim) {
+            var j = i
+            while (j < dim) { bt(i)(j) += r(i) * r(j); bt(j)(i) = bt(i)(j); j += 1 }
+            i += 1
+          }
+        }
+        val (lam, _) = jacobiEigen(bt)
+        lam.sorted.reverse.take(8).zipWithIndex.map { case (l2, i) =>
+          (i.toLong, math.rint(math.max(l2, 0.0) * 1000) / 1000, math.rint(bound * 1000) / 1000)
+        }.toSeq.toDF("rank", "sigma2_est", "err_bound")
+      }
     }
   )
+
+  /** One Frequent-Directions pass over a row stream: insert into a
+    * 2ℓ-row buffer; when full, shrink — eigendecompose the ℓ-small
+    * B·Bᵀ (2ℓ×2ℓ, NEVER d×d inside the fold), subtract δ = σ²ℓ from
+    * every σ², rebuild the surviving ≤ ℓ−1 rows as
+    * √((λᵢ−δ)/λᵢ)·(UᵀB)ᵢ. Returns (live buffer rows — shrunken core
+    * plus unshrunk tail, which only tightens BᵀB toward AᵀA — and the
+    * exact Σ‖x‖² folded, for the certificate bound). Used per-partition
+    * AND for the driver merge of stacked partition buffers. */
+  private[graft] def fdPass(rows: Iterator[Array[Double]], dim: Int,
+                            l: Int): (Array[Array[Double]], Double) = {
+    val cap = 2 * l
+    val buf = Array.ofDim[Double](cap, dim)
+    var live = 0
+    var frob = 0.0
+    def shrink(): Unit = {
+      val g = Array.ofDim[Double](live, live)
+      var i = 0
+      while (i < live) {
+        var j = i
+        while (j < live) {
+          var acc = 0.0; var c = 0
+          while (c < dim) { acc += buf(i)(c) * buf(j)(c); c += 1 }
+          g(i)(j) = acc; g(j)(i) = acc; j += 1
+        }
+        i += 1
+      }
+      val (lam, u) = jacobiEigen(g)
+      val ord = (0 until live).sortBy(k => (-lam(k), k))
+      val delta = math.max(lam(ord(math.min(l, live) - 1)), 0.0)
+      val out = Array.ofDim[Double](cap, dim)
+      var w = 0
+      for (oi <- 0 until math.min(l, live)) {
+        val k = ord(oi)
+        val lamK = math.max(lam(k), 0.0)
+        if (lamK - delta > 1e-12) {
+          val scale = math.sqrt((lamK - delta) / lamK)
+          var c = 0
+          while (c < dim) {
+            var acc = 0.0; var r = 0
+            while (r < live) { acc += u(r)(k) * buf(r)(c); r += 1 }
+            out(w)(c) = scale * acc; c += 1
+          }
+          w += 1
+        }
+      }
+      var r = 0
+      while (r < w) { Array.copy(out(r), 0, buf(r), 0, dim); r += 1 }
+      live = w
+    }
+    while (rows.hasNext) {
+      val x = rows.next()
+      if (live == cap) shrink()
+      var c = 0
+      while (c < dim) { buf(live)(c) = x(c); frob += x(c) * x(c); c += 1 }
+      live += 1
+    }
+    (buf.take(live).map(_.clone()), frob)
+  }
 
   /** Distributed covariance: ONE pass folds per-partition Gram sums
     * (count, Σx, upper-tri Σxxᵀ — d(d+1)/2 doubles per PARTITION, the

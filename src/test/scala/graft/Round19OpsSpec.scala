@@ -128,4 +128,60 @@ class Round19OpsSpec extends GraftSuite {
     }
     assert(midpoints >= 1, "fixture no longer exercises a 6-decimal midpoint")
   }
+
+  test("emb_freq_directions: the FD theorem brackets every estimate against an independent eigensolve") {
+    val out = SparkEntry.queries("emb_freq_directions")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 8L))
+    val bound = out.head._3
+    assert(bound > 0 && out.forall(_._3 == bound), "certificate bound must be one positive per-run constant")
+    assert(out.map(_._2).sliding(2).forall(p => p(0) >= p(1)), "spectrum estimates must be descending")
+    // exact corpus Gram AᵀA, eigendecomposed by an INDEPENDENT solver:
+    // classical max-pivot Jacobi (the operator uses cyclic sweeps)
+    val vecs = T.embeddings(spark, sf).where(col("embedding").isNotNull)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = vecs.head.length
+    val g = Array.ofDim[Double](dim, dim)
+    vecs.foreach { v =>
+      for (i <- 0 until dim; j <- i until dim) { g(i)(j) += v(i) * v(j); g(j)(i) = g(i)(j) }
+    }
+    def maxPivotJacobi(a: Array[Array[Double]]): Array[Double] = {
+      val m = a.map(_.clone()); val n = m.length
+      var it = 0
+      while (it < 40000) {
+        var (p, q, big) = (0, 1, 0.0)
+        for (i <- 0 until n; j <- i + 1 until n if math.abs(m(i)(j)) > big) {
+          big = math.abs(m(i)(j)); p = i; q = j
+        }
+        if (big < 1e-9) it = 40000
+        else {
+          val th = (m(q)(q) - m(p)(p)) / (2.0 * m(p)(q))
+          val t = math.signum(th) / (math.abs(th) + math.sqrt(th * th + 1.0))
+          val ts = if (th == 0.0) 1.0 else t
+          val c = 1.0 / math.sqrt(ts * ts + 1.0); val s = ts * c
+          for (k <- 0 until n) {
+            val akp = m(k)(p); val akq = m(k)(q)
+            m(k)(p) = c * akp - s * akq; m(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until n) {
+            val apk = m(p)(k); val aqk = m(q)(k)
+            m(p)(k) = c * apk - s * aqk; m(q)(k) = s * apk + c * aqk
+          }
+          it += 1
+        }
+      }
+      (0 until n).map(i => m(i)(i)).toArray
+    }
+    val exact = maxPivotJacobi(g).sorted.reverse.take(8)
+    val eps = 1e-3 + bound * 1e-6
+    out.foreach { case (rank, est, _) =>
+      val ex = exact(rank.toInt)
+      assert(est <= ex + eps, s"rank $rank: estimate $est exceeds exact $ex — AᵀA−BᵀB not psd")
+      assert(est >= ex - bound - eps, s"rank $rank: estimate $est below exact $ex − bound $bound")
+    }
+    // the sketch must carry signal, not just satisfy the theorem
+    // vacuously: the top exact eigenvalue dominates the certificate
+    assert(exact.head > bound, s"top eigenvalue ${exact.head} drowned by bound $bound")
+  }
 }
