@@ -140,6 +140,52 @@ object Multimodal {
     (ow.toLong, oh.toLong, sr, sg, sb)
   }
 
+  /** Decode PNG bytes → 64-bit perceptual difference hash (dHash,
+    * `multimodal_phash`): nearest-neighbor-sample the decoded pixels
+    * onto a 9×8 grid with the SAME exact-integer convention as
+    * [[decodeResizeSums]] (source pixel = (x·w DIV 9, y·h DIV 8)),
+    * integer-luma each cell (gray = (299r + 587g + 114b) DIV 1000 —
+    * the ITU-R 601 weights in exact per-mille arithmetic), and emit
+    * bit (x,y) = [gray(x+1,y) > gray(x,y)] — 8 comparisons per row ×
+    * 8 rows. Packed MSB-first into TWO 32-bit words carried in BIGINTs
+    * (rows 0-3 → hi, rows 4-7 → lo; the emb_binary_hamming device — a
+    * single 64-bit word would overflow the sign under the oracle's
+    * integer reconstruction). Every step is exact integer arithmetic
+    * on losslessly round-tripped pixels, so the hash is closed-form
+    * for the oracle while the engine must earn it through the codec. */
+  def decodePhash(bytes: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"multimodal_phash: payload of ${bytes.length} bytes is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val p = img.getRGB(x * w / 9, y * h / 8)
+        gray(y)(x) = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(y)(x + 1) > gray(y)(x)) {
+          if (y < 4) hi |= 1L << (31 - (y * 8 + x))
+          else lo |= 1L << (31 - ((y - 4) * 8 + x))
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
   /** REAL audio lane (`multimodal_audio_decode`) — same argument as the
     * PNG lane: the JDK ships a WAV (RIFF/PCM) codec in
     * `javax.sound.sampled`, so the audio half of the multimodal surface

@@ -1805,6 +1805,92 @@ object LlmOps {
     },
 
     Q(
+      "multimodal_phash",
+      """WITH m AS (
+        |  SELECT doc_id, 1 + doc_id % 8 AS w, 1 + (doc_id * 3) % 8 AS h,
+        |         doc_id % 200 AS r0, (doc_id * 3) % 200 AS g0, (doc_id * 7) % 200 AS b0
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |g AS (
+        |  SELECT doc_id, gx.x AS x, gy.y AS y,
+        |         (299 * (r0 + (gx.x * w) // 9 + (gy.y * h) // 8)
+        |          + 587 * (g0 + (gx.x * w) // 9)
+        |          + 114 * (b0 + (gy.y * h) // 8)) // 1000 AS gray
+        |  FROM m, (SELECT unnest(range(0, 9)) AS x) gx,
+        |          (SELECT unnest(range(0, 8)) AS y) gy),
+        |b AS (
+        |  SELECT a.doc_id, a.y, a.x,
+        |         CASE WHEN n.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y AND n.x = a.x + 1
+        |  WHERE a.x < 8),
+        |ph AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN y < 4 THEN bit * (CAST(1 AS BIGINT) << (31 - (y * 8 + x))) ELSE 0 END) AS BIGINT) AS ph_hi,
+        |         CAST(sum(CASE WHEN y >= 4 THEN bit * (CAST(1 AS BIGINT) << (31 - ((y - 4) * 8 + x))) ELSE 0 END) AS BIGINT) AS ph_lo
+        |  FROM b GROUP BY doc_id),
+        |nd AS (
+        |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_near,
+        |         CAST(min(b.doc_id) AS BIGINT) AS nearest_doc
+        |  FROM ph a JOIN ph b ON b.doc_id <> a.doc_id
+        |  WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3
+        |  GROUP BY a.doc_id)
+        |SELECT p.doc_id, p.ph_hi, p.ph_lo,
+        |       CAST(coalesce(nd.n_near, 0) AS BIGINT) AS n_near, nd.nearest_doc
+        |FROM ph p LEFT JOIN nd USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin
+    ) { (s, d) =>
+      // Perceptual near-dup over REAL decoded pixels — the image rung of
+      // the dedup pillar (dedup_simhash : text :: this : images): dHash
+      // (Krawetz's difference hash, the published cheap perceptual
+      // fingerprint) over the same genuine PNG→codec→pixels path as
+      // multimodal_image_decode, then banded candidate generation. Every
+      // arithmetic step is exact integer (9×8 nearest-neighbor grid with
+      // the resize_exec DIV convention, ITU-R 601 luma in per-mille,
+      // MSB-first packing into two 32-bit words), so the oracle
+      // recomputes hash AND neighbor counts closed-form from doc_id
+      // while the engine must earn the same integers through the codec.
+      // Scale shape: the pairwise stage never goes all-pairs — each
+      // 64-bit hash splits into four 16-bit chunks and only
+      // chunk-equality candidates (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 equal
+      // chunk — τ chosen at the measured fixture separation: 140/1225
+      // pairs at ≤ 3, the next band at 4-6) pay the exact
+      // bit_count residual; the chunk join is the LSH equi-key, the
+      // hamming test a residual filter — the dedup_minhash/simhash
+      // discipline on the binary column. Only the XOR spelling differs
+      // per engine (Spark `^`, DuckDB `xor()` — `^` is POWER there).
+      import s.implicits._
+      val ph = pngBlobs(s, d)
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val (hi, lo) = graft.functions.Multimodal.decodePhash(bytes)
+            (id, hi, lo)
+          }
+        }
+        .toDF("doc_id", "ph_hi", "ph_lo")
+      val chunks = ph.select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+        posexplode(array(
+          shiftrightunsigned(col("ph_hi"), 16), col("ph_hi").bitwiseAND(lit(0xFFFFL)),
+          shiftrightunsigned(col("ph_lo"), 16), col("ph_lo").bitwiseAND(lit(0xFFFFL)))))
+        .withColumnRenamed("pos", "ck").withColumnRenamed("col", "cv")
+      val near = chunks.as("a")
+        .join(chunks.as("b"),
+              col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+                col("a.ph_hi").as("ha"), col("a.ph_lo").as("la"),
+                col("b.ph_hi").as("hb"), col("b.ph_lo").as("lb"))
+        .distinct() // multi-chunk matches collapse before the residual
+        .where(expr("bit_count(ha ^ hb) + bit_count(la ^ lb) <= 3"))
+        .groupBy(col("da").as("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_near"),
+             min(col("db")).cast("long").as("nearest_doc"))
+      ph.join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ph_hi"), col("ph_lo"),
+                coalesce(col("n_near"), lit(0L)).as("n_near"), col("nearest_doc"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
       "multimodal_audio_decode",
       """WITH m AS (
         |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id % 10 = 5),

@@ -184,4 +184,46 @@ class Round19OpsSpec extends GraftSuite {
     // vacuously: the top exact eigenvalue dominates the certificate
     assert(exact.head > bound, s"top eigenvalue ${exact.head} drowned by bound $bound")
   }
+
+  test("multimodal_phash: codec-path hashes equal the closed-form recompute; banded counts equal brute force") {
+    // independent path: reconstruct each dHash from the pixel RECIPE
+    // (pure doc_id arithmetic — never touches PNG bytes or the codec),
+    // then brute-force all pairs; the key must produce identical words
+    // and identical neighbor counts through binaryFile + javax.imageio
+    // + the chunk-banded join
+    val ids = T.documents(spark, sf).where(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def hash(id: Long): (Long, Long) = {
+      val w = 1 + (id % 8).toInt; val h = 1 + ((id * 3) % 8).toInt
+      val r0 = (id % 200).toInt; val g0 = ((id * 3) % 200).toInt; val b0 = ((id * 7) % 200).toInt
+      def gray(x: Int, y: Int): Int = {
+        val sx = x * w / 9; val sy = y * h / 8
+        (299 * (r0 + sx + sy) + 587 * (g0 + sx) + 114 * (b0 + sy)) / 1000
+      }
+      var hi = 0L; var lo = 0L
+      for (y <- 0 until 8; x <- 0 until 8 if gray(x + 1, y) > gray(x, y)) {
+        if (y < 4) hi |= 1L << (31 - (y * 8 + x)) else lo |= 1L << (31 - ((y - 4) * 8 + x))
+      }
+      (hi, lo)
+    }
+    val hs = ids.map(id => id -> hash(id)).toMap
+    val expected = ids.map { a =>
+      val near = ids.filter { b =>
+        b != a && java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
+          java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2) <= 3
+      }
+      a -> ((hs(a)._1, hs(a)._2, near.length.toLong,
+             if (near.isEmpty) None else Some(near.min)))
+    }.toMap
+    val out = SparkEntry.queries("multimodal_phash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out == expected)
+    // the fixture must exercise both the match arm AND the residual
+    // reject (at this scale every doc has ≥1 neighbor, so the honest
+    // negative arm is incompleteness: no doc may be near ALL others)
+    assert(out.values.exists(_._3 > 0), "no near-dup pairs — threshold arm untested")
+    assert(out.values.forall(_._3 < ids.length - 1),
+      "some doc matched everything — the hamming residual rejected nothing")
+  }
 }
