@@ -2190,6 +2190,72 @@ object EventOps {
     },
 
     Q(
+      "event_holt",
+      """WITH RECURSIVE d0 AS (
+        |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, CAST(c AS DOUBLE) AS c,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM d0),
+        |st(event_type, i, n, l, b) AS (
+        |  SELECT event_type, i, n, c, CAST(0 AS DOUBLE)
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.i + 1, s.n,
+        |         0.3 * y.c + 0.7 * (s.l + s.b),
+        |         0.1 * (0.3 * y.c + 0.7 * (s.l + s.b) - s.l) + 0.9 * s.b
+        |  FROM st s JOIN d y ON y.event_type = s.event_type AND y.i = s.i + 1)
+        |SELECT event_type, n AS n_days,
+        |       round(l, 6) AS level, round(b, 6) AS trend,
+        |       round(l + 7 * b, 6) AS forecast_7
+        |FROM st WHERE i = n
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      // Holt's linear-trend smoothing (Holt 1957; Hyndman & Athanasopoulos
+      // FPP §8.2) — the forecasting rung between win_ewma's single
+      // smoother (level only, lags any trend) and sql_forecast_revenue's
+      // global OLS (one straight line, no recency weighting): coupled
+      // level/trend recursions l←αy+(1−α)(l+b), b←β(l−l₋₁)+(1−β)b with
+      // the standard l₁=y₁, b₁=0 init, read out as the 7-day-ahead
+      // forecast l+7b. CROSS-ENGINE DISCIPLINE for a genuinely
+      // sequential float recursion: both engines execute the SAME
+      // operation sequence — Spark as a codegen'd higher-order
+      // `aggregate` fold over each type's day-ordered value array,
+      // DuckDB as a recursive CTE advancing every type in lockstep —
+      // with the update spliced as textually identical arithmetic
+      // (D-suffixed Spark-side per the event_qte rule), so each step is
+      // bit-identical and round(…,6) compares equal states, not
+      // approximations. Scale: the recursion never touches the corpus —
+      // one fact collapse to the calendar-bounded daily table (the
+      // event_cusum exception), then a per-type fold over a ≤ |days|
+      // array; the sort lives inside sort_array on that bounded array,
+      // not a corpus shuffle.
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"),
+                 floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val lNew = "0.3D * y + 0.7D * (st.l + st.b)"
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("sd"))
+        .selectExpr("event_type",
+          "CAST(size(sd) AS BIGINT) AS n_days",
+          "transform(sd, p -> CAST(p.c AS DOUBLE)) AS ys")
+        .selectExpr("event_type", "n_days",
+          s"""aggregate(slice(ys, 2, size(ys) - 1),
+             |          named_struct('l', ys[0], 'b', 0.0D),
+             |          (st, y) -> named_struct(
+             |            'l', $lNew,
+             |            'b', 0.1D * ($lNew - st.l) + 0.9D * st.b)) AS st""".stripMargin)
+        .selectExpr("event_type", "n_days",
+          "round(st.l, 6) AS level", "round(st.b, 6) AS trend",
+          "round(st.l + 7.0D * st.b, 6) AS forecast_7")
+        .orderBy(col("event_type"))
+    },
+
+    Q(
       "event_changepoint",
       s"""WITH d AS (
          |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,

@@ -226,4 +226,32 @@ class Round19OpsSpec extends GraftSuite {
     assert(out.values.forall(_._3 < ids.length - 1),
       "some doc matched everything — the hamming residual rejected nothing")
   }
+
+  test("event_holt: level/trend/forecast match a sequential driver recompute") {
+    val daily = T.events(spark, sf)
+      .groupBy(col("event_type"),
+               floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (tpe, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      var l = ys.head
+      var b = 0.0
+      ys.tail.foreach { y =>
+        val lNew = 0.3 * y + 0.7 * (l + b)
+        b = 0.1 * (lNew - l) + 0.9 * b
+        l = lNew
+      }
+      def r6(x: Double) = new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      tpe -> ((ys.length.toLong, r6(l), r6(b), r6(l + 7.0 * b)))
+    }
+    val out = SparkEntry.queries("event_holt")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(out == expected.toMap)
+    // a trend must actually emerge somewhere, or the b-recursion is
+    // untested (a flat corpus would pass with b = 0 everywhere)
+    assert(out.values.exists(v => math.abs(v._3) > 1e-6), "no nonzero trend in fixture")
+  }
 }
