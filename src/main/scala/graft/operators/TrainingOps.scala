@@ -1496,6 +1496,89 @@ object TrainingOps {
     },
 
     Q(
+      "graph_label_prop",
+      """WITH e0 AS (
+        |  SELECT doc_id % 100 AS a,
+        |         ((doc_id % 100) // 10) * 10
+        |           + ((doc_id % 100) % 10 + 1 + (doc_id // 100) % 9) % 10 AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 100, (doc_id % 100 + 10) % 100
+        |  FROM documents WHERE doc_id % 50 = 7),
+        |eu AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e0 WHERE a <> b),
+        |e AS (SELECT a AS src, b AS dst FROM eu UNION ALL SELECT b, a FROM eu),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+        |v1 AS (SELECT e.dst AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+        |       FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        |         FROM v1) t WHERE rn = 1),
+        |v2 AS (SELECT e.dst AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+        |       FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        |         FROM v2) t WHERE rn = 1),
+        |v3 AS (SELECT e.dst AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+        |       FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        |         FROM v3) t WHERE rn = 1)
+        |SELECT node, CAST(lbl AS BIGINT) AS community
+        |FROM l3 ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      // Synchronous label propagation (Raghavan-Albert-Kumara 2007) —
+      // the COMMUNITY sibling of the connectivity family: dedup_clusters
+      // answers "which nodes are reachable" (min-label contraction),
+      // LPA answers "which nodes are DENSELY knit" — each node adopts
+      // its neighbors' most frequent label, so communities grow only
+      // where edges concentrate. The published algorithm is
+      // order-dependent (async updates, random tie-breaks); this is the
+      // determinized variant a data pipeline needs: SYNCHRONOUS rounds
+      // (every node updates from the same previous-round labels) with
+      // the (count DESC, label ASC) tie-break, UNROLLED at 3 rounds —
+      // fixed depth makes the result reproducible AND bounds sync-LPA's
+      // known oscillation mode on bipartite-ish subgraphs. Per round:
+      // the |V|-sized label table size-gate-broadcasts onto the edge
+      // fact, one (dst, lbl) collapse, argmax via max(struct) — no
+      // window over corpus data; per-round localCheckpoint truncates
+      // the 3-deep iterative lineage (the graph_shortest_path lesson).
+      // The planted graph has real COMMUNITY structure (the entity graph
+      // the BFS keys share collapsed to ONE label in 3 rounds — measured,
+      // degenerate as an LPA exhibit): 10 dense intra-decade clusters
+      // plus two weak bridges, so the expected readout is ~10 communities
+      // with the bridges NOT merging their clusters — count-1 bridge
+      // votes lose to intra-cluster majorities, which is exactly how LPA
+      // differs from connected components (one component, ten
+      // communities).
+      val intra = T.documents(s, d)
+        .select(expr("doc_id % 100").as("a"),
+                expr("((doc_id % 100) DIV 10) * 10 + ((doc_id % 100) % 10 + 1 + (doc_id DIV 100) % 9) % 10").as("b"))
+      val bridges = T.documents(s, d)
+        .where(expr("doc_id % 50 = 7"))
+        .select(expr("doc_id % 100").as("a"), expr("(doc_id % 100 + 10) % 100").as("b"))
+      val und = intra.union(bridges)
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      val edges = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"))).localCheckpoint()
+      var lbl = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 3) {
+        val votes = edges
+          .join(Gate.bcast(lbl.withColumnRenamed("node", "src")), Seq("src"))
+          .groupBy(col("dst").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        lbl = votes
+          .groupBy(col("node"))
+          .agg(max(struct(col("c"), (lit(0L) - col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (lit(0L) - col("m.nl")).as("lbl"))
+          .coalesce(1).localCheckpoint()
+      }
+      lbl.select(col("node"), col("lbl").cast("long").as("community"))
+        .orderBy(col("node"))
+    },
+
+    Q(
       "shard_rendezvous",
       s"""WITH f AS (
          |  SELECT doc_id, CAST(${fpSql("text")} AS BIGINT) AS fp
@@ -1971,6 +2054,91 @@ object TrainingOps {
         .agg(max(col("n0")).cast("long").as("n_before"),
              max(col("n1")).cast("long").as("n_after"),
              sum(col("term")).cast("long").as("psi_micronats"))
+        .orderBy(col("event_type"))
+    },
+
+    Q(
+      "data_drift_ks",
+      s"""WITH e AS (
+        |  SELECT event_type, epoch_ms(ts) AS ms, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM e),
+        |t AS (SELECT event_type, cents,
+        |             CASE WHEN ms * 2 >= b.lo + b.hi THEN 1 ELSE 0 END AS late
+        |      FROM e, b),
+        |c AS (SELECT event_type, cents,
+        |             CAST(sum(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+        |             CAST(sum(late) AS BIGINT) AS d1
+        |      FROM t GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(sum(d0) AS BIGINT) AS n0, CAST(sum(d1) AS BIGINT) AS n1
+        |      FROM c GROUP BY 1),
+        |cum AS (SELECT event_type, cents,
+        |               CAST(sum(d0) OVER (PARTITION BY event_type ORDER BY cents
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c0,
+        |               CAST(sum(d1) OVER (PARTITION BY event_type ORDER BY cents
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1
+        |        FROM c),
+        |k AS (SELECT cum.event_type,
+        |             CAST(max(abs(c0 * n.n1 - c1 * n.n0)) AS BIGINT) AS ks_num,
+        |             CAST(max(n.n0) AS BIGINT) AS n_before, CAST(max(n.n1) AS BIGINT) AS n_after
+        |      FROM cum JOIN n ON n.event_type = cum.event_type
+        |        OR (n.event_type IS NULL AND cum.event_type IS NULL)
+        |      GROUP BY 1)
+         |SELECT event_type, n_before, n_after, ks_num,
+         |       CAST(${graft.operators.LlmOps.microRoundSql("1000000 * ks_num", "n_before * n_after", "//")} AS DOUBLE) / 1000000 AS ks_stat
+         |FROM k WHERE n_before > 0 AND n_after > 0
+         |ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      // Two-sample Kolmogorov-Smirnov drift monitor — data_drift_psi's
+      // CONTINUOUS sibling: PSI needs a bucketing choice (24 hour bins)
+      // and goes blind inside a bucket; KS compares the full empirical
+      // CDFs of the metric (early half vs late half of the time range,
+      // same split as PSI) and is the standard binning-free two-sample
+      // test (Kolmogorov 1933, Smirnov 1939). EXACT integer algebra the
+      // whole way: values enter as once-rounded cents, the ECDF gap at
+      // every step is |c0·n1 − c1·n0| — a pure BIGINT whose max IS the
+      // KS numerator, and even the readout D = ks_num/(n0·n1) avoids
+      // IEEE round(…,6): a rational with denominator n0·n1 CAN land on
+      // a 6-decimal midpoint (the text_readability measured class), so
+      // the micro-unit is integer-rounded by [[LlmOps.microRoundSql]]
+      // and the emitted double is micro/10⁶ — identical bits by
+      // construction. Supremum-at-steps suffices: between observed
+      // values both ECDFs are flat, so the max over the distinct-value
+      // table is the true sup. Scale shape: one corpus collapse to the
+      // (type, distinct cents) table with BOTH half-counts carried per
+      // row, cumulative window + max over that COLLAPSED table — bounded
+      // by the value domain (a monetary grid: ~10⁶ distinct cents),
+      // never the event count; at widths beyond that the production
+      // answer is the sketch ladder (per-slice KLL, max over the
+      // quantile grid), which agg_kll_quantiles already provides.
+      val ev = T.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+                round(col("value") * 100).cast("long").as("cents"))
+      val bounds = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+      val c = ev.crossJoin(broadcast(bounds))
+        .select(col("event_type"), col("cents"),
+                (col("ms") * 2 >= col("lo") + col("hi")).cast("int").as("late"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("late") === 0, 1L).otherwise(0L)).as("d0"),
+             sum(col("late").cast("long")).as("d1"))
+      val n = c.groupBy(col("event_type"))
+        .agg(sum(col("d0")).as("n0"), sum(col("d1")).as("n1"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      c.select(col("event_type"), col("cents"),
+               sum(col("d0")).over(w).as("c0"), sum(col("d1")).over(w).as("c1"))
+        .as("cum")
+        .join(n.as("nn"), col("cum.event_type") <=> col("nn.event_type"))
+        .select(col("cum.event_type").as("event_type"), col("c0"), col("c1"),
+                col("n0"), col("n1"))
+        .groupBy(col("event_type"))
+        .agg(max(abs(col("c0") * col("n1") - col("c1") * col("n0"))).cast("long").as("ks_num"),
+             max(col("n0")).cast("long").as("n_before"),
+             max(col("n1")).cast("long").as("n_after"))
+        .where(col("n_before") > 0 && col("n_after") > 0)
+        .selectExpr("event_type", "n_before", "n_after", "ks_num",
+          s"CAST(${graft.operators.LlmOps.microRoundSql("1000000 * ks_num", "n_before * n_after", "DIV")} AS DOUBLE) / 1000000 AS ks_stat")
         .orderBy(col("event_type"))
     },
 

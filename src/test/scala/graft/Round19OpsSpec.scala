@@ -254,4 +254,66 @@ class Round19OpsSpec extends GraftSuite {
     // untested (a flat corpus would pass with b = 0 everywhere)
     assert(out.values.exists(v => math.abs(v._3) > 1e-6), "no nonzero trend in fixture")
   }
+
+  test("graph_label_prop: three synchronous rounds match a driver recompute; communities are non-trivial") {
+    val ids = T.documents(spark, sf).select(col("doc_id")).collect().map(_.getLong(0))
+    val intra = ids.map { i =>
+      val a = i % 100
+      (a, (a / 10) * 10 + (a % 10 + 1 + (i / 100) % 9) % 10)
+    }
+    val bridges = ids.filter(_ % 50 == 7).map(i => (i % 100, (i % 100 + 10) % 100))
+    val und = (intra ++ bridges).filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (n, nbrs) =>
+        val freq = nbrs.map(lbl).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        n -> freq.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    val out = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == lbl)
+    val nCommunities = out.values.toSet.size
+    assert(nCommunities > 1 && nCommunities < out.size,
+      s"degenerate community structure: $nCommunities communities over ${out.size} nodes")
+    // the planted bridges must NOT merge their clusters — the property
+    // that separates LPA from connected components (one component via
+    // the bridge, ten communities regardless)
+    assert(out(7L) != out(17L) || out(57L) != out(67L),
+      "a count-1 bridge vote overturned an intra-cluster majority")
+  }
+
+  test("data_drift_ks: exact ECDF-gap maximum matches a driver recompute") {
+    val ev = T.events(spark, sf).where(col("value").isNotNull)
+      .select(col("event_type"), unix_millis(col("ts")), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lo = ev.map(_._2).min
+    val hi = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val (late, early) = rows.partition(r => r._2 * 2 >= lo + hi)
+      val n0 = early.length.toLong
+      val n1 = late.length.toLong
+      if (n0 == 0 || n1 == 0) None
+      else {
+        val values = rows.map(_._3).distinct.sorted
+        var c0 = 0L; var c1 = 0L
+        var ksNum = 0L
+        values.foreach { v =>
+          c0 += early.count(_._3 == v); c1 += late.count(_._3 == v)
+          ksNum = math.max(ksNum, math.abs(c0 * n1 - c1 * n0))
+        }
+        val micro = (2 * 1000000L * ksNum + n0 * n1) / (2 * n0 * n1)
+        Some(tpe -> ((n0, n1, ksNum, micro.toDouble / 1000000)))
+      }
+    }.toMap
+    val out = SparkEntry.queries("data_drift_ks")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(out == expected)
+    // drift must register somewhere or the max-gap machinery is
+    // untested (identical halves would pass with ks_num = 0)
+    assert(out.values.exists(_._3 > 0), "no distribution gap in fixture")
+  }
 }
