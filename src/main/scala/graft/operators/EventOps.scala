@@ -2194,7 +2194,9 @@ object EventOps {
       """WITH RECURSIVE d0 AS (
         |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
         |         CAST(count(*) AS BIGINT) AS c
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
         |d AS (
         |  SELECT event_type, CAST(c AS DOUBLE) AS c,
         |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
@@ -2232,8 +2234,13 @@ object EventOps {
       // one fact collapse to the calendar-bounded daily table (the
       // event_cusum exception), then a per-type fold over a ≤ |days|
       // array; the sort lives inside sort_array on that bounded array,
-      // not a corpus shuffle.
+      // not a corpus shuffle. Null payloads (degraded lane): a forecast
+      // is defined over LABELED, TIMESTAMPED series, and the filter must
+      // be EXPLICIT in both engines — without it Spark's fold keeps a
+      // null-type group the DuckDB recursion's equi-join silently drops
+      // (measured: 6 vs 5 rows on the 10%-null corpus).
       val daily = T.events(s, d)
+        .where(col("event_type").isNotNull && col("ts").isNotNull)
         .groupBy(col("event_type"),
                  floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
         .agg(count(lit(1)).as("c"))
