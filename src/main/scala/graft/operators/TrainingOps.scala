@@ -1328,6 +1328,95 @@ object TrainingOps {
     },
 
     Q(
+      "text_keyword_rake",
+      s"""WITH tok AS (
+         |  SELECT doc_id, t.w AS token, t.i AS pos,
+         |         CASE WHEN t.w IN ('the','a','of','and','to','is') THEN 1 ELSE 0 END AS stop
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+         |               generate_subscripts(string_split(lower(text), ' '), 1) AS i
+         |        FROM documents WHERE text IS NOT NULL) t(doc_id, w, i)
+         |  WHERE t.w <> ''),
+         |seg0 AS (
+         |  SELECT doc_id, token, pos, stop,
+         |         CAST(sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+         |  FROM tok),
+         |seg AS (SELECT doc_id, token, pos, sid FROM seg0 WHERE stop = 0),
+         |ph AS (
+         |  SELECT doc_id, sid, string_agg(token, ' ' ORDER BY pos) AS phrase,
+         |         CAST(count(*) AS BIGINT) AS plen
+         |  FROM seg GROUP BY 1, 2),
+         |wd AS (
+         |  SELECT s.token, CAST(count(*) AS BIGINT) AS freq, CAST(sum(p.plen) AS BIGINT) AS deg
+         |  FROM seg s JOIN ph p ON p.doc_id = s.doc_id AND p.sid = s.sid
+         |  GROUP BY 1),
+         |ws AS (
+         |  SELECT token, CAST(${graft.operators.LlmOps.microRoundSql("1000000 * deg", "freq", "//")} AS BIGINT) AS micro
+         |  FROM wd),
+         |ps AS (
+         |  SELECT s.doc_id, s.sid, CAST(sum(ws.micro) AS BIGINT) AS score_micro
+         |  FROM seg s JOIN ws ON ws.token = s.token
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |         CAST(max(ps.score_micro) AS BIGINT) AS score_micro
+         |  FROM ph p JOIN ps ON ps.doc_id = p.doc_id AND ps.sid = p.sid
+         |  GROUP BY 1)
+         |SELECT phrase, n_occurrences, score_micro
+         |FROM agg
+         |ORDER BY score_micro DESC, phrase
+         |LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      // RAKE keyword extraction (Rose et al. 2010) — the PHRASE-level
+      // companion of text_tfidf_topk's single-token keywords: candidate
+      // phrases are maximal stopword-free token runs (the same en
+      // function-word list text_lang_id votes with), each scored by
+      // Σ_w deg(w)/freq(w) where deg counts co-occurring phrase slots —
+      // multi-word terms outrank their parts, which is RAKE's point.
+      // Exactness: deg/freq are corpus-exact BIGINTs; each word score
+      // micro-rounds through [[LlmOps.microRoundSql]] BEFORE the
+      // phrase sum so the sum is pure integer — order-free under any
+      // partitioning AND midpoint-safe (the text_readability class);
+      // identical phrases score identically by construction (max =
+      // any). Scale: tokenization is scan-parallel; the segment window
+      // partitions per doc (never corpus-wide); word stats collapse to
+      // the vocabulary and broadcast back; the readout is a bounded
+      // top-20 TakeOrdered.
+      import org.apache.spark.sql.expressions.Window
+      val stops = Seq("the", "a", "of", "and", "to", "is").map(w => s"'$w'").mkString(", ")
+      val tok = T.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+                posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+        .where(col("token") =!= "")
+        .withColumn("stop", expr(s"CASE WHEN token IN ($stops) THEN 1 ELSE 0 END"))
+      val seg = tok
+        .withColumn("sid", sum(col("stop")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+            .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .where(col("stop") === 0)
+        .select(col("doc_id"), col("token"), col("pos"), col("sid"))
+      val ph = seg.groupBy(col("doc_id"), col("sid"))
+        .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, token))), p -> p.token), ' ')").as("phrase"),
+             count(lit(1)).cast("long").as("plen"))
+      val wd = seg.join(ph, Seq("doc_id", "sid"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).cast("long").as("freq"), sum(col("plen")).cast("long").as("deg"))
+        .selectExpr("token",
+          s"CAST(${graft.operators.LlmOps.microRoundSql("1000000 * deg", "freq", "DIV")} AS BIGINT) AS micro")
+      val ps = seg.join(Gate.bcast(wd), Seq("token"))
+        .groupBy(col("doc_id"), col("sid"))
+        .agg(sum(col("micro")).cast("long").as("score_micro"))
+      ph.join(ps, Seq("doc_id", "sid"))
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).cast("long").as("n_occurrences"),
+             max(col("score_micro")).cast("long").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("phrase"))
+        .limit(20)
+        .select(col("phrase"), col("n_occurrences"), col("score_micro"))
+    },
+
+    Q(
       "graph_pagerank",
       """WITH e0 AS (
         |  SELECT source || '.example.com' AS src, lang || '.example.com' AS dst FROM documents

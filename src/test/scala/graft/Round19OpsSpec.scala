@@ -316,4 +316,39 @@ class Round19OpsSpec extends GraftSuite {
     // untested (identical halves would pass with ks_num = 0)
     assert(out.values.exists(_._3 > 0), "no distribution gap in fixture")
   }
+
+  test("text_keyword_rake: top-20 phrases match a driver RAKE recompute") {
+    val stops = Set("the", "a", "of", "and", "to", "is")
+    val docs = T.documents(spark, sf).where(col("text").isNotNull)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // phrases: maximal stopword-free runs per doc
+    val phrases = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1).filter(_.nonEmpty)
+      val segs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      toks.foreach { t =>
+        if (stops(t)) { if (cur.nonEmpty) segs += cur; cur = Vector.empty }
+        else cur :+= t
+      }
+      if (cur.nonEmpty) segs += cur
+      segs.map(seg => (id, seg))
+    }
+    val freq = phrases.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val deg = phrases.flatMap { case (_, seg) => seg.map(w => w -> seg.length.toLong) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    def micro(w: String): Long = {
+      val p = 1000000L * deg(w); val q = freq(w)
+      (2 * p + q) / (2 * q)
+    }
+    val scored = phrases.map { case (_, seg) => (seg.mkString(" "), seg.map(micro).sum) }
+    val expected = scored.groupBy(_._1).map { case (ph, xs) => (ph, xs.length.toLong, xs.head._2) }
+      .toSeq.sortBy { case (ph, _, sc) => (-sc, ph) }.take(20)
+    val out = SparkEntry.queries("text_keyword_rake")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expected)
+    // RAKE's defining property must show on the fixture: some multi-word
+    // phrase outscores every single-word phrase it contains
+    assert(out.exists(_._1.contains(" ")), "no multi-word phrase in top-20")
+  }
 }
