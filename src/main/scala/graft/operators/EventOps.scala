@@ -2263,6 +2263,72 @@ object EventOps {
     },
 
     Q(
+      "event_kalman",
+      """WITH RECURSIVE d0 AS (
+        |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, CAST(c AS DOUBLE) AS c,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM d0),
+        |st(event_type, i, n, x, p) AS (
+        |  SELECT event_type, i, n, c, CAST(1 AS DOUBLE)
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.i + 1, s.n,
+        |         s.x + ((s.p + 1) / (s.p + 1 + 4)) * (y.c - s.x),
+        |         (1 - (s.p + 1) / (s.p + 1 + 4)) * (s.p + 1)
+        |  FROM st s JOIN d y ON y.event_type = s.event_type AND y.i = s.i + 1)
+        |SELECT event_type, n AS n_days,
+        |       round(x, 6) AS level, round(p, 6) AS variance,
+        |       round((p + 1) / (p + 1 + 4), 6) AS gain
+        |FROM st WHERE i = n
+        |ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      // 1-D Kalman filter (Kalman 1960; random-walk state, q = 1,
+      // observation noise r = 4) — the STATE-SPACE rung above
+      // `event_holt`: Holt's gains are fixed knobs; the Kalman gain
+      // k = p⁻/(p⁻+r) ADAPTS, starting high (trust early observations)
+      // and settling to the steady-state Riccati value, and the filter
+      // carries an honest posterior variance next to the level — the
+      // uncertainty readout an anomaly gate thresholds against. Same
+      // cross-engine discipline as event_holt for a sequential float
+      // recursion with a PER-STEP DIVISION: both engines execute the
+      // spliced-identical operation sequence (Spark: higher-order
+      // `aggregate` fold per type; DuckDB: recursive CTE in lockstep),
+      // every operand DOUBLE, so each step's (x, p) state is
+      // bit-identical — including the division, which IEEE defines
+      // exactly for identical operands. Recursion runs on the
+      // calendar-bounded daily table; integer constants (1, 4) parse
+      // identically everywhere, no decimal-literal hazard at all.
+      val daily = T.events(s, d)
+        .where(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+                 floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val gain = "((st.p + 1) / (st.p + 1 + 4))"
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("sd"))
+        .selectExpr("event_type",
+          "CAST(size(sd) AS BIGINT) AS n_days",
+          "transform(sd, q -> CAST(q.c AS DOUBLE)) AS ys")
+        .selectExpr("event_type", "n_days",
+          s"""aggregate(slice(ys, 2, size(ys) - 1),
+             |          named_struct('x', ys[0], 'p', CAST(1 AS DOUBLE)),
+             |          (st, y) -> named_struct(
+             |            'x', st.x + $gain * (y - st.x),
+             |            'p', (1 - $gain) * (st.p + 1))) AS st""".stripMargin)
+        .selectExpr("event_type", "n_days",
+          "round(st.x, 6) AS level", "round(st.p, 6) AS variance",
+          "round((st.p + 1) / (st.p + 1 + 4), 6) AS gain")
+        .orderBy(col("event_type"))
+    },
+
+    Q(
       "event_changepoint",
       s"""WITH d AS (
          |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,

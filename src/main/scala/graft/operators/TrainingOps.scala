@@ -1141,6 +1141,56 @@ object TrainingOps {
     },
 
     Q(
+      "sample_poisson_bootstrap",
+      s"""WITH u AS (
+         |  SELECT doc_id, ${fpSql("text")} % 1000000 AS um
+         |  FROM documents WHERE text IS NOT NULL),
+         |k AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN um < 367879 THEN 0
+         |                   WHEN um < 735759 THEN 1
+         |                   WHEN um < 919699 THEN 2
+         |                   WHEN um < 981012 THEN 3
+         |                   WHEN um < 996340 THEN 4
+         |                   ELSE 5 END AS BIGINT) AS n_copies
+         |  FROM u)
+         |SELECT doc_id, n_copies, CAST(r.replica AS BIGINT) AS replica
+         |FROM k, unnest(range(1, n_copies + 1)) AS r(replica)
+         |WHERE n_copies > 0
+         |ORDER BY doc_id, replica""".stripMargin
+    ) { (s, d) =>
+      // Poisson bootstrap / with-replacement epoch resampling — the
+      // sampler rung `sample_split`'s caveat points at: splits and
+      // reservoirs draw WITHOUT replacement, but bootstrap ensembles
+      // and count-weighted epoch mixtures need each example replicated
+      // Poisson(1) times (the standard distributed bootstrap — Chamandy
+      // et al. 2012, Google's "Estimating uncertainty for massive data
+      // streams": per-row independent Poisson counts need no global n,
+      // so the draw is one scan). Determinized the repo way: the
+      // content rolling-hash supplies the uniform (reproducible across
+      // rebuilds/engines/partitionings; exact dupes replicate
+      // identically), and the inverse-CDF ladder is EXACT INTEGER
+      // micro-unit thresholds (⌊10⁶·P(K≤k)⌋ for λ=1: 367879, 735759,
+      // 919699, 981012, 996340 — capped at 5, P(K>5) ≈ 6·10⁻⁴) — no
+      // float anywhere, so both engines agree bit-for-bit by
+      // construction. Plan: scan-parallel projection + a bounded ≤5×
+      // generator fan-out, zero shuffles before the output sort; the
+      // mean fan-out is 1, so the resampled epoch is corpus-sized.
+      val um = fpSpark("text") % 1000000
+      T.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), um.as("um"))
+        .withColumn("n_copies",
+          when(col("um") < 367879, 0L).when(col("um") < 735759, 1L)
+            .when(col("um") < 919699, 2L).when(col("um") < 981012, 3L)
+            .when(col("um") < 996340, 4L).otherwise(5L))
+        .where(col("n_copies") > 0)
+        .select(col("doc_id"), col("n_copies"),
+                explode(expr("sequence(1L, n_copies)")).as("replica"))
+        .orderBy(col("doc_id"), col("replica"))
+    },
+
+    Q(
       "sample_weighted_reservoir",
       s"""WITH s0 AS (
          |  SELECT doc_id, lang, n_chars,

@@ -351,4 +351,54 @@ class Round19OpsSpec extends GraftSuite {
     // phrase outscores every single-word phrase it contains
     assert(out.exists(_._1.contains(" ")), "no multi-word phrase in top-20")
   }
+
+  test("event_kalman: level/variance/gain match a sequential driver recompute; gain adapts") {
+    val daily = T.events(spark, sf)
+      .where(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"),
+               floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def r6(v: Double) = new java.math.BigDecimal(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val expected = daily.groupBy(_._1).map { case (tpe, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      var x = ys.head
+      var p = 1.0
+      ys.tail.foreach { y =>
+        val g = (p + 1) / (p + 1 + 4)
+        x = x + g * (y - x)
+        p = (1 - g) * (p + 1)
+      }
+      tpe -> ((ys.length.toLong, r6(x), r6(p), r6((p + 1) / (p + 1 + 4))))
+    }
+    val out = SparkEntry.queries("event_kalman")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(out == expected.toMap)
+    // the Riccati fixed point for q=1, r=4: p* = (1+sqrt(17))/2 − 1 ≈
+    // 1.5616, gain* = (p*+1)/(p*+5) ≈ 0.39; a long-enough series must
+    // have CONVERGED (gain within 1e-3 of the fixed point) — pinning
+    // that the recursion really iterates rather than echoing the init
+    val gainStar = ((1 + math.sqrt(17)) / 2) / ((1 + math.sqrt(17)) / 2 + 4)
+    assert(out.values.exists(v => v._1 > 20 && math.abs(v._4 - gainStar) < 1e-3),
+      s"no long series converged to the Riccati gain $gainStar")
+  }
+
+  test("sample_poisson_bootstrap: replication counts match the hash ladder; mean fan-out ~ 1") {
+    val fp = SparkEntry.queries("sample_poisson_bootstrap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // structural: replicas are exactly 1..n_copies per doc
+    fp.groupBy(_._1).foreach { case (id, rows) =>
+      val k = rows.head._2
+      assert(rows.forall(_._2 == k) && rows.map(_._3).sorted.toSeq == (1L to k),
+        s"doc $id: replica set is not 1..$k")
+    }
+    // distributional: with the Poisson(1) ladder the replicated corpus
+    // stays within 15% of the original size and uses multiple k values
+    val nDocs = T.documents(spark, sf).where(col("text").isNotNull).count()
+    assert(math.abs(fp.length.toDouble / nDocs - 1.0) < 0.15,
+      s"${fp.length} replicas for $nDocs docs — fan-out far from 1")
+    assert(fp.map(_._2).distinct.length >= 3, "k ladder degenerate on fixture")
+  }
 }
