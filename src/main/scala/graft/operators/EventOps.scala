@@ -2329,6 +2329,84 @@ object EventOps {
     },
 
     Q(
+      "event_acf",
+      s"""WITH d AS (
+        |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+        |      FROM d GROUP BY 1),
+        |den AS (SELECT d.event_type,
+        |               CAST(sum((m.n * d.c - m.s) * (m.n * d.c - m.s)) AS BIGINT) AS den_int
+        |        FROM d JOIN m ON m.event_type = d.event_type GROUP BY 1),
+        |p AS (SELECT a.event_type, CAST(b.day - a.day AS BIGINT) AS lag,
+        |             CAST(count(*) AS BIGINT) AS n_pairs,
+        |             CAST(sum((m.n * a.c - m.s) * (m.n * b.c - m.s)) AS BIGINT) AS num_int
+        |      FROM d a JOIN d b ON b.event_type = a.event_type
+        |        AND b.day - a.day BETWEEN 1 AND 7
+        |      JOIN m ON m.event_type = a.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.event_type AS event_type, lag, n_pairs,
+        |       CAST(${graft.operators.LlmOps.microRoundSql("1000000 * num_int", "den_int", "//")} AS DOUBLE) / 1000000 AS acf
+        |FROM p JOIN den ON den.event_type = p.event_type
+        |WHERE den_int > 0
+        |ORDER BY p.event_type, lag""".stripMargin
+    ) { (s, d) =>
+      // Sample autocorrelation at lags 1..7 of the per-type daily count
+      // series — the DIAGNOSTIC rung the forecasting keys assume: Holt
+      // and the Kalman filter MODEL serial dependence, the ACF MEASURES
+      // it (a weekly-seasonal stream shows the lag-7 spike that says
+      // event_seasonality's day-of-week profile is the right model; a
+      // flat ACF says the anomaly keys' independence assumptions hold).
+      // EXACT integer algebra throughout: with y the integer daily
+      // counts and ȳ = S/n rational, scaling both sides by n² makes
+      // every term a BIGINT — num(L) = Σ(n·yₜ−S)(n·yₜ₊L−S) over the
+      // pairs at EXACT day-difference L (calendar gaps simply
+      // contribute no pair, identically in both engines), den =
+      // Σ(n·yₜ−S)² over the full series — so acf = num/den is a pure
+      // rational read out through [[LlmOps.microRoundSql]] (a
+      // denominator that is itself a data-dependent square sum is
+      // exactly the midpoint class IEEE round(…,6) breaks on). Null
+      // payloads are filtered EXPLICITLY in both engines (the
+      // event_holt degraded-lane rule: an unlabeled or untimestamped
+      // event belongs to no series). Scale shape: one corpus collapse
+      // to the calendar-bounded daily table, then a ±7-band self-join
+      // and the moment sums on that COLLAPSED table — |days|·|types|
+      // rows, never event count; the band join is the RangeJoinExec
+      // shape if the calendar ever got wide enough to matter.
+      val daily = T.events(s, d)
+        .where(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+                 floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val m = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("c")).cast("long").as("s"))
+      val den = daily.as("d").join(m.as("m"), col("d.event_type") === col("m.event_type"))
+        .select(col("d.event_type").as("event_type"),
+                ((col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s"))).as("t"))
+        .groupBy(col("event_type")).agg(sum(col("t")).cast("long").as("den_int"))
+      val pairs = daily.as("a")
+        .join(daily.as("b"),
+              col("b.event_type") === col("a.event_type") &&
+                (col("b.day") - col("a.day")).between(1, 7))
+        .join(m.as("m"), col("m.event_type") === col("a.event_type"))
+        .select(col("a.event_type").as("event_type"),
+                (col("b.day") - col("a.day")).cast("long").as("lag"),
+                ((col("n") * col("a.c") - col("s")) *
+                 (col("n") * col("b.c") - col("s"))).as("prod"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+             sum(col("prod")).cast("long").as("num_int"))
+      pairs.as("p").join(den.as("dn"), col("dn.event_type") === col("p.event_type"))
+        .where(col("den_int") > 0)
+        .selectExpr("p.event_type AS event_type", "lag", "n_pairs",
+          s"CAST(${graft.operators.LlmOps.microRoundSql("1000000 * num_int", "den_int", "DIV")} AS DOUBLE) / 1000000 AS acf")
+        .orderBy(col("event_type"), col("lag"))
+    },
+
+    Q(
       "event_changepoint",
       s"""WITH d AS (
          |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,

@@ -2281,6 +2281,94 @@ object TrainingOps {
         .orderBy(col("event_type"))
     },
 
+    Q(
+      "data_drift_wasserstein",
+      s"""WITH e AS (
+        |  SELECT event_type, epoch_ms(ts) AS ms, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM e),
+        |t AS (SELECT event_type, cents,
+        |             CASE WHEN ms * 2 >= b.lo + b.hi THEN 1 ELSE 0 END AS late
+        |      FROM e, b),
+        |c AS (SELECT event_type, cents,
+        |             CAST(sum(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+        |             CAST(sum(late) AS BIGINT) AS d1
+        |      FROM t GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(sum(d0) AS BIGINT) AS n0, CAST(sum(d1) AS BIGINT) AS n1
+        |      FROM c GROUP BY 1),
+        |cum AS (SELECT event_type, cents,
+        |               CAST(sum(d0) OVER (PARTITION BY event_type ORDER BY cents
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c0,
+        |               CAST(sum(d1) OVER (PARTITION BY event_type ORDER BY cents
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+        |               CAST(coalesce(lead(cents) OVER (PARTITION BY event_type ORDER BY cents)
+        |                 - cents, 0) AS BIGINT) AS width
+        |        FROM c),
+        |k AS (SELECT cum.event_type,
+        |             CAST(sum(abs(c0 * n.n1 - c1 * n.n0) * width) AS BIGINT) AS w1_num,
+        |             CAST(max(n.n0) AS BIGINT) AS n_before, CAST(max(n.n1) AS BIGINT) AS n_after
+        |      FROM cum JOIN n ON n.event_type = cum.event_type
+        |        OR (n.event_type IS NULL AND cum.event_type IS NULL)
+        |      GROUP BY 1)
+         |SELECT event_type, n_before, n_after, w1_num,
+         |       CAST(${graft.operators.LlmOps.microRoundSql("1000000 * w1_num", "n_before * n_after", "//")} AS DOUBLE) / 1000000 AS w1_cents
+         |FROM k WHERE n_before > 0 AND n_after > 0
+         |ORDER BY event_type NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      // 1-D Wasserstein (earth-mover) drift — `data_drift_ks`'s
+      // MAGNITUDE sibling. KS reports the worst single ECDF gap and is
+      // deliberately insensitive to how LONG the gap persists along the
+      // value axis; W₁ integrates it: on the real line
+      // W₁ = ∫|F₀−F₁|dx (Vallender 1974), so a 1-cent shift of the
+      // whole distribution scores 1 cent while KS saturates. Between
+      // observed values both ECDFs are flat, so the integral is EXACTLY
+      // Σᵢ |F₀−F₁|(xᵢ)·(xᵢ₊₁−xᵢ) over the distinct-cents grid — the
+      // same one-collapse machinery as KS with one extra lead() for the
+      // step width, and the numerator Σ|c0·n1−c1·n0|·width is a pure
+      // BIGINT (the last grid row's lead is NULL → width 0, i.e. the
+      // integral stops at the largest observed value, identically in
+      // both engines via the same coalesce). Readout W₁ = num/(n0·n1)
+      // in CENTS through [[LlmOps.microRoundSql]] — denominators of the
+      // form n0·n1 are the measured midpoint class, so IEEE round(…,6)
+      // is avoided by construction. Scale shape: identical to KS —
+      // bounded by the monetary value domain, never event count; beyond
+      // that domain the production answer is per-slice KLL quantile
+      // grids, where the same sum over quantile steps approximates W₁
+      // with the sketch's rank error.
+      val ev = T.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+                round(col("value") * 100).cast("long").as("cents"))
+      val bounds = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+      val c = ev.crossJoin(broadcast(bounds))
+        .select(col("event_type"), col("cents"),
+                (col("ms") * 2 >= col("lo") + col("hi")).cast("int").as("late"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("late") === 0, 1L).otherwise(0L)).as("d0"),
+             sum(col("late").cast("long")).as("d1"))
+      val n = c.groupBy(col("event_type"))
+        .agg(sum(col("d0")).as("n0"), sum(col("d1")).as("n1"))
+      val wSpec = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"))
+      val wCum = wSpec.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      c.select(col("event_type"), col("cents"),
+               sum(col("d0")).over(wCum).as("c0"), sum(col("d1")).over(wCum).as("c1"),
+               coalesce(lead(col("cents"), 1).over(wSpec) - col("cents"), lit(0L))
+                 .cast("long").as("width"))
+        .as("cum")
+        .join(n.as("nn"), col("cum.event_type") <=> col("nn.event_type"))
+        .select(col("cum.event_type").as("event_type"), col("c0"), col("c1"),
+                col("width"), col("n0"), col("n1"))
+        .groupBy(col("event_type"))
+        .agg(sum(abs(col("c0") * col("n1") - col("c1") * col("n0")) * col("width"))
+               .cast("long").as("w1_num"),
+             max(col("n0")).cast("long").as("n_before"),
+             max(col("n1")).cast("long").as("n_after"))
+        .where(col("n_before") > 0 && col("n_after") > 0)
+        .selectExpr("event_type", "n_before", "n_after", "w1_num",
+          s"CAST(${graft.operators.LlmOps.microRoundSql("1000000 * w1_num", "n_before * n_after", "DIV")} AS DOUBLE) / 1000000 AS w1_cents")
+        .orderBy(col("event_type"))
+    },
+
     // Convergence-detected BFS (VERDICT r14 item 6) — the variant
     // `graph_shortest_path`'s scale note promises: UNBOUNDED depth via
     // frontier-delta iteration instead of a fixed unroll, stopping when

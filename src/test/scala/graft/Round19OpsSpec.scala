@@ -401,4 +401,79 @@ class Round19OpsSpec extends GraftSuite {
       s"${fp.length} replicas for $nDocs docs — fan-out far from 1")
     assert(fp.map(_._2).distinct.length >= 3, "k ladder degenerate on fixture")
   }
+
+  test("event_acf: lag-L autocorrelations match the exact-rational recompute") {
+    val out = SparkEntry.queries("event_acf")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val daily = T.events(spark, sf)
+      .where(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"),
+               floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val byDay = rows.map(r => r._2 -> r._3).toMap
+      val n = rows.length.toLong
+      val sTot = rows.map(_._3).sum
+      val den = rows.map(r => (n * r._3 - sTot) * (n * r._3 - sTot)).sum
+      (1L to 7L).flatMap { lag =>
+        val pairs = rows.flatMap(r => byDay.get(r._2 + lag).map(c2 => (r._3, c2)))
+        if (pairs.isEmpty || den == 0L) None
+        else {
+          val num = pairs.map { case (a, b) => (n * a - sTot) * (n * b - sTot) }.sum
+          // the operator's micro-round: half away from zero on 1e6·num/den
+          val p = BigInt(1000000) * num
+          val micro =
+            if (p >= 0) (2 * p + den) / (2 * BigInt(den))
+            else -((2 * (-p) + den) / (2 * BigInt(den)))
+          Some((tpe, lag) -> ((pairs.length.toLong, micro.toDouble / 1e6)))
+        }
+      }
+    }.toMap
+    assert(out.keySet == expected.keySet,
+      s"rows differ: extra=${out.keySet -- expected.keySet} missing=${expected.keySet -- out.keySet}")
+    out.foreach { case (k, (np, acf)) =>
+      assert(np == expected(k)._1, s"$k: n_pairs $np != ${expected(k)._1}")
+      assert(acf == expected(k)._2, s"$k: acf $acf != recomputed ${expected(k)._2}")
+    }
+    // sanity: |acf| ≤ 1 + slack (Cauchy-Schwarz on the truncated sums can
+    // exceed 1 slightly for short series, but the fixture must stay sane)
+    out.values.foreach { case (_, a) => assert(math.abs(a) <= 1.5, s"acf $a insane") }
+  }
+
+  test("data_drift_wasserstein: W1 equals the brute per-sample ECDF integral") {
+    val out = SparkEntry.queries("data_drift_wasserstein")(spark, sf).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val ev = T.events(spark, sf).where(col("value").isNotNull)
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+              round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+                           r.getLong(1), r.getLong(2)))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val early = rows.filter(r => r._2 * 2 < lo + hi).map(_._3).sorted
+      val late = rows.filter(r => r._2 * 2 >= lo + hi).map(_._3).sorted
+      val (n0, n1) = (early.length.toLong, late.length.toLong)
+      if (n0 == 0 || n1 == 0) None
+      else {
+        // brute integral of |F0 - F1| over the union grid, exact BIGINT
+        val grid = (early ++ late).distinct.sorted
+        val num = grid.sliding(2).filter(_.length == 2).map { w =>
+          val (a, b) = (w(0), w(1))
+          val c0 = early.count(_ <= a); val c1 = late.count(_ <= a)
+          BigInt((c0 * n1 - c1 * n0).abs) * (b - a)
+        }.sum
+        val p = BigInt(1000000) * num
+        val q = BigInt(n0) * n1
+        Some(tpe -> ((n0, n1, num.toLong, ((2 * p + q) / (2 * q)).toDouble / 1e6)))
+      }
+    }
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (k, (n0, n1, num, w1)) =>
+      val e = expected(k)
+      assert((n0, n1, num) == ((e._1, e._2, e._3)), s"$k: counts/num differ")
+      assert(w1 == e._4, s"$k: w1 $w1 != recomputed ${e._4}")
+    }
+  }
 }
