@@ -2407,6 +2407,118 @@ object EventOps {
     },
 
     Q(
+      "event_spc",
+      """WITH d AS (
+        |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+        |      FROM d GROUP BY 1),
+        |dev AS (SELECT d.event_type, day, m.n, m.n * d.c - m.s AS dv
+        |        FROM d JOIN m ON m.event_type = d.event_type),
+        |v AS (SELECT event_type, CAST(sum(dv * dv) AS BIGINT) AS ss FROM dev GROUP BY 1),
+        |f AS (SELECT dev.event_type, day, n, dv, ss,
+        |             CASE WHEN n * dv * dv > 9 * ss THEN 1 ELSE 0 END AS b3,
+        |             CASE WHEN n * dv * dv > 4 * ss AND dv > 0 THEN 1 ELSE 0 END AS p2,
+        |             CASE WHEN n * dv * dv > 4 * ss AND dv < 0 THEN 1 ELSE 0 END AS m2,
+        |             CASE WHEN n * dv * dv > ss AND dv > 0 THEN 1 ELSE 0 END AS p1,
+        |             CASE WHEN n * dv * dv > ss AND dv < 0 THEN 1 ELSE 0 END AS m1,
+        |             CASE WHEN dv > 0 THEN 1 ELSE 0 END AS sp,
+        |             CASE WHEN dv < 0 THEN 1 ELSE 0 END AS sm
+        |      FROM dev JOIN v ON v.event_type = dev.event_type),
+        |w AS (SELECT event_type, day, b3,
+        |             CASE WHEN count(*) OVER w9 = 9 AND
+        |                       (sum(sp) OVER w9 = 9 OR sum(sm) OVER w9 = 9)
+        |                  THEN 1 ELSE 0 END AS r2,
+        |             CASE WHEN count(*) OVER w3 = 3 AND
+        |                       (sum(p2) OVER w3 >= 2 OR sum(m2) OVER w3 >= 2)
+        |                  THEN 1 ELSE 0 END AS r3,
+        |             CASE WHEN count(*) OVER w5 = 5 AND
+        |                       (sum(p1) OVER w5 >= 4 OR sum(m1) OVER w5 >= 4)
+        |                  THEN 1 ELSE 0 END AS r4
+        |      FROM f
+        |      WINDOW w9 AS (PARTITION BY event_type ORDER BY day
+        |                    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |             w3 AS (PARTITION BY event_type ORDER BY day
+        |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |             w5 AS (PARTITION BY event_type ORDER BY day
+        |                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |agg AS (SELECT event_type,
+        |               CAST(sum(b3) AS BIGINT) AS r1, CAST(sum(r2) AS BIGINT) AS r2,
+        |               CAST(sum(r3) AS BIGINT) AS r3, CAST(sum(r4) AS BIGINT) AS r4
+        |        FROM w GROUP BY 1)
+        |SELECT event_type, rule, n_flagged FROM (
+        |  SELECT event_type, 'r1_beyond_3sigma' AS rule, r1 AS n_flagged FROM agg
+        |  UNION ALL SELECT event_type, 'r2_run_of_9', r2 FROM agg
+        |  UNION ALL SELECT event_type, 'r3_2of3_beyond_2sigma', r3 FROM agg
+        |  UNION ALL SELECT event_type, 'r4_4of5_beyond_1sigma', r4 FROM agg)
+        |ORDER BY event_type, rule""".stripMargin
+    ) { (s, d) =>
+      // Statistical-process-control screen: the four Western Electric
+      // zone rules (WECo 1956) over each type's daily-count control
+      // chart — the monitoring vocabulary event_anomaly (plain 3σ),
+      // event_cusum (cumulative drift) and event_changepoint
+      // (retrospective splits) each speak one word of: rule 1 = one
+      // point beyond 3σ, rule 2 = nine consecutive on one side of
+      // center, rule 3 = two of three consecutive beyond 2σ same side,
+      // rule 4 = four of five beyond 1σ same side. The entire rule
+      // algebra is EXACT integers — with dᵗ = n·yᵗ − S and
+      // SS = Σd², the zone test |yᵗ−ȳ| > zσ is n·dᵗ² > z²·SS
+      // (population σ, both sides scaled by n³), and sidedness is
+      // sign(dᵗ) — so there is NO float anywhere in the output and no
+      // rounding contract at all; runs/zone membership come from
+      // bounded ROWS windows (9/3/5) on the day-ordered series, flagged
+      // only at full window width (identical count(*) guard in both
+      // engines). Scale shape: one corpus collapse to the
+      // calendar-bounded daily table (the event_cusum exception), four
+      // windows sharing one sort, a per-type rollup, and a 4-way
+      // unpivot — |types|×4 output rows.
+      val daily = T.events(s, d)
+        .where(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+                 floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val m = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("c")).cast("long").as("s"))
+      val dev = daily.as("d").join(m.as("m"), col("d.event_type") === col("m.event_type"))
+        .select(col("d.event_type").as("event_type"), col("day"), col("n"),
+                (col("n") * col("c") - col("s")).as("dv"))
+      val v = dev.groupBy(col("event_type").as("vt"))
+        .agg(sum(col("dv") * col("dv")).cast("long").as("ss"))
+      val f = dev.join(v, col("event_type") === col("vt")).drop("vt")
+        .selectExpr("event_type", "day",
+          "CASE WHEN n * dv * dv > 9 * ss THEN 1 ELSE 0 END AS b3",
+          "CASE WHEN n * dv * dv > 4 * ss AND dv > 0 THEN 1 ELSE 0 END AS p2",
+          "CASE WHEN n * dv * dv > 4 * ss AND dv < 0 THEN 1 ELSE 0 END AS m2",
+          "CASE WHEN n * dv * dv > ss AND dv > 0 THEN 1 ELSE 0 END AS p1",
+          "CASE WHEN n * dv * dv > ss AND dv < 0 THEN 1 ELSE 0 END AS m1",
+          "CASE WHEN dv > 0 THEN 1 ELSE 0 END AS sp",
+          "CASE WHEN dv < 0 THEN 1 ELSE 0 END AS sm")
+      import org.apache.spark.sql.expressions.Window
+      def wrows(k: Int) = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-(k - 1), 0)
+      val flagged = f.select(col("event_type"), col("b3"),
+        when(count(lit(1)).over(wrows(9)) === 9 &&
+             (sum(col("sp")).over(wrows(9)) === 9 || sum(col("sm")).over(wrows(9)) === 9),
+             1).otherwise(0).as("r2"),
+        when(count(lit(1)).over(wrows(3)) === 3 &&
+             (sum(col("p2")).over(wrows(3)) >= 2 || sum(col("m2")).over(wrows(3)) >= 2),
+             1).otherwise(0).as("r3"),
+        when(count(lit(1)).over(wrows(5)) === 5 &&
+             (sum(col("p1")).over(wrows(5)) >= 4 || sum(col("m1")).over(wrows(5)) >= 4),
+             1).otherwise(0).as("r4"))
+      flagged.groupBy(col("event_type"))
+        .agg(sum(col("b3")).cast("long").as("r1"), sum(col("r2")).cast("long").as("r2"),
+             sum(col("r3")).cast("long").as("r3"), sum(col("r4")).cast("long").as("r4"))
+        .selectExpr("event_type",
+          "stack(4, 'r1_beyond_3sigma', r1, 'r2_run_of_9', r2, " +
+            "'r3_2of3_beyond_2sigma', r3, 'r4_4of5_beyond_1sigma', r4) AS (rule, n_flagged)")
+        .orderBy(col("event_type"), col("rule"))
+    },
+
+    Q(
       "event_changepoint",
       s"""WITH d AS (
          |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,

@@ -1580,6 +1580,72 @@ object TrainingOps {
     },
 
     Q(
+      "graph_assortativity",
+      s"""WITH e0 AS (
+        |  SELECT doc_id % 50 AS a, (doc_id // 50) % 50 AS b FROM documents
+        |  WHERE doc_id % 50 <> (doc_id // 50) % 50),
+        |eu AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e0),
+        |ed AS (SELECT a AS src, b AS dst FROM eu UNION ALL SELECT b, a FROM eu),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS k FROM ed GROUP BY 1),
+        |j AS (SELECT da.k AS js, db.k AS kd
+        |      FROM ed JOIN deg da ON da.node = ed.src JOIN deg db ON db.node = ed.dst),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |              CAST(sum(js * kd) AS BIGINT) AS sjk,
+        |              CAST(sum(js) AS BIGINT) AS sj,
+        |              CAST(sum(js * js) AS BIGINT) AS sj2
+        |       FROM j)
+        |SELECT m2 // 2 AS m_edges,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |       CAST(m2 * sjk - sj * sj AS BIGINT) AS num_int,
+        |       CAST(m2 * sj2 - sj * sj AS BIGINT) AS den_int,
+        |       CAST(${graft.operators.LlmOps.microRoundSql("1000000 * (m2 * sjk - sj * sj)", "m2 * sj2 - sj * sj", "//")} AS DOUBLE) / 1000000 AS assortativity
+        |FROM mm WHERE m2 * sj2 - sj * sj > 0""".stripMargin
+    ) { (s, d) =>
+      // Degree assortativity (Newman 2002, the Pearson correlation of
+      // endpoint degrees over edges) — the one-number structural
+      // signature the graph family's other keys don't measure: social
+      // graphs run positive (hubs befriend hubs), web/crawl and
+      // biological graphs negative (hubs link leaves), and a corpus
+      // provenance graph that FLIPS sign between snapshots has changed
+      // generating process — a drift alarm at graph granularity. Same
+      // planted undirected entity graph as graph_triangle_count.
+      // Exact algebra: over the 2M DIRECTED edges, each endpoint-degree
+      // pair (j, k) has integer moments — Σjk, Σj (= Σk by symmetry),
+      // Σj² — and scaling Newman's r by (2M)² clears every division:
+      // r = (2M·Σjk − (Σj)²) / (2M·Σj² − (Σj)²), a pure-BIGINT rational
+      // read out through [[LlmOps.microRoundSql]] (the denominator is a
+      // data-dependent square sum — the measured midpoint class).
+      // Scale shape: the degree table is |V|-sized (size-gate broadcast
+      // onto the edge fact — two equi-joins, no all-pairs anywhere),
+      // the moment fold is one partial+final aggregate to ONE row; the
+      // zero-variance regular graph (den = 0, r undefined) is guarded
+      // identically in both engines.
+      val und = T.documents(s, d)
+        .select(expr("doc_id % 50").as("a"), expr("(doc_id DIV 50) % 50").as("b"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      val ed = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+      val deg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).cast("long").as("k"))
+      val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+      ed.join(broadcast(deg.withColumnRenamed("node", "sn").withColumnRenamed("k", "js")),
+              col("src") === col("sn"))
+        .join(broadcast(deg.withColumnRenamed("node", "dn").withColumnRenamed("k", "kd")),
+              col("dst") === col("dn"))
+        .agg(count(lit(1)).cast("long").as("m2"),
+             sum(col("js") * col("kd")).cast("long").as("sjk"),
+             sum(col("js")).cast("long").as("sj"),
+             sum(col("js") * col("js")).cast("long").as("sj2"))
+        .crossJoin(broadcast(nNodes))
+        .selectExpr("m2 DIV 2 AS m_edges", "n_nodes",
+          "CAST(m2 * sjk - sj * sj AS BIGINT) AS num_int",
+          "CAST(m2 * sj2 - sj * sj AS BIGINT) AS den_int",
+          s"CAST(${graft.operators.LlmOps.microRoundSql("1000000 * (m2 * sjk - sj * sj)", "m2 * sj2 - sj * sj", "DIV")} AS DOUBLE) / 1000000 AS assortativity")
+        .where(col("den_int") > 0)
+    },
+
+    Q(
       "graph_shortest_path",
       """WITH RECURSIVE e0 AS (
         |  SELECT doc_id % 50 AS a, (doc_id // 50) % 50 AS b FROM documents

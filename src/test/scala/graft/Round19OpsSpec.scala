@@ -441,6 +441,82 @@ class Round19OpsSpec extends GraftSuite {
     out.values.foreach { case (_, a) => assert(math.abs(a) <= 1.5, s"acf $a insane") }
   }
 
+  test("graph_assortativity: r matches the brute endpoint-degree Pearson recompute") {
+    val row = SparkEntry.queries("graph_assortativity")(spark, sf).collect().head
+    val (m, nNodes, num, den, r) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+    val docIds = T.documents(spark, sf).select(col("doc_id")).collect().map(_.getLong(0))
+    val und = docIds.map(id => (id % 50, (id / 50) % 50)).filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val directed = und ++ und.map(_.swap)
+    val deg = directed.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    assert(m == und.length.toLong && nNodes == deg.size.toLong)
+    val m2 = directed.length.toLong
+    val sj = directed.map(e => deg(e._1)).sum
+    val sjk = directed.map(e => deg(e._1) * deg(e._2)).sum
+    val sj2 = directed.map(e => deg(e._1) * deg(e._1)).sum
+    assert(num == m2 * sjk - sj * sj && den == m2 * sj2 - sj * sj)
+    // IEEE cross-check against the classical Pearson-over-edges form
+    val rFloat = (m2 * sjk - sj * sj).toDouble / (m2 * sj2 - sj * sj)
+    assert(math.abs(r - rFloat) < 1e-6, s"micro-rounded $r vs float $rFloat")
+    assert(r < 0, "residue-class entity graph must be disassortative (hubs link leaves)")
+  }
+
+  test("event_spc: zero flags on the stationary fixture; every rule fires on a planted chart") {
+    // Arm 1 — independent driver recompute of all four rules on the
+    // real fixture (near-stationary: a handful of flags at most).
+    val base = SparkEntry.queries("event_spc")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val daily = T.events(spark, sf)
+      .where(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"),
+               floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val series = rows.sortBy(_._2).map(_._3)
+      val n = series.length.toLong
+      val sTot = series.sum
+      val dv = series.map(c => n * c - sTot)
+      val ss = dv.map(d => d * d).sum
+      def beyond(z: Long)(d: Long) = n * d * d > z * z * ss
+      def winCount(flags: Seq[Boolean], w: Int, need: Int): Long =
+        flags.indices.count(i => i >= w - 1 &&
+          (i - w + 1 to i).count(flags) >= need).toLong
+      val r1 = dv.count(beyond(3)).toLong
+      val r2 = winCount(dv.map(_ > 0), 9, 9) + winCount(dv.map(_ < 0), 9, 9)
+      val r3 = winCount(dv.map(d => beyond(2)(d) && d > 0), 3, 2) +
+        winCount(dv.map(d => beyond(2)(d) && d < 0), 3, 2)
+      val r4 = winCount(dv.map(d => beyond(1)(d) && d > 0), 5, 4) +
+        winCount(dv.map(d => beyond(1)(d) && d < 0), 5, 4)
+      Seq((tpe, "r1_beyond_3sigma") -> r1, (tpe, "r2_run_of_9") -> r2,
+          (tpe, "r3_2of3_beyond_2sigma") -> r3, (tpe, "r4_4of5_beyond_1sigma") -> r4)
+    }.toMap
+    assert(base == expected,
+      s"diff: ${(base.toSet diff expected.toSet) ++ (expected.toSet diff base.toSet)}")
+    // Arm 2 — the same REGISTERED query on a planted corpus where each
+    // rule provably fires (mean 12.41, sigma 5.54 over the whole chart):
+    // 30 days at 10 (run below center → r2), 12 at 13 (run above), 3 at
+    // 25 (beyond 2-sigma cluster → r3, and with the spike a 4-of-5
+    // beyond 1-sigma window → r4), one 40-event spike day (beyond
+    // 3-sigma → r1, exactly once).
+    val dir = java.nio.file.Files.createTempDirectory("spc_plant").toString
+    val rows = (0 until 46).flatMap { day =>
+      val perDay = if (day < 30) 10 else if (day < 42) 13 else if (day < 45) 25 else 40
+      (0 until perDay).map(i => (day.toLong * 100 + i,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(day * 86400000L + 1000L * i)),
+        1L, "planted", 1.0, "{}"))
+    }
+    spark.createDataFrame(rows).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = SparkEntry.queries("event_spc")(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(planted.values.forall(_ > 0L),
+      s"planted chart left a rule silent: $planted")
+    // the spike day is the only single point beyond 3 sigma
+    assert(planted("r1_beyond_3sigma") == 1L, s"r1: ${planted("r1_beyond_3sigma")}")
+  }
+
   test("data_drift_wasserstein: W1 equals the brute per-sample ECDF integral") {
     val out = SparkEntry.queries("data_drift_wasserstein")(spark, sf).collect()
       .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
