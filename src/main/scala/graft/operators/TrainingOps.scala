@@ -1191,6 +1191,74 @@ object TrainingOps {
     },
 
     Q(
+      "sample_neyman",
+      """WITH s AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS nh,
+        |         CAST(sum(n_chars) AS BIGINT) AS sh,
+        |         CAST(sum(n_chars * n_chars) AS BIGINT) AS qh
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT lang, nh,
+        |             CAST(round(1000000 * sqrt(CAST(nh * qh - sh * sh AS DOUBLE))) AS BIGINT) AS w_micro
+        |      FROM s),
+        |tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wt FROM w),
+        |base AS (SELECT lang, nh, w_micro,
+        |                (200 * w_micro) // wt AS n_base,
+        |                (200 * w_micro) % wt AS rem,
+        |                wt
+        |         FROM w, tot WHERE wt > 0),
+        |r AS (SELECT lang, nh, w_micro, n_base, rem,
+        |             row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |             (SELECT 200 - sum(n_base) FROM base) AS leftover
+        |      FROM base)
+        |SELECT lang, nh AS n_docs, w_micro,
+        |       CAST(n_base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+        |FROM r ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      // Neyman-allocation stratified sampling (Neyman 1934) — the
+      // OPTIMAL-variance budget split the proportional samplers can't
+      // express: for a fixed total budget K the minimum-variance
+      // estimator allocates nₕ ∝ Nₕ·σₕ, oversampling big AND noisy
+      // strata (a high-variance web source earns budget a clean uniform
+      // one doesn't). This key computes the allocation PLAN (K = 200
+      // over language strata, σ over n_chars) — the part that needs the
+      // whole corpus; drawing the rows afterwards is sample_fixed_k's
+      // existing hash-rank device. Cross-engine determinism: Nₕ²σₕ² =
+      // Nₕ·Σx² − (Σx)² is an EXACT BIGINT (population σ), so each
+      // stratum's weight Nₕσₕ is ONE sqrt on identical operand bits
+      // (at 100 TB the x² moment outgrows BIGINT — the ladder is
+      // DECIMAL(38) or per-stratum Welford folds), rounded ONCE to
+      // integer micros, so the total and every quota are pure integers;
+      // the fractional seats go by LARGEST REMAINDER ((200·w) mod W,
+      // ties by lang) so the allocations sum to exactly K by
+      // construction — no float comparison anywhere downstream. Scale
+      // shape: one corpus collapse to |strata| rows (count/sum/sum-sq
+      // ride a single partial+final aggregate), then window + rank on
+      // that k-bounded table; the 1-row total broadcasts.
+      val strata = T.documents(s, d)
+        .where(col("lang").isNotNull && col("n_chars").isNotNull)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("nh"),
+             sum(col("n_chars")).cast("long").as("sh"),
+             sum(col("n_chars") * col("n_chars")).cast("long").as("qh"))
+      val w = strata.selectExpr("lang", "nh",
+        "CAST(round(1000000 * sqrt(CAST(nh * qh - sh * sh AS DOUBLE))) AS BIGINT) AS w_micro")
+      val tot = w.agg(sum(col("w_micro")).cast("long").as("wt"))
+      val base = w.crossJoin(broadcast(tot)).where(col("wt") > 0)
+        .selectExpr("lang", "nh", "w_micro",
+          "(200 * w_micro) DIV wt AS n_base", "(200 * w_micro) % wt AS rem")
+      val leftover = base.agg((lit(200L) - sum(col("n_base"))).cast("long").as("leftover"))
+      base.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("rem").desc, col("lang"))))
+        .crossJoin(broadcast(leftover))
+        .selectExpr("lang", "nh AS n_docs", "w_micro",
+          "CAST(n_base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc")
+        .orderBy(col("lang"))
+    },
+
+    Q(
       "sample_weighted_reservoir",
       s"""WITH s0 AS (
          |  SELECT doc_id, lang, n_chars,

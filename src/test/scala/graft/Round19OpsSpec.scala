@@ -517,6 +517,34 @@ class Round19OpsSpec extends GraftSuite {
     assert(planted("r1_beyond_3sigma") == 1L, s"r1: ${planted("r1_beyond_3sigma")}")
   }
 
+  test("sample_neyman: allocation matches the largest-remainder recompute and sums to K") {
+    val out = SparkEntry.queries("sample_neyman")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = T.documents(spark, sf)
+      .where(col("lang").isNotNull && col("n_chars").isNotNull)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val strata = docs.groupBy(_._1).map { case (lang, rows) =>
+      val xs = rows.map(_._2)
+      val n = xs.length.toLong; val sSum = xs.sum; val q = xs.map(x => x * x).sum
+      val wMicro = math.round(1e6 * math.sqrt((n * q - sSum * sSum).toDouble))
+      (lang, n, wMicro)
+    }.toSeq.sortBy(_._1)
+    val wt = strata.map(_._3).sum
+    val base = strata.map { case (lang, n, w) => (lang, n, w, 200L * w / wt, 200L * w % wt) }
+    val leftover = 200L - base.map(_._4).sum
+    val bump = base.sortBy(b => (-b._5, b._1)).take(leftover.toInt).map(_._1).toSet
+    val expected = base.map { case (lang, n, w, nb, _) =>
+      lang -> ((n, w, nb + (if (bump(lang)) 1L else 0L)))
+    }.toMap
+    assert(out == expected, s"diff: ${(out.toSet diff expected.toSet)} vs ${(expected.toSet diff out.toSet)}")
+    assert(out.values.map(_._3).sum == 200L, "allocations must sum to exactly K")
+    // Neyman beats proportional where variance differs: the biggest
+    // stratum's allocation share must exceed its doc share on this
+    // fixture only if it is also noisier — just pin non-degeneracy
+    assert(out.values.forall(_._3 > 0L), "fixture produced a starved stratum")
+  }
+
   test("data_drift_wasserstein: W1 equals the brute per-sample ECDF integral") {
     val out = SparkEntry.queries("data_drift_wasserstein")(spark, sf).collect()
       .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
