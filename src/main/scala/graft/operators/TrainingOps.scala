@@ -2605,6 +2605,53 @@ object TrainingOps {
     },
 
     Q(
+      "text_burstiness",
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |  WHERE text IS NOT NULL),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1, 2),
+        |st AS (SELECT t, CAST(count(*) AS BIGINT) AS df,
+        |              CAST(sum(f) AS BIGINT) AS tt, CAST(sum(f * f) AS BIGINT) AS q
+        |       FROM tf GROUP BY 1),
+        |top AS (SELECT t, df, tt, q FROM st ORDER BY tt DESC, t LIMIT 20)
+        |SELECT t AS term, df AS n_docs_present, tt AS total_tf,
+        |       CAST(${graft.operators.LlmOps.microRoundSql("1000000 * (nd.n * q - tt * tt)", "nd.n * tt", "//")} AS DOUBLE) / 1000000 AS vmr
+        |FROM top, nd WHERE tt > 0
+        |ORDER BY term""".stripMargin
+    ) { (s, d) =>
+      // Term burstiness — the variance-to-mean ratio (index of
+      // dispersion) of per-doc term counts over the WHOLE corpus,
+      // zeros included (Church & Gale 1995): function words arrive
+      // ~Poisson (VMR ≈ 1); content and template terms are BURSTY
+      // (VMR ≫ 1 — absent from most docs, repeated hard where they
+      // appear). A corpus whose top terms all sit near 1 is token salad
+      // — the complement of text_zipf_fit's rank-frequency screen, and
+      // the statistic underlying topical-keyword extraction and Katz's
+      // K-mixture. The zero-including moments never materialize zeros:
+      // with n docs, Σtf over all docs = T and Σtf² only over PRESENT
+      // docs, n²·Var = n·Σtf² − T² exactly, so VMR = (n·Σtf²−T²)/(n·T)
+      // is a pure-BIGINT rational through [[LlmOps.microRoundSql]].
+      // Scale shape: one token-stream collapse to (term, doc) counts,
+      // one collapse to the term table, a k-bounded top-20 cut, 1-row
+      // doc-count broadcast — the text_tfidf_topk shuffle budget.
+      val docs = T.documents(s, d).where(col("text").isNotNull)
+      val nd = docs.agg(count(lit(1)).cast("long").as("n"))
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t"), col("doc_id")).agg(count(lit(1)).as("f"))
+      val st = tf.groupBy(col("t"))
+        .agg(count(lit(1)).cast("long").as("df"),
+             sum(col("f")).cast("long").as("tt"),
+             sum(col("f") * col("f")).cast("long").as("q"))
+      st.orderBy(col("tt").desc, col("t")).limit(20)
+        .crossJoin(broadcast(nd))
+        .where(col("tt") > 0)
+        .selectExpr("t AS term", "df AS n_docs_present", "tt AS total_tf",
+          s"CAST(${graft.operators.LlmOps.microRoundSql("1000000 * (n * q - tt * tt)", "n * tt", "DIV")} AS DOUBLE) / 1000000 AS vmr")
+        .orderBy(col("term"))
+    },
+
+    Q(
       "text_quality_buckets",
       s"""WITH w AS (
          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
