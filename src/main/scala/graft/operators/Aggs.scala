@@ -494,6 +494,39 @@ object Aggs {
     },
 
     Q(
+      "agg_log_histogram",
+      """SELECT l_returnflag,
+        |       CAST(length(printf('%b', CAST(round(l_extendedprice * 100) AS BIGINT))) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS lo_cents,
+        |       CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS hi_cents
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY l_returnflag, bucket""".stripMargin
+    ) { (s, d) =>
+      // Log₂-bucketed histogram (the HdrHistogram/latency-chart shape) —
+      // agg_histogram's DYNAMIC-RANGE sibling: equi-width bins resolve
+      // one scale and saturate outside it, exponential bins give
+      // constant RELATIVE resolution over arbitrarily many decades —
+      // the right shape for long-tailed monetary/latency/size columns,
+      // and at 100 TB per-slice log-histograms are mergeable by plain
+      // addition (bucket ids are absolute, not data-dependent like
+      // quantiles). The bucket id is the BINARY LENGTH of the exact
+      // cent value — ⌊log₂ x⌋+1 computed with zero floating point
+      // (Spark `bin()`, DuckDB `printf('%b')` — string length of the
+      // base-2 spelling, exact by construction where float log2 flips
+      // at powers of two). One partial+final aggregate; the shuffle
+      // carries flags × ~64 bucket rows per map partition.
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+                 length(bin(cents)).cast("long").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             min(cents).as("lo_cents"), max(cents).as("hi_cents"))
+        .orderBy(col("l_returnflag"), col("bucket"))
+    },
+
+    Q(
       "agg_corr",
       """WITH m AS (
         |  SELECT count(*) AS n,

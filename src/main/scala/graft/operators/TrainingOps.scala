@@ -1852,6 +1852,113 @@ object TrainingOps {
     },
 
     Q(
+      "graph_kcore",
+      """WITH e0 AS (
+        |  SELECT doc_id % 60 AS a,
+        |         CASE WHEN doc_id % 60 < 10 THEN
+        |                CASE (doc_id // 60) % 3
+        |                  WHEN 0 THEN (doc_id % 60 + 1) % 10
+        |                  WHEN 1 THEN (doc_id % 60 + 2) % 10
+        |                  ELSE (doc_id % 60 + 3) % 10 END
+        |              WHEN doc_id % 60 < 20 THEN 10 + (doc_id % 60 - 9) % 10
+        |              WHEN doc_id % 60 < 30 THEN
+        |                CASE WHEN (doc_id // 60) % 2 = 0 THEN 20 + (doc_id % 60 - 19) % 10
+        |                     ELSE doc_id % 60 - 20 END
+        |              ELSE doc_id % 60 - 20 END AS b
+        |  FROM documents),
+        |eu AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e0 WHERE a <> b),
+        |e AS (SELECT a AS src, b AS dst FROM eu UNION ALL SELECT b, a FROM eu),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |d1 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |r1 AS (SELECT node FROM d1 WHERE deg < 3),
+        |a1 AS (SELECT node FROM n WHERE node NOT IN (SELECT node FROM r1)),
+        |d2 AS (SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg FROM e
+        |       WHERE e.src IN (SELECT node FROM a1) AND e.dst IN (SELECT node FROM a1)
+        |       GROUP BY 1),
+        |r2 AS (SELECT a1.node FROM a1 LEFT JOIN d2 ON d2.node = a1.node
+        |       WHERE coalesce(d2.deg, 0) < 3),
+        |a2 AS (SELECT node FROM a1 WHERE node NOT IN (SELECT node FROM r2)),
+        |d3 AS (SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg FROM e
+        |       WHERE e.src IN (SELECT node FROM a2) AND e.dst IN (SELECT node FROM a2)
+        |       GROUP BY 1),
+        |r3 AS (SELECT a2.node FROM a2 LEFT JOIN d3 ON d3.node = a2.node
+        |       WHERE coalesce(d3.deg, 0) < 3)
+        |SELECT n.node,
+        |       CAST(CASE WHEN n.node IN (SELECT node FROM r1) THEN 1
+        |                 WHEN n.node IN (SELECT node FROM r2) THEN 2
+        |                 WHEN n.node IN (SELECT node FROM r3) THEN 3
+        |                 ELSE 0 END AS BIGINT) AS peel_round
+        |FROM n ORDER BY n.node""".stripMargin
+    ) { (s, d) =>
+      // k-core decomposition by iterative peeling (Seidman 1983;
+      // Batagelj-Zaveršnik), k = 3, UNROLLED at 3 synchronous rounds —
+      // the DENSITY-FLOOR sibling of the graph family: components say
+      // "connected", LPA says "densely knit around a majority", the
+      // 3-core says "every member keeps ≥ 3 live neighbors AFTER the
+      // weak scaffolding peels away" — the crawl-graph/citation-spam
+      // screen where peeling, not one degree cut, is the point (a node
+      // of degree 3 dies in round 2 when its leaf-propped neighbors die
+      // in round 1). The planted graph has a designed CASCADE, saturating
+      // identically at every corpus scale: a 10-node dense core
+      // (ring+chords, deg 7), a strong shell (ring+core+leaf, deg 4), a
+      // WEAK shell (ring+leaf only, deg 3 — propped ABOVE the cut by its
+      // leaves), and 30 periphery leaves. Round 1 peels the periphery
+      // (deg ≤ 2); round 2 peels the weak shell whose degree FELL to 2
+      // when its props died; round 3 removes nothing — the spec pins
+      // that round-3 fixpoint against an unbounded driver peel, so the
+      // unroll provably reports true 3-core membership on this graph.
+      // Scale shape per round: one |V|-bounded semi-join of the edge
+      // list against the alive set (size-gate broadcast), one degree
+      // collapse — never all-pairs; the LOUD-budget unbounded variant
+      // at 100 TB is the bfsConverged loop-with-delta shape.
+      val e0 = T.documents(s, d).selectExpr("doc_id % 60 AS a",
+        """CASE WHEN doc_id % 60 < 10 THEN
+          |       CASE (doc_id DIV 60) % 3
+          |         WHEN 0 THEN (doc_id % 60 + 1) % 10
+          |         WHEN 1 THEN (doc_id % 60 + 2) % 10
+          |         ELSE (doc_id % 60 + 3) % 10 END
+          |     WHEN doc_id % 60 < 20 THEN 10 + (doc_id % 60 - 9) % 10
+          |     WHEN doc_id % 60 < 30 THEN
+          |       CASE WHEN (doc_id DIV 60) % 2 = 0 THEN 20 + (doc_id % 60 - 19) % 10
+          |            ELSE doc_id % 60 - 20 END
+          |     ELSE doc_id % 60 - 20 END AS b""".stripMargin)
+      val und = e0.where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .distinct()
+      val e = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      val nodes = e.select(col("src").as("node")).distinct()
+      def peel(alive: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val al = broadcast(alive)
+        e.join(al.withColumnRenamed("node", "sn"), col("src") === col("sn"))
+          .join(al.withColumnRenamed("node", "dn"), col("dst") === col("dn"))
+          .groupBy(col("src").as("node")).agg(count(lit(1)).cast("long").as("deg"))
+          .as("d").join(alive.as("al"), col("d.node") === col("al.node"), "right")
+          .select(col("al.node").as("node"),
+                  coalesce(col("deg"), lit(0L)).as("deg"))
+          .where(col("deg") < 3).select(col("node"))
+      }
+      val r1 = peel(nodes).localCheckpoint()
+      val a1 = nodes.join(r1.withColumnRenamed("node", "rn"),
+        col("node") === col("rn"), "left_anti").localCheckpoint()
+      val r2 = peel(a1).localCheckpoint()
+      val a2 = a1.join(r2.withColumnRenamed("node", "rn"),
+        col("node") === col("rn"), "left_anti").localCheckpoint()
+      val r3 = peel(a2).localCheckpoint()
+      nodes.as("n")
+        .join(r1.withColumnRenamed("node", "n1"), col("n.node") === col("n1"), "left")
+        .join(r2.withColumnRenamed("node", "n2"), col("n.node") === col("n2"), "left")
+        .join(r3.withColumnRenamed("node", "n3"), col("n.node") === col("n3"), "left")
+        .select(col("n.node").as("node"),
+                when(col("n1").isNotNull, 1L)
+                  .when(col("n2").isNotNull, 2L)
+                  .when(col("n3").isNotNull, 3L)
+                  .otherwise(0L).as("peel_round"))
+        .orderBy(col("node"))
+    },
+
+    Q(
       "shard_rendezvous",
       s"""WITH f AS (
          |  SELECT doc_id, CAST(${fpSql("text")} AS BIGINT) AS fp

@@ -626,6 +626,71 @@ class Round19OpsSpec extends GraftSuite {
       s"mean norm ratio $meanRatio violates the JL expectation")
   }
 
+  test("graph_kcore: the 3-round unroll reaches the unbounded peel fixpoint, cascade included") {
+    val out = SparkEntry.queries("graph_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent unbounded peel over the same planted edge rule
+    val ids = T.documents(spark, sf).select(col("doc_id")).collect().map(_.getLong(0))
+    val edges = ids.flatMap { did =>
+      val m = did % 60; val v = did / 60
+      val b =
+        if (m < 10) v % 3 match {
+          case 0 => (m + 1) % 10; case 1 => (m + 2) % 10; case _ => (m + 3) % 10
+        }
+        else if (m < 20) 10 + (m - 9) % 10
+        else if (m < 30) { if (v % 2 == 0) 20 + (m - 19) % 10 else m - 20 }
+        else m - 20
+      if (m == b) None else Some((m min b, m max b))
+    }.distinct
+    var alive = edges.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+    val expected = scala.collection.mutable.Map[Long, Long]()
+    var round = 0L
+    var changed = true
+    while (changed && round < 100) {
+      round += 1
+      val deg = edges.filter(e => alive(e._1) && alive(e._2))
+        .flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, h) => n -> h.length }
+      val rem = alive.filter(n => deg.getOrElse(n, 0) < 3)
+      changed = rem.nonEmpty
+      rem.foreach(n => expected(n) = round)
+      alive --= rem
+    }
+    alive.foreach(n => expected(n) = 0L)
+    assert(round < 100, "peel failed to converge")
+    assert(round - 1 <= 3, s"fixpoint needs ${round - 1} rounds — the 3-round unroll would clip it")
+    assert(out == expected.toMap, "unrolled peel differs from the unbounded fixpoint")
+    // the CASCADE is the point: some node must die in round 2+ (its
+    // degree fell only because round-1 props died), and a core survives
+    assert(out.values.count(_ == 2L) > 0, "no second-round cascade — fixture degenerate")
+    assert(out.values.count(_ == 0L) > 0, "empty 3-core — fixture degenerate")
+  }
+
+  test("agg_log_histogram: binary-length buckets equal the driver recompute; powers of two land exactly") {
+    val out = SparkEntry.queries("agg_log_histogram")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val rows = T.lineitem(spark, sf)
+      .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy { case (f, c) => (f, 64L - java.lang.Long.numberOfLeadingZeros(c)) }
+      .map { case (k, hits) =>
+        val cs = hits.map(_._2)
+        k -> ((cs.length.toLong, cs.min, cs.max))
+      }
+    assert(out == expected.toMap)
+    // the exactness claim: a power-of-two cent value must sit in the
+    // bucket ABOVE its lower neighbors (float log2 can flip here)
+    out.keys.groupBy(_._1).foreach { case (_, ks) =>
+      val buckets = ks.map(_._2).toSeq.sorted
+      assert(buckets == buckets.distinct.sorted, "duplicate buckets")
+    }
+    // every bucket's [lo, hi] must lie inside [2^(b-1), 2^b)
+    out.foreach { case ((f, b), (_, lo, hi)) =>
+      assert(lo >= (1L << (b - 1)) && hi < (1L << b),
+        s"($f, $b): [$lo, $hi] escapes the dyadic band")
+    }
+  }
+
   test("data_drift_wasserstein: W1 equals the brute per-sample ECDF integral") {
     val out = SparkEntry.queries("data_drift_wasserstein")(spark, sf).collect()
       .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
