@@ -37,6 +37,49 @@ object OsmKernels {
       (col("p_size").cast("long") * 100).as("lon_c"),
       round(col("p_retailprice") * 100).cast("long").as("lat_c")))
 
+  /** One xy2d Hilbert bit-walk stage at plane size `s` (Wikipedia's
+    * public-domain formulation), as (x', y', d') SQL over columns
+    * x, y, d — IDENTICAL text in Spark and DuckDB: the only dialect
+    * hazard, XOR, is spelled as a CASE ((3·rx)⊕ry ∈ {ry, 3−ry}), and
+    * `&` / `*` / `-` are two's-complement-identical in both engines
+    * including on the rotation's transient negative intermediates. */
+  private[operators] def hilbertStage(s: Int): (String, String, String) = {
+    val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+    val xNew = s"(CASE WHEN (y & $s) > 0 THEN x WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END)"
+    val yNew = s"(CASE WHEN (y & $s) > 0 THEN y WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END)"
+    val dNew = s"(d + $s * $s * (CASE WHEN $rx = 1 THEN 3 - $ry ELSE $ry END))"
+    (xNew, yNew, dNew)
+  }
+
+  /** The `osm_hilbert_index` DuckDB oracle: same grid mapping and the
+    * same 8 [[hilbertStage]] texts chained as CTE stages h0..h7. */
+  private[operators] def hilbertOracleSql: String = {
+    val stages = (0 until 8).map { k =>
+      val (xe, ye, de) = hilbertStage(128 >> k)
+      val prev = if (k == 0) "h" else s"h${k - 1}"
+      s"h$k AS (SELECT node_id, cell_x, cell_y, $xe AS x, $ye AS y, $de AS d FROM $prev)"
+    }.mkString(",\n")
+    s"""WITH n AS (
+       |  SELECT p_partkey AS node_id,
+       |         CAST(p_size AS BIGINT) * 100 AS lon_c,
+       |         CAST(round(p_retailprice * 100) AS BIGINT) AS lat_c
+       |  FROM part),
+       |b AS (SELECT min(lon_c) AS lox, max(lon_c) AS hix,
+       |             min(lat_c) AS loy, max(lat_c) AS hiy FROM n),
+       |h AS (SELECT node_id,
+       |             ((lon_c - lox) * 256) // (hix - lox + 1) AS cell_x,
+       |             ((lat_c - loy) * 256) // (hiy - loy + 1) AS cell_y,
+       |             ((lon_c - lox) * 256) // (hix - lox + 1) AS x,
+       |             ((lat_c - loy) * 256) // (hiy - loy + 1) AS y,
+       |             CAST(0 AS BIGINT) AS d
+       |      FROM n, b),
+       |$stages
+       |SELECT node_id, CAST(cell_x AS BIGINT) AS cell_x,
+       |       CAST(cell_y AS BIGINT) AS cell_y, CAST(d AS BIGINT) AS hilbert_d
+       |FROM h7 ORDER BY node_id""".stripMargin
+  }
+
   /** Bounded-depth resolution of relation→relation membership (VERDICT
     * r14 item 3; reference README.md:80-81 — relations get geometry
     * from member nodes and ways, transitively through member
@@ -2729,6 +2772,48 @@ object OsmKernels {
       // fixture to pin interior-run splitting, edge chaining, and
       // length additivity.
       roadGraph(s, d).orderBy(col("way_id"), col("edge_seq"))
+    },
+
+    Q(
+      "osm_hilbert_index",
+      OsmKernels.hilbertOracleSql
+    ) { (s, d) =>
+      // Hilbert-curve spatial index at order 8 (256×256 grid over the
+      // node bbox) — `lake_zorder`'s LOCALITY-OPTIMAL sibling: both
+      // linearize 2-D for range-pruned storage, but Morton/Z-order has
+      // seam jumps (cell (255,0)→(0,1) is adjacent in key space,
+      // continents apart on the map) while every consecutive Hilbert
+      // pair is a GRID-ADJACENT pair (spec-pinned), so a contiguous key
+      // range reads a compact disk region — measurably fewer false
+      // positives per bbox scan at 100 TB, which is why it's the
+      // layout in production spatial stores. EXACT integer end-to-end:
+      // grid cell = ((coord − lo)·256) DIV (hi − lo + 1) on micro-unit
+      // BIGINTs, then the standard xy2d bit walk (Wikipedia/Warren) as
+      // 8 UNROLLED stages whose per-stage SQL text is generated ONCE by
+      // [[OsmKernels.hilbertStage]] and spliced into BOTH engines —
+      // even the XOR is spelled as a CASE so the text is dialect-free;
+      // the transient negative intermediates the rotation produces use
+      // two's-complement & identically in both engines. Scale shape:
+      // one 1-row bounds broadcast onto the node scan, then 8 pure
+      // map-side projections — no shuffle at all beyond the final
+      // presentation sort.
+      val n = nodes(s, d)
+      val bounds = n.agg(min(col("lon_c")).as("lox"), max(col("lon_c")).as("hix"),
+                         min(col("lat_c")).as("loy"), max(col("lat_c")).as("hiy"))
+      var df = n.crossJoin(broadcast(bounds))
+        .selectExpr("node_id",
+          "((lon_c - lox) * 256) DIV (hix - lox + 1) AS cell_x",
+          "((lat_c - loy) * 256) DIV (hiy - loy + 1) AS cell_y")
+        .selectExpr("node_id", "cell_x", "cell_y",
+          "cell_x AS x", "cell_y AS y", "CAST(0 AS BIGINT) AS d")
+      for (k <- 0 until 8) {
+        val (xe, ye, de) = OsmKernels.hilbertStage(128 >> k)
+        df = df.selectExpr("node_id", "cell_x", "cell_y",
+          s"$xe AS x", s"$ye AS y", s"$de AS d")
+      }
+      df.selectExpr("node_id", "CAST(cell_x AS BIGINT) AS cell_x",
+          "CAST(cell_y AS BIGINT) AS cell_y", "CAST(d AS BIGINT) AS hilbert_d")
+        .orderBy(col("node_id"))
     },
 
     Q(

@@ -691,6 +691,51 @@ class Round19OpsSpec extends GraftSuite {
     }
   }
 
+  test("osm_hilbert_index: matches an independent xy2d walk; the curve is bijective and adjacent") {
+    // independent Scala implementation of the order-8 Hilbert walk
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, dd) = (x0, y0, 0L)
+      var s = 128L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        dd += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      dd
+    }
+    // property 1: bijection over the full 256x256 grid
+    val all = for (x <- 0L until 256L; y <- 0L until 256L) yield xy2d(x, y)
+    assert(all.distinct.length == 65536 && all.min == 0L && all.max == 65535L,
+      "xy2d is not a bijection onto [0, 65536)")
+    // property 2: consecutive curve positions are grid-adjacent — the
+    // locality claim that separates Hilbert from Z-order (which jumps)
+    val d2xy = all.zipWithIndex.map { case (dv, i) => dv -> ((i / 256L, i % 256L)) }.toMap
+    (0L until 65535L).foreach { dv =>
+      val (ax, ay) = d2xy(dv); val (bx, by) = d2xy(dv + 1)
+      assert((ax - bx).abs + (ay - by).abs == 1,
+        s"curve jumps between d=$dv ($ax,$ay) and d=${dv + 1} ($bx,$by)")
+    }
+    // the operator agrees with the independent walk on the real fixture
+    val out = SparkEntry.queries("osm_hilbert_index")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val pts = T.part(spark, sf)
+      .select(col("p_partkey"), (col("p_size").cast("long") * 100).as("lon_c"),
+              round(col("p_retailprice") * 100).cast("long").as("lat_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (lox, hix) = (pts.map(_._2).min, pts.map(_._2).max)
+    val (loy, hiy) = (pts.map(_._3).min, pts.map(_._3).max)
+    pts.foreach { case (id, lon, lat) =>
+      val cx = (lon - lox) * 256 / (hix - lox + 1)
+      val cy = (lat - loy) * 256 / (hiy - loy + 1)
+      assert(out(id) == ((cx, cy, xy2d(cx, cy))), s"node $id mismatch")
+    }
+  }
+
   test("data_drift_wasserstein: W1 equals the brute per-sample ECDF integral") {
     val out = SparkEntry.queries("data_drift_wasserstein")(spark, sf).collect()
       .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
