@@ -12,6 +12,63 @@ import org.apache.spark.sql.functions._
   */
 object TrainingOps {
 
+  /** The `text_mtld` DuckDB oracle: the same scalar-state factor walk
+    * as the Spark fold, as two lockstep recursive CTEs (forward /
+    * backward) over the prev-occurrence item tables. The completion
+    * test and the readout rational are generated from one template so
+    * the two engines' spellings cannot drift. */
+  private[operators] def mtldOracleSql: String = {
+    // completion test on state s and item it: 25·t' < 18·tokens
+    def done(s: String, it: String) =
+      s"25 * ($s.t + CASE WHEN $it.v < $s.start THEN 1 ELSE 0 END) < 18 * ($it.p - $s.start + 1)"
+    def rec(name: String, items: String) =
+      s"""$name(doc_id, i, start, t, f) AS (
+         |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+         |         CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM nn
+         |  UNION ALL
+         |  SELECT s.doc_id, s.i + 1,
+         |         CASE WHEN ${done("s", "it")} THEN it.p + 1 ELSE s.start END,
+         |         CASE WHEN ${done("s", "it")} THEN 0
+         |              ELSE s.t + CASE WHEN it.v < s.start THEN 1 ELSE 0 END END,
+         |         s.f + CASE WHEN ${done("s", "it")} THEN 1 ELSE 0 END
+         |  FROM $name s JOIN $items it ON it.doc_id = s.doc_id AND it.p = s.i + 1)""".stripMargin
+    def readout(a: String) =
+      s"""CASE WHEN n - $a.start = 0
+         |     THEN CAST(((2 * (1000000 * n) + $a.f) // (2 * $a.f)) AS DOUBLE) / 1000000
+         |     WHEN 7 * (n - $a.start) * $a.f + 25 * ((n - $a.start) - $a.t) = 0
+         |     THEN CAST(NULL AS DOUBLE)
+         |     ELSE CAST(((2 * (1000000 * n * 7 * (n - $a.start))
+         |                 + (7 * (n - $a.start) * $a.f + 25 * ((n - $a.start) - $a.t)))
+         |                // (2 * (7 * (n - $a.start) * $a.f + 25 * ((n - $a.start) - $a.t))))
+         |               AS DOUBLE) / 1000000 END""".stripMargin
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+       |  FROM documents WHERE text IS NOT NULL),
+       |occ AS (
+       |  SELECT doc_id, pos,
+       |         coalesce(lag(pos) OVER (PARTITION BY doc_id, tok ORDER BY pos), -1) AS prv,
+       |         lead(pos) OVER (PARTITION BY doc_id, tok ORDER BY pos) AS nxt
+       |  FROM base),
+       |nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM occ GROUP BY 1),
+       |fitems AS (SELECT doc_id, CAST(pos AS BIGINT) AS p, CAST(prv AS BIGINT) AS v FROM occ),
+       |bitems AS (SELECT o.doc_id, CAST(nn.n - 1 - o.pos AS BIGINT) AS p,
+       |                  CAST(CASE WHEN o.nxt IS NULL THEN -1
+       |                            ELSE nn.n - 1 - o.nxt END AS BIGINT) AS v
+       |           FROM occ o JOIN nn ON nn.doc_id = o.doc_id),
+       |${rec("fst", "fitems")},
+       |${rec("bst", "bitems")},
+       |ff AS (SELECT f.doc_id, f.start, f.t, f.f
+       |       FROM fst f JOIN nn ON nn.doc_id = f.doc_id WHERE f.i = nn.n - 1),
+       |bf AS (SELECT b.doc_id, b.start, b.t, b.f
+       |       FROM bst b JOIN nn ON nn.doc_id = b.doc_id WHERE b.i = nn.n - 1)
+       |SELECT nn.doc_id AS doc_id, nn.n AS n_tokens,
+       |       ${readout("ff")} AS mtld_fwd,
+       |       ${readout("bf")} AS mtld_bwd
+       |FROM nn JOIN ff ON ff.doc_id = nn.doc_id JOIN bf ON bf.doc_id = nn.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Polynomial rolling hash of a string column, mod 1e9+7 (the same
     * cross-engine-exact construction as `text_fingerprint`: the fold
     * stays in 63-bit range — Spark wraps silently on overflow, DuckDB
@@ -2064,6 +2121,80 @@ object TrainingOps {
         md5(concat(lit("epoch1:"), col("doc_id").cast("string"))).as("shuffle_key"))
       globalRowNumber(k, Seq(col("shuffle_key").asc, col("doc_id").asc))
         .select(col("doc_id"), col("shuffle_key"), col("rn").as("pos"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q(
+      "text_mtld",
+      TrainingOps.mtldOracleSql
+    ) { (s, d) =>
+      // MTLD — Measure of Textual Lexical Diversity (McCarthy & Jarvis
+      // 2010), the published length-robust standard the richness key's
+      // hapax/Herdan readouts approximate: walk the token stream
+      // keeping a running type-token ratio; each time TTR drops below
+      // 0.72 a "factor" completes and the window resets; MTLD = tokens
+      // per factor (long texts can't inflate it the way raw TTR
+      // deflates). Genuinely SEQUENTIAL — and made cross-engine exact
+      // by the PREV-OCCURRENCE trick: precompute each position's
+      // previous same-token position with one lag() window, and "is
+      // this a new type in the current factor window" becomes
+      // prev < factor_start — the fold state collapses to three
+      // SCALARS (start, types, factors), so Spark runs a higher-order
+      // aggregate per doc (the event_kalman device) and DuckDB a
+      // lockstep recursive CTE, with the threshold test in exact
+      // integers (TTR < 0.72 ⟺ 25·types < 18·tokens) and the readout
+      // N·7k/(7kF + 25(k−t)) a pure-BIGINT rational micro-rounded once
+      // (k=0 and the all-distinct no-factor case handled explicitly —
+      // NULL, identically, when the measure is undefined). Both passes
+      // of the published measure run (backward = the same fold over
+      // reversed positions with next-occurrence as prev). Scale shape:
+      // one lag/lead window over the token stream (doc-partitioned),
+      // one per-doc regroup, then map-side folds over ≤ doc-length
+      // arrays — never a corpus-wide recursion.
+      val base = T.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("tok")).orderBy(col("pos"))
+      val occ = base
+        .withColumn("prv", coalesce(lag(col("pos"), 1).over(w), lit(-1)))
+        .withColumn("nxt", lead(col("pos"), 1).over(w))
+      // backward items need n per doc before the regroup — compute prv/rpos first
+      val withN = occ.withColumn("n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+        .withColumn("rpos", col("n") - 1 - col("pos"))
+        .withColumn("rprv",
+          when(col("nxt").isNull, lit(-1L)).otherwise(col("n") - 1 - col("nxt")))
+      val grouped = withN.groupBy(col("doc_id"))
+        .agg(max(col("n")).cast("long").as("n"),
+             sort_array(collect_list(struct(col("pos").cast("long").as("p"),
+                                            col("prv").cast("long").as("v")))).as("fw"),
+             sort_array(collect_list(struct(col("rpos").cast("long").as("p"),
+                                            col("rprv").cast("long").as("v")))).as("bw"))
+      val foldTpl =
+        """aggregate(%s,
+          |  named_struct('start', 0L, 't', 0L, 'f', 0L),
+          |  (st, it) -> CASE
+          |    WHEN 25L * (st.t + (CASE WHEN it.v < st.start THEN 1L ELSE 0L END))
+          |         < 18L * (it.p - st.start + 1L)
+          |    THEN named_struct('start', it.p + 1L, 't', 0L, 'f', st.f + 1L)
+          |    ELSE named_struct('start', st.start,
+          |                      't', st.t + (CASE WHEN it.v < st.start THEN 1L ELSE 0L END),
+          |                      'f', st.f) END)""".stripMargin
+      val readTpl =
+        """CASE WHEN n - %1$s.start = 0
+          |     THEN CAST(((2 * (1000000 * n) + %1$s.f) DIV (2 * %1$s.f)) AS DOUBLE) / 1000000
+          |     WHEN 7 * (n - %1$s.start) * %1$s.f + 25 * ((n - %1$s.start) - %1$s.t) = 0
+          |     THEN CAST(NULL AS DOUBLE)
+          |     ELSE CAST(((2 * (1000000 * n * 7 * (n - %1$s.start))
+          |                 + (7 * (n - %1$s.start) * %1$s.f + 25 * ((n - %1$s.start) - %1$s.t)))
+          |                DIV (2 * (7 * (n - %1$s.start) * %1$s.f + 25 * ((n - %1$s.start) - %1$s.t))))
+          |               AS DOUBLE) / 1000000 END""".stripMargin
+      grouped
+        .withColumn("sf_", expr(foldTpl.format("fw")))
+        .withColumn("sb_", expr(foldTpl.format("bw")))
+        .selectExpr("doc_id", "n AS n_tokens",
+          s"${readTpl.format("sf_")} AS mtld_fwd",
+          s"${readTpl.format("sb_")} AS mtld_bwd")
         .orderBy(col("doc_id"))
     },
 

@@ -736,6 +736,41 @@ class Round19OpsSpec extends GraftSuite {
     }
   }
 
+  test("text_mtld: both passes match a set-based reference walk (no prev-occurrence trick)") {
+    val out = SparkEntry.queries("text_mtld")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val docs = T.documents(spark, sf).where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // reference: the published algorithm with a REAL type set per factor
+    def mtld(seq: Seq[String]): Option[Double] = {
+      var f = 0L; var types = Set.empty[String]; var toks = 0L
+      seq.foreach { w =>
+        toks += 1; types += w
+        if (25L * types.size < 18L * toks) { f += 1; types = Set.empty; toks = 0 }
+      }
+      val n = seq.length.toLong
+      val (k, t) = (toks, types.size.toLong)
+      if (k == 0) Some(microDiv(1000000L * n, f))
+      else {
+        val den = 7 * k * f + 25 * (k - t)
+        if (den == 0) None else Some(microDiv(1000000L * n * 7 * k, den))
+      }
+    }
+    def microDiv(p: Long, q: Long): Double = ((2 * p + q) / (2 * q)).toDouble / 1e6
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      id -> ((toks.length.toLong, mtld(toks), mtld(toks.reverse)))
+    }.toMap
+    assert(out == expected,
+      s"diff sample: ${(out.toSet diff expected.toSet).take(3)} vs ${(expected.toSet diff out.toSet).take(3)}")
+    // the fixture must exercise both the defined and undefined arms
+    assert(out.values.exists(_._2.isEmpty), "no undefined-MTLD doc — NULL arm untested")
+    assert(out.values.count(_._2.isDefined) > docs.length / 2, "mostly-undefined fixture")
+  }
+
   test("data_drift_wasserstein: W1 equals the brute per-sample ECDF integral") {
     val out = SparkEntry.queries("data_drift_wasserstein")(spark, sf).collect()
       .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
