@@ -256,6 +256,27 @@ object Multimodal {
     (f.getSampleRate.toLong, n.toLong, sum)
   }
 
+  /** Decode WAV bytes → the raw int16 sample array, with the same
+    * loud-failure contract as [[decodeWav]] (shared by the windowed
+    * feature lane `multimodal_audio_rms`). */
+  def decodeWavSamples(bytes: Array[Byte]): Array[Int] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"multimodal_audio_rms: payload of ${bytes.length} bytes is not decodable audio", e)
+      }
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+      s"multimodal_audio_rms: expected 16-bit mono little-endian PCM, got $f")
+    val pcm = ais.readAllBytes()
+    Array.tabulate(pcm.length / 2) { i =>
+      ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+    }
+  }
+
   /** documents → media records (text bytes stand in for image bytes) →
     * per-partition decode → feature rows.
     */

@@ -1946,6 +1946,70 @@ object LlmOps {
     },
 
     Q(
+      "multimodal_audio_rms",
+      """WITH m AS (
+        |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id % 10 = 5),
+        |s AS (
+        |  SELECT doc_id, CAST(i // 32 AS BIGINT) AS frame_idx,
+        |         (doc_id * 31 + i * 7) % 2001 - 1000 AS amp
+        |  FROM m, unnest(range(0, n)) AS t(i))
+        |SELECT doc_id, frame_idx,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(amp * amp) AS BIGINT) AS energy,
+        |       CAST(max(abs(amp)) AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin
+    ) { (s, d) =>
+      // Windowed frame energy over REAL decoded audio — the
+      // feature-extraction rung above `multimodal_audio_decode`'s
+      // whole-clip summary: 32-sample frames with Σs² (energy) and
+      // max|s| (peak) per frame is the voice-activity-detection /
+      // silence-trimming primitive an audio curation pass thresholds
+      // on before anything model-shaped runs. Same real-codec lane:
+      // the SAME executor-written RIFF/PCM WAV assets (shared
+      // Scratch/onceConf layout with the decode key — the layout is
+      // the corpus, not a per-key cache), binaryFile blobs, the JDK
+      // codec with the shared loud-failure contract; energy and peak
+      // are exact BIGINTs from int16 samples, so the DuckDB oracle's
+      // closed-form regeneration of the synthesis recipe forces
+      // byte-exact codec round-trips per WINDOW, not just per clip.
+      // Scale: decode amortizes per partition (the documented
+      // mapPartitions exception), output is O(frames) meta rows — the
+      // shuffle never carries audio.
+      val root = graft.Scratch.onceConf(s, s"spark.sql.graft.wavdir:$d") {
+        val dir = graft.Scratch.dir("wav", d)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        T.documents(s, d).where(col("doc_id") % 10 === 5).select(col("doc_id"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            rows.foreach { r =>
+              val id = r.getLong(0)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, s"clip_$id.wav"),
+                graft.functions.Multimodal.makeWav(id))
+            }
+          }
+        dir
+      }
+      import s.implicits._
+      s.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(root)
+        .select(regexp_extract(col("path"), "clip_(\\d+)\\.wav", 1).cast("long").as("doc_id"),
+                col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.functions.Multimodal.decodeWavSamples(bytes)
+              .grouped(32).zipWithIndex.map { case (win, fi) =>
+                (id, fi.toLong, win.length.toLong,
+                 win.map(v => v.toLong * v).sum,
+                 win.map(v => math.abs(v.toLong)).max)
+              }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "n_samples", "energy", "peak")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    Q(
       "text_chunk_overlap",
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -771,6 +771,27 @@ class Round19OpsSpec extends GraftSuite {
     assert(out.values.count(_._2.isDefined) > docs.length / 2, "mostly-undefined fixture")
   }
 
+  test("multimodal_audio_rms: frame energies equal the synthesis recipe through the real codec") {
+    val out = SparkEntry.queries("multimodal_audio_rms")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val ids = T.documents(spark, sf).where(col("doc_id") % 10 === 5)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.flatMap { id =>
+      val n = graft.functions.Multimodal.wavFrames(id)
+      (0 until n).map(i => graft.functions.Multimodal.wavSample(id, i))
+        .grouped(32).zipWithIndex.map { case (win, fi) =>
+          (id, fi.toLong) -> ((win.length.toLong,
+            win.map(v => v.toLong * v).sum, win.map(v => math.abs(v.toLong)).max))
+        }
+    }.toMap
+    assert(out == expected, "windowed energy does not round-trip the codec byte-exactly")
+    // the partial tail window (n % 32 != 0 clips) must be exercised
+    assert(out.values.exists(_._1 < 32L), "no partial tail frame in fixture")
+    assert(out.values.forall(v => v._3 <= 1000L && v._2 <= 32L * 1000L * 1000L),
+      "amplitude domain escaped the synthesis recipe")
+  }
+
   test("data_drift_wasserstein: W1 equals the brute per-sample ECDF integral") {
     val out = SparkEntry.queries("data_drift_wasserstein")(spark, sf).collect()
       .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
