@@ -2407,6 +2407,87 @@ object EventOps {
     },
 
     Q(
+      "event_funnel_ci",
+      """WITH a AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS ta FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |b AS (
+        |  SELECT e.user_id, min(epoch_ms(e.ts)) AS tb
+        |  FROM events e JOIN a ON e.user_id = a.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_ms(e.ts) > a.ta AND epoch_ms(e.ts) <= a.ta + 86400000
+        |  GROUP BY e.user_id),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_ms(e.ts)) AS tc
+        |  FROM events e JOIN b ON e.user_id = b.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_ms(e.ts) > b.tb AND epoch_ms(e.ts) <= b.tb + 86400000
+        |  GROUP BY e.user_id),
+        |hops AS (
+        |  SELECT CAST(1 AS BIGINT) AS hop,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_base,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_conv
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT),
+        |         (SELECT CAST(count(*) AS BIGINT) FROM b),
+        |         (SELECT CAST(count(*) AS BIGINT) FROM c))
+        |SELECT hop, n_base, n_conv,
+        |       round(CAST(n_conv AS DOUBLE) / n_base, 6) AS rate,
+        |       round(((CAST(n_conv AS DOUBLE) / n_base + 3.8416 / (2 * CAST(n_base AS DOUBLE)))
+        |              - 1.96 * sqrt((CAST(n_conv AS DOUBLE) / n_base) * (1 - CAST(n_conv AS DOUBLE) / n_base) / n_base
+        |                            + 3.8416 / (4 * CAST(n_base AS DOUBLE) * n_base)))
+        |             / (1 + 3.8416 / CAST(n_base AS DOUBLE)), 6) AS ci_lo,
+        |       round(((CAST(n_conv AS DOUBLE) / n_base + 3.8416 / (2 * CAST(n_base AS DOUBLE)))
+        |              + 1.96 * sqrt((CAST(n_conv AS DOUBLE) / n_base) * (1 - CAST(n_conv AS DOUBLE) / n_base) / n_base
+        |                            + 3.8416 / (4 * CAST(n_base AS DOUBLE) * n_base)))
+        |             / (1 + 3.8416 / CAST(n_base AS DOUBLE)), 6) AS ci_hi
+        |FROM hops WHERE n_base > 0
+        |ORDER BY hop""".stripMargin
+    ) { (s, d) =>
+      // Wilson 95% score intervals on the funnel's hop conversion rates
+      // (Wilson 1927) — the UNCERTAINTY readout event_funnel omits: a
+      // 40%→40% week-over-week "no change" on 50 users is noise, on
+      // 50 000 it's a finding, and the Wilson interval (unlike the Wald
+      // ±z√(pq/n) taught-but-broken form) stays inside [0,1] and
+      // behaves at small n and extreme p — the standard for conversion
+      // dashboards. Cross-engine: n_conv/n_base are exact integers from
+      // the SAME stage tables as event_funnel; the interval is one
+      // spliced all-DOUBLE expression per bound over identical operand
+      // bits (integer literals except 1.96/3.8416, which parse to
+      // identical doubles in both engines; the Spark side carries the
+      // event_qte D-suffix), one final round(…,6). Scale: the funnel's
+      // own one-partitioning shape, then a 2-row readout.
+      val HopMs = 86400000L
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      val a = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("ta"))
+      val b = ev.where(col("event_type") === "click")
+        .join(Gate.bcast(a), "user_id")
+        .where(col("ms") > col("ta") && col("ms") <= col("ta") + HopMs)
+        .groupBy(col("user_id")).agg(min(col("ms")).as("tb"))
+      val c = ev.where(col("event_type") === "purchase")
+        .join(Gate.bcast(b), "user_id")
+        .where(col("ms") > col("tb") && col("ms") <= col("tb") + HopMs)
+        .groupBy(col("user_id")).agg(min(col("ms")).as("tc"))
+      val na = a.agg(count(lit(1)).cast("long").as("na"))
+      val nb = b.agg(count(lit(1)).cast("long").as("nb"))
+      val nc = c.agg(count(lit(1)).cast("long").as("nc"))
+      val hops = na.crossJoin(nb).crossJoin(nc)
+        .selectExpr("stack(2, CAST(1 AS BIGINT), na, nb, CAST(2 AS BIGINT), nb, nc) AS (hop, n_base, n_conv)")
+      def wilson(sign: String) =
+        s"""round(((CAST(n_conv AS DOUBLE) / n_base + 3.8416D / (2 * CAST(n_base AS DOUBLE)))
+           |        $sign 1.96D * sqrt((CAST(n_conv AS DOUBLE) / n_base) * (1 - CAST(n_conv AS DOUBLE) / n_base) / n_base
+           |                      + 3.8416D / (4 * CAST(n_base AS DOUBLE) * n_base)))
+           |       / (1 + 3.8416D / CAST(n_base AS DOUBLE)), 6)""".stripMargin
+      hops.where(col("n_base") > 0)
+        .selectExpr("hop", "n_base", "n_conv",
+          "round(CAST(n_conv AS DOUBLE) / n_base, 6) AS rate",
+          s"${wilson("-")} AS ci_lo", s"${wilson("+")} AS ci_hi")
+        .orderBy(col("hop"))
+    },
+
+    Q(
       "event_spc",
       """WITH d AS (
         |  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,

@@ -792,6 +792,32 @@ class Round19OpsSpec extends GraftSuite {
       "amplitude domain escaped the synthesis recipe")
   }
 
+  test("event_funnel_ci: Wilson bounds match the closed form and bracket the rate") {
+    val out = SparkEntry.queries("event_funnel_ci")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    // the stage counts must agree with event_funnel's stages
+    val funnel = SparkEntry.queries("event_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L)._1 == funnel(1L) && out(1L)._2 == funnel(2L) &&
+      out(2L)._1 == funnel(2L) && out(2L)._2 == funnel(3L),
+      "hop bases diverge from event_funnel stages")
+    out.foreach { case (hop, (n, k, rate, lo, hi)) =>
+      val p = k.toDouble / n
+      val z2 = 3.8416
+      val center = (p + z2 / (2.0 * n)) / (1 + z2 / n)
+      val half = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n)) / (1 + z2 / n)
+      assert(math.abs(rate - p) < 1e-6)
+      assert(math.abs(lo - (center - half)) < 1e-6 && math.abs(hi - (center + half)) < 1e-6,
+        s"hop $hop: [$lo, $hi] != Wilson [${center - half}, ${center + half}]")
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= rate && rate <= hi,
+        s"hop $hop: interval [$lo, $hi] fails the Wilson range guarantees at rate $rate")
+    }
+    // fewer users downstream → the later hop's interval must be wider
+    val w1 = out(1L)._5 - out(1L)._4; val w2 = out(2L)._5 - out(2L)._4
+    assert(w2 > w1, s"hop-2 interval ($w2) not wider than hop-1 ($w1) despite smaller base")
+  }
+
   test("data_drift_wasserstein: W1 equals the brute per-sample ECDF integral") {
     val out = SparkEntry.queries("data_drift_wasserstein")(spark, sf).collect()
       .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
