@@ -629,6 +629,29 @@ class PlanSpec extends GraftSuite {
       s"the fact must scan once into the checkpointed collapse, found ${factScans.size} live scans")
   }
 
+  test("emb_random_projection: pure map-side projection — no hash exchange before the sort") {
+    val p = plan("emb_random_projection")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the JL projection must not shuffle (scan → project → explode → sort):\n$p")
+    assert(p.contains("Generate"), "posexplode generator missing")
+  }
+
+  test("osm_hilbert_index: one broadcast of the 1-row bounds, zero hash exchanges") {
+    val p = plan("osm_hilbert_index")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the 8 bit-walk stages must stay map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "bounds attach must be a broadcast")
+  }
+
+  test("agg_log_histogram: bucket id computed below one partial+final aggregate") {
+    val (_, ns) = execNodes("agg_log_histogram")
+    val aggs = ns.filter(_.getClass.getSimpleName.contains("HashAggregate"))
+    assert(aggs.size == 2, s"expected partial+final aggregate pair, got ${aggs.size}")
+    assert(ns.count(_.getClass.getSimpleName == "ShuffleExchangeExec") <= 2,
+      "log histogram must shuffle only the bucket rollup (+ presentation sort)")
+  }
+
   test("no query plan contains a CartesianProduct except the declared cross join", Heavy) {
     // excluded: streaming demos, sink side-effects, and the action-eager
     // queries (kmeans training loop, embedded-Derby writes) whose plan
