@@ -809,8 +809,17 @@ object EmbeddingOps {
         .withColumn("q", expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"))
         .select(col("vec_id"), posexplode(expr(
+          // The fold INIT carries the width guard: the spliced masks
+          // cover input dims 1..128, and a wider embedding would read a
+          // NULL mask word and silently mis-sign every dim past 128 —
+          // fail LOUD instead (the decodeWav contract; widen the mask
+          // table, not this guard). Living in the computed output, the
+          // assert cannot be pruned away.
           s"""transform(sequence(0, 15), j ->
-            |  aggregate(sequence(1, size(q)), 0L, (acc, i) ->
+            |  aggregate(sequence(1, size(q)),
+            |    CASE WHEN size(q) <= 128 THEN 0L
+            |         ELSE CAST(assert_true(false, 'emb_random_projection: embedding wider than the 128-dim sign-mask table') AS BIGINT) END,
+            |    (acc, i) ->
             |    acc + (CASE WHEN (shiftright(element_at($maskLit, CAST(j * 2 + (i - 1) DIV 64 + 1 AS INT)), CAST((i - 1) % 64 AS INT)) & 1L) = 1L
             |                THEN 1L ELSE -1L END)
             |          * element_at(q, i)))""".stripMargin))

@@ -2375,7 +2375,11 @@ object EventOps {
       // to the calendar-bounded daily table, then a ±7-band self-join
       // and the moment sums on that COLLAPSED table — |days|·|types|
       // rows, never event count; the band join is the RangeJoinExec
-      // shape if the calendar ever got wide enough to matter.
+      // shape if the calendar ever got wide enough to matter. 63-bit
+      // bound: the scaled moment terms are (n·c)², so the exact chain
+      // holds to ~3e9 avg daily events on a 10-year calendar — past
+      // that, rescale the series to per-day MILLIONS first (the
+      // once-rounded-unit ladder the money keys use), never to floats.
       val daily = T.events(s, d)
         .where(col("event_type").isNotNull && col("ts").isNotNull)
         .groupBy(col("event_type"),
@@ -2555,7 +2559,8 @@ object EventOps {
       // engines). Scale shape: one corpus collapse to the
       // calendar-bounded daily table (the event_cusum exception), four
       // windows sharing one sort, a per-type rollup, and a 4-way
-      // unpivot — |types|×4 output rows.
+      // unpivot — |types|×4 output rows. Same 63-bit note as event_acf:
+      // n·dᵗ² holds to ~3e9 avg daily events; rescale units past that.
       val daily = T.events(s, d)
         .where(col("event_type").isNotNull && col("ts").isNotNull)
         .groupBy(col("event_type"),
