@@ -852,6 +852,96 @@ object LlmOps {
     },
 
     Q(
+      "sim_ndcg_eval",
+      s"""WITH $duckVecs,
+         |qs AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+         |       WHERE vec_id % 100 = 0 AND embedding IS NOT NULL),
+         |dots AS (SELECT q.qid, q.qlabel, x.vec_id,
+         |                sum(x.v * xq.v) AS dot, min(nrm.n) AS nx
+         |         FROM qs q
+         |         JOIN x xq ON xq.vec_id = q.qid
+         |         JOIN x ON x.i = xq.i AND x.vec_id <> q.qid
+         |         JOIN nrm ON nrm.vec_id = x.vec_id
+         |         GROUP BY 1, 2, 3),
+         |qn AS (SELECT vec_id AS qid, n AS nq FROM nrm),
+         |ranked AS (
+         |  SELECT d.qid, d.qlabel, d.vec_id,
+         |         row_number() OVER (PARTITION BY d.qid
+         |           ORDER BY round(d.dot / (d.nx * qn.nq), 6) DESC, d.vec_id) AS rk
+         |  FROM dots d JOIN qn ON qn.qid = d.qid),
+         |rel AS (SELECT r.qid, r.rk,
+         |               CASE WHEN e.label = r.qlabel THEN 1 ELSE 0 END AS rel
+         |        FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+         |        WHERE r.rk <= 10),
+         |w(rk, wt, cum) AS (VALUES (1,1000000,1000000),(2,630930,1630930),(3,500000,2130930),
+         |  (4,430677,2561607),(5,386853,2948460),(6,356207,3304667),(7,333333,3638000),
+         |  (8,315465,3953465),(9,301030,4254495),(10,289065,4543560)),
+         |dcg AS (SELECT qid, CAST(sum(rel * w.wt) AS BIGINT) AS dcg_micro
+         |        FROM rel JOIN w ON w.rk = rel.rk GROUP BY 1),
+         |nrel AS (SELECT q.qid, CAST(count(*) AS BIGINT) AS n_rel
+         |         FROM qs q JOIN embeddings e
+         |           ON e.label = q.qlabel AND e.vec_id <> q.qid
+         |         WHERE e.embedding IS NOT NULL
+         |         GROUP BY 1)
+         |SELECT d.qid AS query_id, nrel.n_rel, d.dcg_micro,
+         |       CAST(${microRoundSql("1000000 * d.dcg_micro", "(SELECT cum FROM w WHERE rk = least(nrel.n_rel, 10))", "//")} AS DOUBLE) / 1000000 AS ndcg
+         |FROM dcg d JOIN nrel ON nrel.qid = d.qid
+         |WHERE nrel.n_rel > 0
+         |ORDER BY query_id""".stripMargin
+    ) { (s, d) =>
+      // NDCG@10 retrieval evaluation (Järvelin & Kekäläinen 2002) — the
+      // EVALUATION rung the similarity family was missing: the ANN keys
+      // RETRIEVE, the recall curves in SCALE.md grade them offline, and
+      // this key makes the grading itself a first-class corpus operator
+      // (label purity of cosine neighborhoods, the metric a retrieval
+      // pipeline monitors per snapshot). One query per 100 vectors;
+      // brute-force cosine ranking (round-6 DESC, vec_id tie-break —
+      // the sim_cosine_topk determinism contract) against binary
+      // same-label relevance. EXACT integer DCG: the ten 1/log₂(i+1)
+      // gains are Scala-computed micro-literals spliced into BOTH
+      // engines (the event_benford device), so DCG and the ideal DCG
+      // (cumulative-weight table indexed at min(n_rel, 10)) are pure
+      // BIGINTs and NDCG is one micro-rounded rational. Scale shape:
+      // queries broadcast (corpus-fraction-sized), one pass over the
+      // corpus computes every query's dot products map-side, one
+      // |Q|-partitioned rank window on the ≤|Q|·N score table; at real
+      // scale the candidate generator swaps to the persisted-IVF path
+      // and this key grades THAT — the eval is generator-agnostic.
+      val dcgW = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+                     356207L, 333333L, 315465L, 301030L, 289065L)
+      val cumW = dcgW.scanLeft(0L)(_ + _).tail
+      val wCase = (1 to 10).map(i => s"WHEN rk = $i THEN ${dcgW(i - 1)}L").mkString(" ")
+      val cumCase = (1 to 10).map(i => s"WHEN least(n_rel, 10) = $i THEN ${cumW(i - 1)}L").mkString(" ")
+      // degraded rule (measured: the null lane caught the asymmetry): a
+      // vector with no embedding is not rankable and a query with no
+      // embedding defines no ranking — both filters EXPLICIT in both
+      // engines (DuckDB's unnest silently drops them; Spark must match).
+      val e = T.embeddings(s, d).where(col("embedding").isNotNull)
+      val qs = broadcast(e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("embedding").as("qe")))
+      val ranked = e.crossJoin(qs).where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+                round(cosine("embedding", "qe"), 6).as("cos"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rk") <= 10)
+      val dcg = ranked
+        .select(col("qid"),
+                (when(col("label") === col("qlabel"), 1L).otherwise(0L) *
+                 expr(s"CASE $wCase ELSE 0L END")).as("g"))
+        .groupBy(col("qid")).agg(sum(col("g")).cast("long").as("dcg_micro"))
+      val nrel = e.select(col("label"), col("vec_id")).as("e")
+        .join(qs, col("e.label") === col("qlabel") && col("e.vec_id") =!= col("qid"))
+        .groupBy(col("qid")).agg(count(lit(1)).cast("long").as("n_rel"))
+      dcg.join(nrel, "qid").where(col("n_rel") > 0)
+        .withColumn("icum", expr(s"CASE $cumCase ELSE 0L END"))
+        .selectExpr("qid AS query_id", "n_rel", "dcg_micro",
+          s"CAST(${microRoundSql("1000000 * dcg_micro", "icum", "DIV")} AS DOUBLE) / 1000000 AS ndcg")
+        .orderBy(col("query_id"))
+    },
+
+    Q(
       "sim_pairwise_threshold",
       s"""WITH $duckVecs,
          |p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
