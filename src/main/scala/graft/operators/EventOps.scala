@@ -25,6 +25,43 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** The `event_absorbing` DuckDB oracle: the same 6-step absorption
+    * unroll as the Spark loop, generated from one step template (the
+    * pagerank device) — exact integer ppm, one `//` per state per step
+    * after the exact sum. */
+  private[operators] def absorbingOracleSql: String = {
+    def step(k: Int): String = {
+      val prev = if (k == 1) "h0" else s"h${k - 1}"
+      s"""h$k AS (SELECT st.event_type,
+         |  CASE WHEN st.event_type = 'purchase' THEN CAST(1000000 AS BIGINT)
+         |       ELSE CAST(coalesce(sv.pv, 0) AS BIGINT) END AS p
+         |  FROM states st LEFT JOIN (
+         |    SELECT c.from_type AS event_type,
+         |           CAST(sum(c.n * h.p) AS BIGINT) // max(t.n_from) AS pv
+         |    FROM c JOIN $prev h ON h.event_type = c.to_type
+         |           JOIN t ON t.from_type = c.from_type
+         |    GROUP BY 1) sv ON sv.event_type = st.event_type)""".stripMargin
+    }
+    s"""WITH o AS (
+       |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events
+       |  WHERE event_type IS NOT NULL),
+       |p0 AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS to_type
+       |  FROM o),
+       |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM p0
+       |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1),
+       |states AS (SELECT DISTINCT from_type AS event_type FROM c
+       |           UNION SELECT DISTINCT to_type FROM c),
+       |h0 AS (SELECT event_type,
+       |              CASE WHEN event_type = 'purchase' THEN CAST(1000000 AS BIGINT)
+       |                   ELSE CAST(0 AS BIGINT) END AS p
+       |       FROM states),
+       |${(1 to 6).map(step).mkString(",\n")}
+       |SELECT event_type, p AS p_conv6_ppm FROM h6 ORDER BY event_type""".stripMargin
+  }
+
   /** Retention-decay-fit output expressions — the cupedSelect device:
     * OLS slope/intercept over exact BIGINT moment sums, plus the
     * half-life the decay rate implies, rendered once for both engines. */
@@ -2489,6 +2526,63 @@ object EventOps {
           "round(CAST(n_conv AS DOUBLE) / n_base, 6) AS rate",
           s"${wilson("-")} AS ci_lo", s"${wilson("+")} AS ci_hi")
         .orderBy(col("hop"))
+    },
+
+    Q(
+      "event_absorbing",
+      EventOps.absorbingOracleSql
+    ) { (s, d) =>
+      // Absorbing-chain conversion probability (Kemeny-Snell absorbing
+      // Markov chains): P(reach 'purchase' within 6 steps | current
+      // state), per starting event type — the PREDICTIVE readout the
+      // chain family was missing: event_markov gives one-step
+      // transition probabilities, event_funnel counts one fixed path;
+      // the absorption iterate h_{t+1}(x) = Σ_y P(x,y)·h_t(y) (with
+      // purchase pinned at 1) folds EVERY path of length ≤ 6 into one
+      // number per state — "how close to converting is a user sitting
+      // at x", the quantity a real-time intervention rule thresholds.
+      // Exact integer ppm: transition mass stays as counts (n_xy,
+      // n_from), each step is ONE integer division per state —
+      // (Σ_y n_xy·h_ppm(y)) DIV n_from — after an exact BIGINT sum
+      // (tighter than per-edge DIV; 63-bit bound: n_from·10⁶, rescale
+      // units past ~10¹² outgoing transitions per state). Six UNROLLED
+      // steps (the pagerank device), generated from one template for
+      // both engines. Scale: the chain runs entirely on the
+      // |types|²-bounded transition table — one corpus shuffle builds
+      // it (the event_markov shape), then 6 bounded-table joins.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val c = T.events(s, d)
+        .where(col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type").as("from_type"),
+                unix_millis(col("ts")).as("ms"), col("event_id"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("from_type")).agg(sum(col("n")).cast("long").as("n_from"))
+      val states = c.select(col("from_type").as("event_type"))
+        .union(c.select(col("to_type").as("event_type"))).distinct()
+      var h = states.select(col("event_type"),
+        when(col("event_type") === "purchase", 1000000L).otherwise(0L).as("p"))
+      for (_ <- 1 to 6) {
+        val step = c.join(Gate.bcast(h.withColumnRenamed("event_type", "ht")),
+            col("to_type") === col("ht"))
+          .groupBy(col("from_type"))
+          .agg(sum(col("n") * col("p")).cast("long").as("num"))
+          .join(Gate.bcast(t), "from_type")
+          .select(col("from_type").as("event_type"),
+                  expr("num DIV n_from").as("pv"))
+        // measured negative result: localCheckpoint-per-step (the
+        // graph_label_prop device) DOUBLED this key (1.97 → 3.97 s at
+        // sf0.1) — six extra materialization jobs cost more than the
+        // 6-deep lineage compiles, because every table here is
+        // |types|-tiny; the lineage shape stands on that measurement
+        h = states.join(step, Seq("event_type"), "left")
+          .select(col("event_type"),
+                  when(col("event_type") === "purchase", 1000000L)
+                    .otherwise(coalesce(col("pv"), lit(0L))).as("p"))
+      }
+      h.select(col("event_type"), col("p").as("p_conv6_ppm"))
+        .orderBy(col("event_type"))
     },
 
     Q(

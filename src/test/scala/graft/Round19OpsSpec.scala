@@ -857,6 +857,41 @@ class Round19OpsSpec extends GraftSuite {
     assert(pureDcg == cumW(9), "weight literals and cumulative table drifted apart")
   }
 
+  test("event_absorbing: the 6-step absorption iterate matches an exact driver recompute") {
+    val out = SparkEntry.queries("event_absorbing")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent recompute: build transitions from raw events, iterate
+    val ev = T.events(spark, sf).where(col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      seq.zip(seq.drop(1))
+    }
+    val counts = trans.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nFrom = counts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val states = (counts.keys.map(_._1) ++ counts.keys.map(_._2)).toSet
+    var h = states.map(st => st -> (if (st == "purchase") 1000000L else 0L)).toMap
+    var prev = h
+    (1 to 6).foreach { _ =>
+      prev = h
+      h = states.map { st =>
+        st -> (if (st == "purchase") 1000000L
+               else {
+                 val num = counts.collect { case ((f, t), n) if f == st => n * h(t) }.sum
+                 nFrom.get(st).map(num / _).getOrElse(0L)
+               })
+      }.toMap
+      // the iterate is monotone nondecreasing (more steps, more paths)
+      states.foreach(st => assert(h(st) >= prev(st), s"$st decreased"))
+    }
+    assert(out == h, s"diff: ${out.toSet diff h.toSet} vs ${h.toSet diff out.toSet}")
+    assert(out("purchase") == 1000000L)
+    assert(out.values.forall(p => p >= 0L && p <= 1000000L), "ppm escaped [0, 1e6]")
+    assert(out.exists { case (k, p) => k != "purchase" && p > 0L },
+      "no state ever reaches purchase — fixture degenerate")
+  }
+
   test("data_drift_wasserstein: W1 equals the brute per-sample ECDF integral") {
     val out = SparkEntry.queries("data_drift_wasserstein")(spark, sf).collect()
       .map(r => (if (r.isNullAt(0)) null else r.getString(0)) ->
