@@ -1126,7 +1126,17 @@ object OsmKernels {
         .agg(sum(col("contrib")).as("ulen"))
       val tile = striplen.groupBy(col("tx"), col("ty"))
         .agg(sum((col("xe") - col("xs")) * col("ulen")).cast("long").as("union_area"))
-      val nw = cover.select(col("tx"), col("ty"), col("way_id")).distinct()
+      // r19 opt: n_ways per tile straight from the |ways×bands|-bounded
+      // band table — a way covers tile tx iff [x1,x2]∩[tx·500,(tx+1)·500)
+      // has positive width, i.e. tx ∈ [x1 DIV 500, (x2−1) DIV 500] (x2 >
+      // x1 by the clip filter; strips never straddle tiles, so this is
+      // exactly the set of tiles the old cover-based DISTINCT produced).
+      // The before-plan recomputed the ~1.3 M-row BroadcastNestedLoop
+      // cover join a SECOND time and ran DISTINCT over it just for this
+      // count; band rows are unique per (way_id, ty) by construction and
+      // the explode emits each tx once, so a plain count suffices.
+      val nw = band
+        .select(col("ty"), explode(expr("sequence(x1 DIV 500, (x2 - 1) DIV 500)")).as("tx"))
         .groupBy(col("tx"), col("ty")).agg(count(lit(1)).as("n_ways"))
       tile.join(nw, Seq("tx", "ty"))
         .select(col("tx"), col("ty"), col("n_ways"), col("union_area"),
@@ -2131,20 +2141,29 @@ object OsmKernels {
               col("a.way_id") < col("b.way_id"))
         .groupBy(col("a.way_id").as("way_a"), col("b.way_id").as("way_b"))
         .agg(count(lit(1)).cast("long").as("n_shared"))
+      // r19 opt: carry n_shared INTO the cached cross so the final join
+      // no longer recomputes the whole pairs subtree (the before-plan
+      // duplicated operators 1-25: a second edge regroup + self-join).
+      // The pre-persist repartition BALANCES the cached cross over the
+      // executor slots for the two directed-agg passes (an AQE-planned
+      // cache reports unknown partitioning downstream, so the exchange
+      // is not elided — but the balance is what pays: measured 1.87 s
+      // with vs 2.46 s without at sf0.1 isolated).
       val cross = graft.Caches.register(pairs
         .join(pts.select(col("way_id").as("way_a"), col("x").as("xa"), col("y").as("ya")), Seq("way_a"))
         .join(pts.select(col("way_id").as("way_b"), col("x").as("xb"), col("y").as("yb")), Seq("way_b"))
         .withColumn("d2", (col("xa") - col("xb")) * (col("xa") - col("xb")) +
                           (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .repartition(col("way_a"), col("way_b"))
         .persist())
       def directed(px: String, py: String, out: String) = cross
-        .groupBy(col("way_a"), col("way_b"), col(px), col(py))
+        .groupBy(col("way_a"), col("way_b"), col("n_shared"), col(px), col(py))
         .agg(min(col("d2")).as("dmin"))
-        .groupBy(col("way_a"), col("way_b"))
+        .groupBy(col("way_a"), col("way_b"), col("n_shared"))
         .agg(max(col("dmin")).cast("long").as(out))
       val hab = directed("xa", "ya", "h_ab")
-      val hba = directed("xb", "yb", "h_ba")
-      pairs.join(hab, Seq("way_a", "way_b")).join(hba, Seq("way_a", "way_b"))
+      val hba = directed("xb", "yb", "h_ba").drop("n_shared")
+      hab.join(hba, Seq("way_a", "way_b"))
         .select(col("way_a"), col("way_b"), col("n_shared"), col("h_ab"), col("h_ba"),
                 greatest(col("h_ab"), col("h_ba")).as("hausdorff2"))
         .orderBy(col("way_a"), col("way_b"))
