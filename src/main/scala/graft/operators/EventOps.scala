@@ -2551,13 +2551,20 @@ object EventOps {
       // |types|²-bounded transition table — one corpus shuffle builds
       // it (the event_markov shape), then 6 bounded-table joins.
       val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
-      val c = T.events(s, d)
+      val c0 = T.events(s, d)
         .where(col("event_type").isNotNull)
         .select(col("user_id"), col("event_type").as("from_type"),
                 unix_millis(col("ts")).as("ms"), col("event_id"))
         .withColumn("to_type", lead(col("from_type"), 1).over(w))
         .where(col("to_type").isNotNull)
         .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      // r19 A/B (negative result): persisting the transition table
+      // measured min 0.88 s → 0.95 s solo at sf0.1 — the six unrolled
+      // steps' copies of the collapse subtree share one plan, so
+      // ReuseExchange + concurrent stages make the recompute nearly
+      // free, while the persist adds a serializing cache-fill job (the
+      // same verdict as the r18 per-step-checkpoint A/B, one level up).
+      val c = c0
       val t = c.groupBy(col("from_type")).agg(sum(col("n")).cast("long").as("n_from"))
       val states = c.select(col("from_type").as("event_type"))
         .union(c.select(col("to_type").as("event_type"))).distinct()
@@ -2758,6 +2765,11 @@ object EventOps {
                  floor(unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
         .agg(count(lit(1)).cast("long").as("n"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      // r19 A/B (wash): persisting this calendar-bounded prefix-sum table
+      // to dedup its three plan copies measured min 0.97 → 0.89 s but
+      // median 1.10 → 1.20 s solo at sf0.1 — inside run-to-run noise,
+      // the same ReuseExchange-absorbs-the-recompute verdict as
+      // data_drift_psi/event_absorbing. Left unpersisted.
       val x = daily.select(col("event_type"), col("day"), col("n"),
         row_number().over(w).cast("long").as("i"),
         sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -1447,6 +1447,10 @@ object OsmKernels {
       val (closure, unresolved) = nestedClosure(roots, relEdges, maxDepth = 4)
       val wayMembers = T.orders(s, d).select(
         col("o_custkey").as("rel_id"), col("o_orderkey").as("way_id"))
+      // r19 A/B (wash): gate-broadcasting the closure and the
+      // closure⋈members product to keep the fact chain unshuffled
+      // measured 1.22 → 1.26 s solo at sf0.1 — the closure unroll, not
+      // the two SortMergeJoins, is the cost here. Original shape stands.
       val agged = closure
         .join(wayMembers, Seq("rel_id"))
         .join(T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
@@ -1885,6 +1889,12 @@ object OsmKernels {
         .withColumn("rx1", (col("tx") + 1) * 2500)
         .withColumn("ry0", col("ty") * 60000)
         .withColumn("ry1", (col("ty") + 1) * 60000)
+        // r19 A/B (negative result, kept for the record): exploding the
+        // edges and summing clipTrapTerm as a flat codegen'd projection
+        // + hash agg measured 2.02 s vs 1.51 s for this fold at sf0.1 —
+        // the edge×tile row explosion and the partial-sum exchange cost
+        // more than the aggregate() lambda's CodegenFallback overhead
+        // saves. The map-only fold stands.
         .withColumn("s",
           expr(s"aggregate(edges, CAST(0 AS DOUBLE), (acc, e) -> acc + ${clipTrapTerm("e")})"))
         .where(col("s") =!= 0.0)

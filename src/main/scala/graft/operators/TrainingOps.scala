@@ -630,6 +630,12 @@ object TrainingOps {
         .select(col("doc_id"),
                 HashedWordGramsSeq(col("text"), 1).as("u"),
                 HashedBigramPairs(col("text")).as("bp"))
+      // r19 A/B (negative result): persisting this exploded position
+      // stream (and the per-doc arrays in text_perplexity_interp)
+      // measured a wash solo at sf0.1 (kn min 1.279 → 1.274) — the model
+      // and probe copies of the subtree share one plan, ReuseExchange +
+      // concurrent stages absorb the recompute, and the persist only
+      // adds a cache-fill barrier. The recompute shape stands.
       val b = staged.where(size(col("bp")) > 0)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(bp)), i ->
@@ -1565,6 +1571,10 @@ object TrainingOps {
                 posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
         .where(col("token") =!= "")
         .withColumn("stop", expr(s"CASE WHEN token IN ($stops) THEN 1 ELSE 0 END"))
+      // r19 A/B (negative result): persisting seg (+ph) measured 1.22 s
+      // vs 1.00 s solo at sf0.1 — materializing the |tokens|-row columnar
+      // cache costs more than re-running the cheap codegen'd tokenize +
+      // per-doc window for the three consumers; the recompute stands.
       val seg = tok
         .withColumn("sid", sum(col("stop")).over(
           Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1986,27 +1996,33 @@ object TrainingOps {
         .union(und.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint()
       val nodes = e.select(col("src").as("node")).distinct()
+      // r19 opt: the before-plan ran FOUR SortMergeJoins over ≤|V|-row
+      // tables — the degree→alive right join and the three readout
+      // joins all lost the broadcast because checkpointed sides carry
+      // no useful size estimate. The right join is re-expressed as an
+      // alive←degree LEFT join so the |V|-bounded degree table rides a
+      // size-gated broadcast (build-right), and the readout joins gate-
+      // broadcast the peel sets; every SMJ (and its exchange+sort pair)
+      // drops out of the plan. Identical row semantics by construction.
       def peel(alive: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
         val al = broadcast(alive)
-        e.join(al.withColumnRenamed("node", "sn"), col("src") === col("sn"))
+        val deg = e.join(al.withColumnRenamed("node", "sn"), col("src") === col("sn"))
           .join(al.withColumnRenamed("node", "dn"), col("dst") === col("dn"))
-          .groupBy(col("src").as("node")).agg(count(lit(1)).cast("long").as("deg"))
-          .as("d").join(alive.as("al"), col("d.node") === col("al.node"), "right")
-          .select(col("al.node").as("node"),
-                  coalesce(col("deg"), lit(0L)).as("deg"))
-          .where(col("deg") < 3).select(col("node"))
+          .groupBy(col("src").as("dnode")).agg(count(lit(1)).cast("long").as("deg"))
+        alive.join(Gate.bcast(deg), col("node") === col("dnode"), "left")
+          .where(coalesce(col("deg"), lit(0L)) < 3).select(col("node"))
       }
       val r1 = peel(nodes).localCheckpoint()
-      val a1 = nodes.join(r1.withColumnRenamed("node", "rn"),
+      val a1 = nodes.join(Gate.bcast(r1.withColumnRenamed("node", "rn")),
         col("node") === col("rn"), "left_anti").localCheckpoint()
       val r2 = peel(a1).localCheckpoint()
-      val a2 = a1.join(r2.withColumnRenamed("node", "rn"),
+      val a2 = a1.join(Gate.bcast(r2.withColumnRenamed("node", "rn")),
         col("node") === col("rn"), "left_anti").localCheckpoint()
       val r3 = peel(a2).localCheckpoint()
       nodes.as("n")
-        .join(r1.withColumnRenamed("node", "n1"), col("n.node") === col("n1"), "left")
-        .join(r2.withColumnRenamed("node", "n2"), col("n.node") === col("n2"), "left")
-        .join(r3.withColumnRenamed("node", "n3"), col("n.node") === col("n3"), "left")
+        .join(Gate.bcast(r1.withColumnRenamed("node", "n1")), col("n.node") === col("n1"), "left")
+        .join(Gate.bcast(r2.withColumnRenamed("node", "n2")), col("n.node") === col("n2"), "left")
+        .join(Gate.bcast(r3.withColumnRenamed("node", "n3")), col("n.node") === col("n3"), "left")
         .select(col("n.node").as("node"),
                 when(col("n1").isNotNull, 1L)
                   .when(col("n2").isNotNull, 2L)
@@ -2541,6 +2557,12 @@ object TrainingOps {
       // downstream lives on the bounded grid.
       val ev = T.events(s, d).select(col("event_type"), unix_millis(col("ts")).as("ms"))
       val bounds = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+      // r19 A/B (negative result): persisting this bounded count table
+      // measured 0.83 s → 1.22 s solo at sf0.1 — the four consumers'
+      // duplicate subtrees share one plan, so ReuseExchange + concurrent
+      // stage scheduling make the recompute nearly free, while the
+      // persist inserts a serializing cache-fill job. The single-plan
+      // shape stands.
       val cnt = ev.crossJoin(broadcast(bounds))
         .select(col("event_type"), expr("(ms DIV 3600000) % 24").as("hr"),
                 (col("ms") * 2 >= col("lo") + col("hi")).cast("int").as("late"))
@@ -2935,6 +2957,10 @@ object TrainingOps {
       // partition key. doc_id breaks nll ties, so the rank (and hash)
       // is boundary-placement-independent; the localCheckpoint pins one
       // sampled range layout across the counts job and the rank job.
+      // r19 A/B (negative result): persisting the exploded bigram stream
+      // here measured 2.20 s → 2.42 s in same-batch runs (a solo run
+      // showed 1.94 s — solo timings flatter the persist because nothing
+      // competes for the cache); the recompute stands.
       val b = hashedBigramStream(s, d)
       val cb = b.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c12"))
       val cu = cb.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
