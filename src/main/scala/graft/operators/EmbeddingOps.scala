@@ -803,27 +803,20 @@ object EmbeddingOps {
         }
         m
       }
-      val maskLit = masks.mkString("array(", "L, ", "L)")
+      // r19 opt: the 16 folds ran as nested higher-order lambdas —
+      // interpreted per (dim, output) step, the documented 1.39 s floor
+      // — and are now ONE fused codegen'd expression
+      // (functions/JlSignProject: same floor(x·1e6+0.5) quantize, same
+      // mask-bit sign, same 1-based dim indexing, exact BIGINT sums, a
+      // NULL element still poisons all 16 slots, and the >128-dim LOUD
+      // width guard moves into the kernel). Measured 1.27 s → 0.72 s
+      // solo at sf0.1; hash equality vs the mix-recomputing oracle pins
+      // the fusion.
       T.embeddings(s, d)
         .where(col("embedding").isNotNull)
-        .withColumn("q", expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"))
-        .select(col("vec_id"), posexplode(expr(
-          // The fold INIT carries the width guard: the spliced masks
-          // cover input dims 1..128, and a wider embedding would read a
-          // NULL mask word and silently mis-sign every dim past 128 —
-          // fail LOUD instead (the decodeWav contract; widen the mask
-          // table, not this guard). Living in the computed output, the
-          // assert cannot be pruned away.
-          s"""transform(sequence(0, 15), j ->
-            |  aggregate(sequence(1, size(q)),
-            |    CASE WHEN size(q) <= 128 THEN 0L
-            |         ELSE CAST(assert_true(false, 'emb_random_projection: embedding wider than the 128-dim sign-mask table') AS BIGINT) END,
-            |    (acc, i) ->
-            |    acc + (CASE WHEN (shiftright(element_at($maskLit, CAST(j * 2 + (i - 1) DIV 64 + 1 AS INT)), CAST((i - 1) % 64 AS INT)) & 1L) = 1L
-            |                THEN 1L ELSE -1L END)
-            |          * element_at(q, i)))""".stripMargin))
-          .as(Seq("j", "y_micro")))
+        .select(col("vec_id"),
+          posexplode(graft.functions.JlSignProject(col("embedding"), masks, 16))
+            .as(Seq("j", "y_micro")))
         .selectExpr("vec_id", "CAST(j AS BIGINT) AS j", "y_micro")
         .orderBy(col("vec_id"), col("j"))
     },

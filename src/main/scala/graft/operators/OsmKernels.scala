@@ -257,7 +257,7 @@ object OsmKernels {
     * One rational division per edge in doubles; the template is spliced
     * verbatim into BOTH engines, so every IEEE intermediate agrees.
     */
-  private def clipTrapTerm(e: String): String = {
+  private[graft] def clipTrapTerm(e: String): String = {
     val lo = s"greatest(rx0, least($e.x1, $e.x2))"
     val hi = s"least(rx1, greatest($e.x1, $e.x2))"
     val m  = s"(CAST($e.y2 - $e.y1 AS DOUBLE) / CAST($e.x2 - $e.x1 AS DOUBLE))"
@@ -675,21 +675,13 @@ object OsmKernels {
         .join(nodes(s, d), col("node_ref") === col("node_id"))
         .groupBy(col("way_id"))
         .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
-        .select(col("way_id"),
-          expr("""aggregate(
-                 |  zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
-                 |           (a, b) -> struct(b.lon_c - a.lon_c AS dx, b.lat_c - a.lat_c AS dy)),
-                 |  struct(CAST(0 AS BIGINT) AS ew, CAST(0 AS BIGINT) AS ns,
-                 |         CAST(0 AS BIGINT) AS ne, CAST(0 AS BIGINT) AS nw),
-                 |  (acc, s) -> IF(s.dx = 0 AND s.dy = 0, acc,
-                 |    IF(12 * abs(s.dy) < 5 * abs(s.dx),
-                 |       struct(acc.ew + 1L AS ew, acc.ns AS ns, acc.ne AS ne, acc.nw AS nw),
-                 |    IF(5 * abs(s.dy) > 12 * abs(s.dx),
-                 |       struct(acc.ew AS ew, acc.ns + 1L AS ns, acc.ne AS ne, acc.nw AS nw),
-                 |    IF(s.dx * s.dy > 0,
-                 |       struct(acc.ew AS ew, acc.ns AS ns, acc.ne + 1L AS ne, acc.nw AS nw),
-                 |       struct(acc.ew AS ew, acc.ns AS ns, acc.ne AS ne, acc.nw + 1L AS nw))))))"""
-            .stripMargin).as("c"))
+        // r19 opt: the 4-bin segment classification ran as a zip_with +
+        // aggregate() lambda — interpreted per segment (higher-order
+        // lambdas never enter codegen). functions/BearingBins is the
+        // same exact-BIGINT rule (zero-length skip, 12·|dy| < 5·|dx| →
+        // E-W, 5·|dy| > 12·|dx| → N-S, sign(dx·dy) for the diagonals)
+        // as one fused codegen'd pass over the sorted point array.
+        .select(col("way_id"), graft.functions.BearingBins(col("pts")).as("c"))
       val cnt = perWay
         .join(graft.Gate.bcast(cls), "way_id")
         .groupBy(col("highway_class"))
@@ -1889,14 +1881,17 @@ object OsmKernels {
         .withColumn("rx1", (col("tx") + 1) * 2500)
         .withColumn("ry0", col("ty") * 60000)
         .withColumn("ry1", (col("ty") + 1) * 60000)
-        // r19 A/B (negative result, kept for the record): exploding the
-        // edges and summing clipTrapTerm as a flat codegen'd projection
-        // + hash agg measured 2.02 s vs 1.51 s for this fold at sf0.1 —
-        // the edge×tile row explosion and the partial-sum exchange cost
-        // more than the aggregate() lambda's CodegenFallback overhead
-        // saves. The map-only fold stands.
-        .withColumn("s",
-          expr(s"aggregate(edges, CAST(0 AS DOUBLE), (acc, e) -> acc + ${clipTrapTerm("e")})"))
+        // r19 opt: the per-(way, tile) edge fold ran as an aggregate()
+        // lambda — interpreted per edge×tile. functions/ClipTrapFold is
+        // the same left-associated acc+term sequence with every double
+        // op mirrored op-for-op from the clipTrapTerm SQL template, as
+        // one native loop per row; the oracle hash pins the IEEE
+        // equivalence. (An earlier A/B that exploded the edges into a
+        // codegen projection + hash agg measured 2.02 s vs 1.51 s — the
+        // row explosion cost more than interpretation; fusing WITHOUT
+        // exploding is the shape that wins.)
+        .withColumn("s", graft.functions.ClipTrapFold(
+          col("edges"), col("rx0"), col("rx1"), col("ry0"), col("ry1")))
         .where(col("s") =!= 0.0)
         .select(col("way_id"), col("tx"), col("ty"),
           (round(col("s") * -1.23933424, 1) + lit(0.0)).as("area_km2"))
@@ -3207,6 +3202,13 @@ object OsmKernels {
       for (_ <- 1 to 3) {
         val relaxed = dist.join(und, dist("node") === und("u"))
           .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+        // r19 A/B (negative result): localCheckpoint-per-round to stop
+        // the frontier's plan doubling (the executed plan re-scans the
+        // edge index 14 times) measured 0.84 s → 1.64 s solo at sf0.1 —
+        // the tiny parallel re-scans are near-free while each checkpoint
+        // is a serializing job. The unrolled lineage stands; the
+        // convergence sibling (relaxConverged) keeps its per-round
+        // truncation because its round count is unbounded.
         dist = dist.unionAll(relaxed)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** r19 optimization round: the three fused native kernels that replaced
+  * interpreted higher-order lambdas (JlSignProject, BearingBins,
+  * ClipTrapFold) are pinned EXPRESSION-equal to the lambda formulations
+  * they replaced — same rows, same exact integers, bit-identical
+  * doubles — on adversarial inputs the fixtures may not cover
+  * (negative coordinates, zero-length segments, vertical/horizontal
+  * edges, boundary-touching tiles, null elements).
+  */
+class FusedFoldsSpec extends GraftSuite {
+
+  test("JlSignProject matches the transform+aggregate lambda bit-for-bit") {
+    import spark.implicits._
+    val masks: IndexedSeq[Long] = for (j <- 0 until 16; w <- 0 until 2) yield {
+      var m = 0L
+      for (b <- 0 until 64) {
+        val i = (w * 64 + b + 1).toLong
+        val z1 = ((i * 1000003L + j + 1L) * 2654435761L) % 4294967296L
+        val z2 = ((z1 ^ (z1 / 65536L)) * 598266013L) % 4294967296L
+        if ((z2 / 1048576L) % 2L == 0L) m |= (1L << b)
+      }
+      m
+    }
+    val maskLit = masks.mkString("array(", "L, ", "L)")
+    // adversarial vectors: negatives, exact halves (floor(x*1e6+0.5)
+    // midpoints), tiny magnitudes, a 128-dim (guard boundary) vector
+    val rows = Seq(
+      (1L, Array(0.5f, -0.5f, 0.0000005f, -0.0000005f, 1.25f, -3.75f)),
+      (2L, Array.tabulate(128)(i => (math.sin(i + 1) * 2).toFloat)),
+      (3L, Array.tabulate(7)(i => (-1.0 + i * 0.333).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val fused = df.select(col("vec_id"),
+      posexplode(graft.functions.JlSignProject(col("embedding"), masks, 16))
+        .as(Seq("j", "y")))
+    val lambda = df
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"))
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, 15), j ->
+          |  aggregate(sequence(1, size(q)), 0L,
+          |    (acc, i) ->
+          |    acc + (CASE WHEN (shiftright(element_at($maskLit, CAST(j * 2 + (i - 1) DIV 64 + 1 AS INT)), CAST((i - 1) % 64 AS INT)) & 1L) = 1L
+          |                THEN 1L ELSE -1L END)
+          |          * element_at(q, i)))""".stripMargin)).as(Seq("j", "y")))
+    assert(fused.orderBy("vec_id", "j").collect().toSeq ===
+           lambda.orderBy("vec_id", "j").collect().toSeq)
+  }
+
+  test("JlSignProject fails loud past the mask width and poisons on null elements") {
+    import spark.implicits._
+    val masks = Seq.fill(32)(0x5555555555555555L)
+    val wide = Seq((1L, Array.fill(129)(1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      wide.select(graft.functions.JlSignProject(col("embedding"), masks, 16)).collect()
+    }
+    assert(ex.getMessage.contains("wider than the 128-dim sign-mask table") ||
+           Option(ex.getCause).exists(_.getMessage.contains("wider than the 128-dim sign-mask table")))
+    val withNull = Seq((2L, Array[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = withNull
+      .select(posexplode(graft.functions.JlSignProject(col("embedding"), masks, 16)))
+      .collect()
+    assert(out.length === 16 && out.forall(_.isNullAt(1)),
+      "a null element must poison all 16 slots but keep the 16-row explode")
+  }
+
+  test("BearingBins matches the zip_with+aggregate lambda on adversarial segments") {
+    import spark.implicits._
+    // boundary slopes 5/12 and 12/5 exactly, zero-length repeats,
+    // negative deltas, single-point way
+    val pts = Seq(
+      (1L, Seq((1, 10L, 0L, 0L), (2, 11L, 12L, 5L), (3, 12L, 24L, 10L),
+               (4, 13L, 24L, 10L), (5, 14L, 19L, 22L), (6, 15L, 19L, 10L))),
+      (2L, Seq((1, 20L, -5L, -5L), (2, 21L, -17L, -10L), (3, 22L, -17L, -22L))),
+      (3L, Seq((1, 30L, 7L, 7L))))
+      .toDF("way_id", "raw")
+      .select(col("way_id"), expr(
+        "transform(raw, r -> struct(r._1 AS pos, r._2 AS node_ref, r._3 AS lon_c, r._4 AS lat_c))")
+        .as("pts"))
+    val fused = pts.select(col("way_id"), graft.functions.BearingBins(col("pts")).as("c"))
+      .selectExpr("way_id", "c.ew", "c.ns", "c.ne", "c.nw")
+    val lambda = pts.select(col("way_id"), expr(
+      """aggregate(
+        |  zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
+        |           (a, b) -> struct(b.lon_c - a.lon_c AS dx, b.lat_c - a.lat_c AS dy)),
+        |  struct(CAST(0 AS BIGINT) AS ew, CAST(0 AS BIGINT) AS ns,
+        |         CAST(0 AS BIGINT) AS ne, CAST(0 AS BIGINT) AS nw),
+        |  (acc, s) -> IF(s.dx = 0 AND s.dy = 0, acc,
+        |    IF(12 * abs(s.dy) < 5 * abs(s.dx),
+        |       struct(acc.ew + 1L AS ew, acc.ns AS ns, acc.ne AS ne, acc.nw AS nw),
+        |    IF(5 * abs(s.dy) > 12 * abs(s.dx),
+        |       struct(acc.ew AS ew, acc.ns + 1L AS ns, acc.ne AS ne, acc.nw AS nw),
+        |    IF(s.dx * s.dy > 0,
+        |       struct(acc.ew AS ew, acc.ns AS ns, acc.ne + 1L AS ne, acc.nw AS nw),
+        |       struct(acc.ew AS ew, acc.ns AS ns, acc.ne AS ne, acc.nw + 1L AS nw))))))"""
+        .stripMargin).as("c"))
+      .selectExpr("way_id", "c.ew", "c.ns", "c.ne", "c.nw")
+    assert(fused.orderBy("way_id").collect().toSeq ===
+           lambda.orderBy("way_id").collect().toSeq)
+  }
+
+  test("ClipTrapFold is bit-identical to the clipTrapTerm lambda fold") {
+    import spark.implicits._
+    // edges crossing tile bounds every which way: vertical (x1=x2),
+    // horizontal (y1=y2), steep/shallow slopes, fully-left/right edges,
+    // negative coords, reversed direction
+    val rows = Seq(
+      (1L, Seq((0L, 0L, 100L, 50L), (100L, 50L, 100L, -20L), (100L, -20L, 0L, 0L))),
+      (2L, Seq((-50L, 80L, 150L, 80L), (150L, 80L, 40L, -90L), (40L, -90L, -50L, 80L))),
+      (3L, Seq((10L, 10L, 10L, 10L), (20L, 5L, 30L, 200L), (30L, 200L, 20L, 5L))))
+      .toDF("way_id", "raw")
+      .select(col("way_id"), expr(
+        "transform(raw, r -> named_struct('x1', r._1, 'y1', r._2, 'x2', r._3, 'y2', r._4))")
+        .as("edges"),
+        lit(0L).as("rx0"), lit(60L).as("rx1"), lit(-10L).as("ry0"), lit(70L).as("ry1"))
+    val fused = rows.select(col("way_id"), graft.functions.ClipTrapFold(
+      col("edges"), col("rx0"), col("rx1"), col("ry0"), col("ry1")).as("s"))
+    val lambda = rows.select(col("way_id"), expr(
+      s"aggregate(edges, CAST(0 AS DOUBLE), (acc, e) -> acc + ${graft.operators.OsmKernels.clipTrapTerm("e")})").as("s"))
+    val f = fused.orderBy("way_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val l = lambda.orderBy("way_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    f.zip(l).foreach { case ((wa, sa), (wb, sb)) =>
+      assert(wa === wb)
+      assert(java.lang.Double.doubleToRawLongBits(sa) ===
+             java.lang.Double.doubleToRawLongBits(sb),
+        s"way $wa: fused $sa != lambda $sb (bit-level)")
+    }
+  }
+}
