@@ -2154,6 +2154,12 @@ object OsmKernels {
       // cache reports unknown partitioning downstream, so the exchange
       // is not elided — but the balance is what pays: measured 1.87 s
       // with vs 2.46 s without at sf0.1 isolated).
+      // r19 A/B (follow-ups, all reverted): gate-broadcasting pairs and
+      // the pair×A-points product (the gate falls back — aggregate-side
+      // size estimates are inflated), forcing real sizes via
+      // localCheckpoint (1.65 → 1.87 s: two barriers cost more than the
+      // SMJ→BHJ saves), and gate-broadcasting hba (1.65 → 1.95 s). The
+      // committed shape below stands on those measurements.
       val cross = graft.Caches.register(pairs
         .join(pts.select(col("way_id").as("way_a"), col("x").as("xa"), col("y").as("ya")), Seq("way_a"))
         .join(pts.select(col("way_id").as("way_b"), col("x").as("xb"), col("y").as("yb")), Seq("way_b"))
@@ -2168,6 +2174,8 @@ object OsmKernels {
         .agg(max(col("dmin")).cast("long").as(out))
       val hab = directed("xa", "ya", "h_ab")
       val hba = directed("xb", "yb", "h_ba").drop("n_shared")
+      // (gate-broadcasting hba here measured 1.95 s vs 1.65–1.87 s for
+      // the plain join across repeats — never better; reverted)
       hab.join(hba, Seq("way_a", "way_b"))
         .select(col("way_a"), col("way_b"), col("n_shared"), col("h_ab"), col("h_ba"),
                 greatest(col("h_ab"), col("h_ba")).as("hausdorff2"))

@@ -2329,15 +2329,29 @@ object TrainingOps {
       // text_perplexity-proven size. Same template text on the same
       // doubles, so the IEEE dataflow — and the oracle match — is
       // unchanged.
-      val ga = sp.join(c.withColumnRenamed("source", "sa"), Seq("sa"))
+      // r19 opt: the |pairs|-row grid rides BROADCAST onto the collapsed
+      // table (the before-plan ran both attaches as SortMergeJoins), and
+      // the full-outer join on (sa, sb, h) — two exchanges + sorts — is
+      // re-expressed as a tagged union + one hash aggregation: each side
+      // contributes at most one row per (pair, token), so max() over the
+      // union reproduces the outer join's coalesce exactly (absent side
+      // → NULL → the same CASE arm as before). One exchange, no sorts;
+      // the ln templates still evaluate on the collapsed sides, so the
+      // IEEE dataflow per row is unchanged.
+      val ga = graft.Gate.bcast(sp).join(c.withColumnRenamed("source", "sa"), Seq("sa"))
         .join(broadcast(n.select(col("source").as("sa"), col("n").as("na"))), Seq("sa"))
         .select(col("sa"), col("sb"), col("h"), col("c").as("ca"),
-                expr(lnProbTpl("(CAST(c AS DOUBLE) / CAST(na AS DOUBLE))")).as("lnp"))
-      val gb = sp.join(c.withColumnRenamed("source", "sb"), Seq("sb"))
+                expr(lnProbTpl("(CAST(c AS DOUBLE) / CAST(na AS DOUBLE))")).as("lnp"),
+                lit(null).cast("long").as("cb"), lit(null).cast("double").as("lnq"))
+      val gb = graft.Gate.bcast(sp).join(c.withColumnRenamed("source", "sb"), Seq("sb"))
         .join(broadcast(n.select(col("source").as("sb"), col("n").as("nb"))), Seq("sb"))
-        .select(col("sa"), col("sb"), col("h"), col("c").as("cb"),
-                expr(lnProbTpl("(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE))")).as("lnq"))
-      ga.join(gb, Seq("sa", "sb", "h"), "full")
+        .select(col("sa"), col("sb"), col("h"), lit(null).cast("long").as("ca"),
+                lit(null).cast("double").as("lnp"),
+                col("c").as("cb"), expr(lnProbTpl("(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE))")).as("lnq"))
+      ga.unionByName(gb)
+        .groupBy(col("sa"), col("sb"), col("h"))
+        .agg(max(col("ca")).as("ca"), max(col("lnp")).as("lnp"),
+             max(col("cb")).as("cb"), max(col("lnq")).as("lnq"))
         .na.fill(0L, Seq("ca", "cb"))
         .join(broadcast(n.select(col("source").as("sa"), col("n").as("na"))), Seq("sa"))
         .join(broadcast(n.select(col("source").as("sb"), col("n").as("nb"))), Seq("sb"))
