@@ -534,6 +534,11 @@ object LlmOps {
       val exN = grams.select(col("doc_id"), size(col("grams")).as("n"),
                              explode(col("grams")).as("g"))
       val freq = exN.groupBy(col("g")).agg(count(lit(1)).as("f"))
+      // r19 A/B (negative result): regrouping the prefix rank to per-doc
+      // arrays (groupBy + array_sort + slice, replacing the row_number
+      // window's exchange + stream sort) measured 0.74 → 0.90 s solo at
+      // sf0.1 — the ObjectHashAggregate collect_list costs more than the
+      // window's sort on this stream. The window shape stands.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("f"), col("g"))
       val prefix = exN.join(freq, "g")

@@ -2418,7 +2418,13 @@ object OsmKernels {
         .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .select(col("o_orderkey"), col("o_totalprice"), col("r_name"), col("n_name"))
-      staged.write.mode("overwrite")
+      // r19 opt: cluster by the partition columns before the write (the
+      // sink_parquet note — one file per (region, nation) dir instead of
+      // every scan task writing every dir, the M×P small-files
+      // anti-pattern at scale). Locally a wash (1.02 → 1.08 s solo,
+      // inside noise); the layout is the point.
+      staged.repartition(col("r_name"), col("n_name"))
+        .write.mode("overwrite")
         .partitionBy("r_name", "n_name")
         .parquet(out)
       // explicit re-read schema: an empty region/snapshot writes no files,
@@ -2582,10 +2588,18 @@ object OsmKernels {
     Q.smoke("lake_vacuum") { (s, d) =>
       val root = graft.Scratch.dir("lake_vacuum", d)
       val src = T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
-      (0 until 6).foreach { n =>
+      // r19 opt: the six snapshot writes are independent fixture-setup
+      // jobs — submit them concurrently (guide §2.6 back-fill: the next
+      // write's tasks fill executors freed by the previous one's tail)
+      // instead of six sequential job round-trips. Outputs are the same
+      // six directories; the retention sweep below is unchanged.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence((0 until 6).map { n => Future {
         src.where(pmod(col("o_orderkey"), lit(6)) === n)
           .write.mode("overwrite").parquet(s"$root/seq_$n")
-      }
+      }}), Duration.Inf)
       val keep = 3
       require(keep >= 1, "lake_vacuum: retention must keep at least one snapshot")
       val fs = new org.apache.hadoop.fs.Path(root)

@@ -114,7 +114,14 @@ object Scans {
       val out = s"${sys.props("java.io.tmpdir")}/graft_sink_parquet"
       val staged = T.orders(s, d)
         .withColumn("order_year", year(col("o_orderdate")))
-      staged.write.mode("overwrite")
+      // r19 opt: cluster by the partition columns before the write
+      // (guide §6 / Iceberg's hash distribution-mode): without it every
+      // scan task writes a file into every (status, year) dir — M×P tiny
+      // files at scale, and serial dir-by-dir writing from the single
+      // scan task locally. One exchange buys one file per partition and
+      // parallel writers (measured 0.82 s → 0.59 s solo at sf0.1).
+      staged.repartition(col("o_orderstatus"), col("order_year"))
+        .write.mode("overwrite")
         .partitionBy("o_orderstatus", "order_year")
         .parquet(out)
       // explicit schema on re-read: an EMPTY partitioned write leaves no
