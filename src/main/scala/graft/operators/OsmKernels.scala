@@ -139,11 +139,14 @@ object OsmKernels {
         expr("""IF(element_at(pts, 1).lon_c = element_at(pts, -1).lon_c
                |   AND element_at(pts, 1).lat_c = element_at(pts, -1).lat_c,
                |   pts, concat(pts, slice(pts, 1, 1)))""".stripMargin))
-      .withColumn("shoe",
-        expr("""aggregate(
-               |  zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1),
-               |           (a, b) -> a.lon_c * b.lat_c - b.lon_c * a.lat_c),
-               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+      // r19 opt: the shoelace fold ran as a zip_with + aggregate lambda
+      // — interpreted per ring point for every wayRings consumer.
+      // functions/RingShoe is the same exact-BIGINT sum fused into one
+      // codegen'd pass (integer ops — equivalence is algebraic; family
+      // A/B measured a wash at sf0.1, the regroup dominates — kept
+      // because it strictly removes interpreted work and two array
+      // slices per ring).
+      .withColumn("shoe", graft.functions.RingShoe(col("ring")))
 
   /** cos(x) as an 8th-order Maclaurin polynomial — the geodesic keys'
     * latitude scale factor, deliberately NOT the engine's `cos`:

@@ -103,6 +103,28 @@ class FusedFoldsSpec extends GraftSuite {
            lambda.orderBy("way_id").collect().toSeq)
   }
 
+  test("RingShoe matches the zip_with+aggregate shoelace fold exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq((1, 1L, 0L, 0L), (2, 2L, 10L, 0L), (3, 3L, 10L, 7L),
+               (4, 4L, 0L, 7L), (5, 1L, 0L, 0L))),          // CCW rectangle
+      (2L, Seq((1, 1L, -5L, -5L), (2, 2L, -5L, 5L), (3, 3L, 5L, 5L),
+               (4, 1L, -5L, -5L))),                          // CW triangle, negatives
+      (3L, Seq((1, 9L, 3L, 4L))))                            // degenerate single point
+      .toDF("way_id", "raw")
+      .select(col("way_id"), expr(
+        "transform(raw, r -> struct(r._1 AS pos, r._2 AS node_ref, r._3 AS lon_c, r._4 AS lat_c))")
+        .as("ring"))
+    val fused = rows.select(col("way_id"), graft.functions.RingShoe(col("ring")).as("shoe"))
+    val lambda = rows.select(col("way_id"), expr(
+      """aggregate(
+        |  zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1),
+        |           (a, b) -> a.lon_c * b.lat_c - b.lon_c * a.lat_c),
+        |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("shoe"))
+    assert(fused.orderBy("way_id").collect().toSeq ===
+           lambda.orderBy("way_id").collect().toSeq)
+  }
+
   test("ClipTrapFold is bit-identical to the clipTrapTerm lambda fold") {
     import spark.implicits._
     // edges crossing tile bounds every which way: vertical (x1=x2),
