@@ -78,8 +78,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
     // local A/B profiling aid (optimization rounds): extra session confs
     // as "k=v;k2=v2". The driver never sets it, so the recorded bench
-    // always runs the committed configuration above.
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
+    // always runs the committed configuration above. A run with extras
+    // is self-labelling (ADVICE r19): it lands in BENCH_FILTERED.json,
+    // never the canonical BENCH_FULL.json, and the override string is
+    // stamped into the emitted record.
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty)
+    extraConf.foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -220,6 +224,8 @@ object Bench {
       s""""sentinels":$sentJson,"loadavg":$loadJson,"sweep_wall":$sweepWallJson,""" +
         s""""start_loadavg":${startLoad.map(jnum).mkString("[", ",", "]")},""" +
         s""""gate_wait_sec":$gateWait,""" +
+        extraConf.fold("")(c =>
+          s""""extra_conf":"${c.replaceAll("[\"\\\\\\n\\r\\t]", " ")}",""") +
         s""""steady_spread":${jnum(steadySpread)},"contended":$contended"""
     val full =
       s"""{"metric":"total","value":${jnum(median)},"unit":"sec","queries":$qs,""" +
@@ -231,15 +237,25 @@ object Bench {
     // committed full-inventory artifact (ADVICE r11: an 11-query filtered
     // record shipped as BENCH_FULL.json while the docs described the full
     // sweep) — filtered runs land in BENCH_FILTERED.json instead.
-    val artifact = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_FILTERED.json"
+    val artifact =
+      if (only.isEmpty && extraConf.isEmpty) "BENCH_FULL.json"
+      else "BENCH_FILTERED.json"
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort; stdout is the contract
     println(full)
-    // compact duplicate LAST: complete within any >=300-char stdout tail
+    // compact duplicate LAST: complete within any >=2000-char stdout tail.
+    // The full 381-key map alone exceeds that tail, which left the driver
+    // per-query-blind (PERF_r19 per_query:{} — VERDICT r19 item 2): carry
+    // the ~25 SLOWEST keys' mins here so round-over-round regression
+    // detection covers everything that matters while the line stays well
+    // under the capture window (~25 × ~30 chars + ~500 chars of canary).
+    val topQs = best.sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${jnum(median)},"unit":"sec","queries":{},""" +
+      s"""{"metric":"total","value":${jnum(median)},"unit":"sec","queries":$topQs,""" +
         s""""n_queries":${best.size},"n_errors":${errors.size},"runs":$runs,""" +
         s""""run_totals":$totalsJson,"total_min":${jnum(minTotal)},$canary,""" +
         s""""wall_sec":${jnum(wall)},"sf":"$sfDir","full_record":"$artifact"}""")

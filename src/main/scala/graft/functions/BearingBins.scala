@@ -23,12 +23,16 @@ import org.apache.spark.sql.types._
   */
 case class BearingBins(child: Expression) extends UnaryExpression {
 
+  // containsNull=true rejected (ADVICE r19) — see RingShoe: the loop's
+  // getStruct().getLong() would NPE on a null element instead of the
+  // lambda's null-propagation; producers here are containsNull=false.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(st: StructType, _) if st.length == 4 &&
+    case ArrayType(st: StructType, false) if st.length == 4 &&
       st(2).dataType == LongType && st(3).dataType == LongType =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<struct<_,_,lon_c:bigint,lat_c:bigint>>, got ${other.simpleString}")
+      s"$prettyName requires array<struct<_,_,lon_c:bigint,lat_c:bigint>> " +
+        s"with non-null elements, got ${other.simpleString}")
   }
 
   override def dataType: DataType = StructType(Seq(

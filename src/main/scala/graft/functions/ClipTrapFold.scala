@@ -30,14 +30,19 @@ case class ClipTrapFold(edges: Expression, rx0: Expression, rx1: Expression,
   override def dataType: DataType = DoubleType
   override def prettyName: String = "clip_trap_fold"
 
+  // containsNull=true rejected (ADVICE r19) — see RingShoe: the loop's
+  // getStruct().getLong() would NPE on a null element instead of the
+  // lambda's null-propagation; the zip_with(named_struct) producer here
+  // carries containsNull=false.
   override def checkInputDataTypes(): TypeCheckResult = edges.dataType match {
-    case ArrayType(st: StructType, _) if st.length == 4 &&
+    case ArrayType(st: StructType, false) if st.length == 4 &&
       st.forall(_.dataType == LongType) =>
       if (Seq(rx0, rx1, ry0, ry1).forall(_.dataType == LongType))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(s"$prettyName bounds must be bigint")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<struct<x1,y1,x2,y2: bigint>>, got ${other.simpleString}")
+      s"$prettyName requires array<struct<x1,y1,x2,y2: bigint>> " +
+        s"with non-null elements, got ${other.simpleString}")
   }
 
   override def eval(input: InternalRow): Any = {

@@ -91,6 +91,7 @@ case class JlSignProject(child: Expression, maskWords: Seq[Long], nOut: Int)
       val j = ctx.freshName("j"); val q = ctx.freshName("q")
       val acc = ctx.freshName("acc"); val out = ctx.freshName("out")
       val hasNull = ctx.freshName("hasNull")
+      val m = ctx.freshName("m") // ADVICE r19: codegen hygiene, no fixed ids
       val gad = classOf[GenericArrayData].getName
       val self = classOf[JlSignProject].getName
       s"""
@@ -106,8 +107,8 @@ case class JlSignProject(child: Expression, maskWords: Seq[Long], nOut: Int)
          |  for (int $j = 0; $j < $nOut; $j++) {
          |    long $acc = 0L;
          |    for (int $i = 0; $i < $n; $i++) {
-         |      long m = $masksRef[$j * $wordsPerOut + ($i >> 6)];
-         |      $acc += (((m >>> ($i & 63)) & 1L) == 1L) ? $q[$i] : -$q[$i];
+         |      long $m = $masksRef[$j * $wordsPerOut + ($i >> 6)];
+         |      $acc += ((($m >>> ($i & 63)) & 1L) == 1L) ? $q[$i] : -$q[$i];
          |    }
          |    $out[$j] = java.lang.Long.valueOf($acc);
          |  }

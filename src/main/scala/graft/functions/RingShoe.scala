@@ -20,12 +20,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
   */
 case class RingShoe(child: Expression) extends UnaryExpression {
 
+  // containsNull=true is REJECTED (ADVICE r19): the loop reads elements
+  // with getStruct().getLong(), which would NPE on a null element where
+  // the aggregate() lambda it replaces null-propagated — a future caller
+  // with nullable elements gets an analysis error instead of a crash.
+  // Current producers (array_sort(collect_list), concat, IF) all carry
+  // containsNull=false.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(st: StructType, _) if st.length == 4 &&
+    case ArrayType(st: StructType, false) if st.length == 4 &&
       st(2).dataType == LongType && st(3).dataType == LongType =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<struct<_,_,lon_c:bigint,lat_c:bigint>>, got ${other.simpleString}")
+      s"$prettyName requires array<struct<_,_,lon_c:bigint,lat_c:bigint>> " +
+        s"with non-null elements, got ${other.simpleString}")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "ring_shoe"

@@ -394,7 +394,7 @@ object OsmKernels {
     * [[geoSeg]] deliberately multiplies `dlon * (f1)`, never
     * `(dlon * c) * nf`, so factored and inline evaluation share the
     * exact IEEE op sequence. */
-  private def geoFactors(latSum: String): (String, String) = {
+  private[graft] def geoFactors(latSum: String): (String, String) = {
     val x = s"(CAST($latSum AS DOUBLE) * 8.726646259971648e-5)"
     val c = cosPoly(x)
     val s2 = s"(1.0 - $c * $c)"
@@ -403,7 +403,7 @@ object OsmKernels {
     (s"($c * $nf)", mf)
   }
 
-  private def geoSeg(dlon: String, dlat: String, latSum: String): String = {
+  private[graft] def geoSeg(dlon: String, dlat: String, latSum: String): String = {
     val (f1, f2) = geoFactors(latSum)
     val dx = s"(CAST($dlon AS DOUBLE) * $f1)"
     val dy = s"(CAST($dlat AS DOUBLE) * $f2)"
@@ -417,7 +417,7 @@ object OsmKernels {
     * polynomial in s² = 1 − cos²(φ); truncation ≤ 4e⁶ ≈ 1.2e-6
     * relative. Same shared-template bit-determinism rule as [[geoSeg]].
     */
-  private def geoAreaScale(x: String): String = {
+  private[graft] def geoAreaScale(x: String): String = {
     val c = cosPoly(x)
     val s2 = s"(1.0 - $c * $c)"
     s"($c * (0.9933056200098587 + $s2 * (0.013299130533377824 + $s2 * 0.00013354414999338287)))"
@@ -486,10 +486,10 @@ object OsmKernels {
           (element_at(col("pts"), 1).getField("lat_c") / 100.0).as("first_lat"),
           (element_at(col("pts"), -1).getField("lon_c") / 100.0).as("last_lon"),
           (element_at(col("pts"), -1).getField("lat_c") / 100.0).as("last_lat"),
-          (expr("""aggregate(
-                     zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
-                              (a, b) -> abs(b.lon_c - a.lon_c) + abs(b.lat_c - a.lat_c)),
-                     0L, (acc, x) -> acc + x)""") / 100.0).as("path_len"))
+          // r20 opt: the manhattan segment fold ran as a zip_with +
+          // aggregate() lambda (interpreted per segment); PathManhattan
+          // is the same exact-BIGINT sum as one codegen'd pass.
+          (graft.functions.PathFolds.manhattan(col("pts")) / 100.0).as("path_len"))
         .orderBy(col("way_id"))
     },
 
@@ -537,11 +537,10 @@ object OsmKernels {
           col("way_id"),
           size(col("pts")).cast("long").as("n_points"),
           (size(col("pts")) - 1).cast("long").as("n_segments"),
-          round(expr("""aggregate(
-                          zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
-                                   (a, b) -> sqrt(CAST((b.lon_c - a.lon_c) * (b.lon_c - a.lon_c)
-                                                     + (b.lat_c - a.lat_c) * (b.lat_c - a.lat_c) AS DOUBLE))),
-                          CAST(0 AS DOUBLE), (acc, x) -> acc + x)""") * 1113.2, 1)
+          // r20 opt: fused euclid fold (PathEuclid) — same exact-BIGINT
+          // Δ² sum, one cast, correctly rounded sqrt, left-assoc double
+          // accumulation as the lambda it replaces; codegen'd.
+          round(graft.functions.PathFolds.euclid(col("pts")) * 1113.2, 1)
             .as("length_m"))
         .orderBy(col("way_id"))
     },
@@ -589,11 +588,8 @@ object OsmKernels {
         .groupBy(col("way_id"))
         .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
         .select(col("way_id"),
-          round(expr("""aggregate(
-                          zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
-                                   (a, b) -> sqrt(CAST((b.lon_c - a.lon_c) * (b.lon_c - a.lon_c)
-                                                     + (b.lat_c - a.lat_c) * (b.lat_c - a.lat_c) AS DOUBLE))),
-                          CAST(0 AS DOUBLE), (acc, x) -> acc + x)""") * 1113.2, 1)
+          // r20 opt: same fused euclid fold as osm_way_length_m
+          round(graft.functions.PathFolds.euclid(col("pts")) * 1113.2, 1)
             .cast("decimal(18,1)").as("length_m"))
       val cls = T.orders(s, d)
         .select(col("o_orderkey").as("way_id"), col("o_orderpriority").as("highway_class"))
@@ -751,12 +747,8 @@ object OsmKernels {
         .groupBy(col("way_id"))
         .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, lat_c)))").as("pts"))
         .withColumn("n_segments", (size(col("pts")) - 1).cast("long"))
-        .withColumn("path",
-          expr("""aggregate(
-                 |  zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
-                 |           (a, b) -> sqrt(CAST((b.lon_c - a.lon_c) * (b.lon_c - a.lon_c)
-                 |                             + (b.lat_c - a.lat_c) * (b.lat_c - a.lat_c) AS DOUBLE))),
-                 |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin))
+        // r20 opt: same fused euclid fold as osm_way_length_m
+        .withColumn("path", graft.functions.PathFolds.euclid(col("pts")))
         .withColumn("chord",
           expr("""sqrt(CAST((element_at(pts, -1).lon_c - element_at(pts, 1).lon_c)
                  |         * (element_at(pts, -1).lon_c - element_at(pts, 1).lon_c)
@@ -811,8 +803,6 @@ object OsmKernels {
       // measuring — same exact integer map in both engines. Same single
       // regroup shuffle as osm_way_length_m; the per-segment polynomial
       // is codegen'd arithmetic inside one whole-stage span.
-      val seg = geoSeg("(b.lon_c - a.lon_c)", "(b.vlat_c - a.vlat_c)",
-                       "(a.vlat_c + b.vlat_c)")
       T.lineitem(s, d)
         .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
                 col("l_partkey").as("node_ref"))
@@ -824,11 +814,10 @@ object OsmKernels {
           col("way_id"),
           size(col("pts")).cast("long").as("n_points"),
           (size(col("pts")) - 1).cast("long").as("n_segments"),
-          round(expr(
-            s"""aggregate(
-               |  zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
-               |           (a, b) -> $seg),
-               |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin) * 1113.2, 1)
+          // r20 opt: fused geoSeg fold (PathGeodesic) — the per-segment
+          // WGS84 polynomial bit-mirrored op-for-op from [[geoSeg]];
+          // codegen'd instead of the interpreted aggregate() lambda.
+          round(graft.functions.PathFolds.geodesic(col("pts")) * 1113.2, 1)
             .as("length_m"))
         .orderBy(col("way_id"))
     },
@@ -880,8 +869,13 @@ object OsmKernels {
       // end (abs(shoe) → ×619667.12 → ×geoAreaScale), so the oracle
       // hash can't drift. lat_ref (mean vertex latitude, 4dp) rides
       // along for interpretability.
-      val latBar = "(CAST(aggregate(vlats, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) " +
-        "/ CAST(size(vlats) AS DOUBLE))"
+      // r20 opt: the r19 plan spliced the latBar aggregate() fold
+      // TEXTUALLY into every occurrence of geoAreaScale's s² chain —
+      // ~40 interpreted fold evaluations per row. StructLongSum3 is the
+      // exact-BIGINT vlat sum fused to one codegen'd pass, and
+      // GeoAreaScale carries the whole polynomial (same literals, same
+      // association — bit-identical, see the kernel's scaladoc), so the
+      // mean latitude is computed ONCE per ring.
       T.lineitem(s, d)
         .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
                 col("l_partkey").as("node_ref"))
@@ -889,20 +883,21 @@ object OsmKernels {
         .withColumn("vlat_c", col("lat_c") % 18000 - 9000)
         .groupBy(col("way_id"))
         .agg(expr("array_sort(collect_list(struct(pos, node_ref, lon_c, vlat_c)))").as("pts"))
-        .withColumn("vlats", expr("transform(pts, p -> p.vlat_c)"))
+        .withColumn("vlatsum", graft.functions.PathFolds.fieldSum3(col("pts")))
+        .withColumn("nv", size(col("pts")))
         .withColumn("ring",
           expr("""IF(element_at(pts, 1).lon_c = element_at(pts, -1).lon_c
                  |   AND element_at(pts, 1).vlat_c = element_at(pts, -1).vlat_c,
                  |   pts, concat(pts, slice(pts, 1, 1)))""".stripMargin))
-        .withColumn("shoe",
-          expr("""aggregate(
-                 |  zip_with(slice(ring, 1, size(ring) - 1), slice(ring, 2, size(ring) - 1),
-                 |           (a, b) -> a.lon_c * b.vlat_c - b.lon_c * a.vlat_c),
-                 |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+        // the shoelace lambda here is term-for-term RingShoe's
+        // exact-BIGINT sum (ordinals 2/3 = lon_c/vlat_c) — reuse the
+        // fused kernel instead of the interpreted zip_with + aggregate.
+        .withColumn("shoe", graft.functions.RingShoe(col("ring")))
         .select(
           col("way_id"),
           size(col("ring")).cast("long").as("n_ring_points"),
-          round(expr(latBar) * 0.01, 4).as("lat_ref"),
+          round(col("vlatsum").cast("double") / col("nv").cast("double") * 0.01, 4)
+            .as("lat_ref"),
           // RULE (learned r13): never round() a double above ~1e9 to
           // sub-integer precision in an oracled key unless the true value
           // is decimal by construction. Raw areas reach ~1e13 m² where a
@@ -915,7 +910,8 @@ object OsmKernels {
           // ~2e-9) before rounding — both engines then agree except with
           // ~3e-7 probability per row.
           round(expr(s"CAST(abs(shoe) AS DOUBLE)") * 619667.12 *
-            expr(geoAreaScale(s"($latBar * 1.7453292519943295e-4)")) / 1e6, 1).as("area_km2"))
+            graft.functions.PathFolds.geoAreaScale(col("vlatsum"), col("nv")) / 1e6, 1)
+            .as("area_km2"))
         .orderBy(col("way_id"))
     },
 
@@ -2051,18 +2047,22 @@ object OsmKernels {
       // report is tiny by construction. The emitted key is md5(sig) —
       // identical hex in both engines — so downstream tooling can join
       // fixes back without shipping the full signature.
+      // r20 opt: both signature builds ran as interpreted transform(..,
+      // CAST(x AS STRING)) lambdas + array_join (one UTF8String per
+      // element per row); StructLongCsv/LongsCsv render the identical
+      // bytes (CAST(bigint AS STRING) = Long.toString) in one fused
+      // pass. array_sort stays outside — it is codegen-native.
       T.lineitem(s, d)
         .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
                 col("l_partkey").as("node_ref"))
         .groupBy(col("way_id"))
-        .agg(expr(
-          """array_join(transform(array_sort(collect_list(struct(pos, node_ref))),
-            |           p -> CAST(p.node_ref AS STRING)), ',')""".stripMargin).as("sig"))
+        .agg(graft.functions.CsvJoins.structCsv(
+          expr("array_sort(collect_list(struct(pos, node_ref)))")).as("sig"))
         .groupBy(col("sig"))
         .agg(count(lit(1)).as("n_ways"),
              min(col("way_id")).as("canonical_id"),
-             expr("array_join(transform(array_sort(collect_list(way_id)), w -> CAST(w AS STRING)), ',')")
-               .as("way_ids"))
+             graft.functions.CsvJoins.longsCsv(
+               expr("array_sort(collect_list(way_id))")).as("way_ids"))
         .where(col("n_ways") > 1)
         .select(md5(col("sig").cast("binary")).as("sig_hash"),
                 col("n_ways"), col("canonical_id"), col("way_ids"))
@@ -3110,25 +3110,24 @@ object OsmKernels {
       val memb = T.lineitem(s, d).select(
         col("l_orderkey").as("way_id"), col("l_linenumber").as("pos"),
         col("l_partkey").as("node_ref"))
+      // r20 opt: the flags ran as two transform() + one filter() lambdas
+      // plus two array_distinct passes per way — all interpreted.
+      // GeomQaStats is the same exact-integer logic (consecutive pk
+      // equality, ring test, distinct cardinalities) as ONE codegen'd
+      // walk per row; equivalence is algebraic (FusedFoldsSpec pins it
+      // expression-equal on adversarial ways + the oracle hash).
       memb.join(nodes(s, d), col("node_ref") === col("node_id"))
         .groupBy(col("way_id"))
         .agg(sort_array(collect_list(struct(col("pos"), col("node_ref"),
              col("lon_c"), col("lat_c")))).as("a"))
+        .select(col("way_id"), graft.functions.GeomQaStats(col("a")).as("q"))
         .select(col("way_id"),
-          expr("transform(a, p -> p.node_ref)").as("refs"),
-          expr("transform(a, p -> p.lon_c * 100000000L + p.lat_c)").as("pk"))
-        .select(col("way_id"),
-          size(col("refs")).cast("long").as("n_pts"),
-          expr("IF(size(pk) >= 2, size(filter(sequence(0, size(pk) - 2), i -> pk[i] = pk[i + 1])), 0)")
-            .cast("long").as("n_zero_len"),
-          expr("size(refs) >= 2 AND refs[0] = refs[size(refs) - 1]").as("is_ring"),
-          expr("size(refs) - size(array_distinct(refs)) - IF(size(refs) >= 2 AND refs[0] = refs[size(refs) - 1], 1, 0)")
-            .cast("long").as("n_illegal_repeats"),
-          size(array_distinct(col("pk"))).cast("long").as("n_distinct_pts"))
-        .select(col("way_id"), col("n_pts"), col("n_zero_len"), col("is_ring"),
-          col("n_illegal_repeats"),
-          (col("n_zero_len") === 0 && col("n_illegal_repeats") === 0 &&
-            !(col("is_ring") && col("n_distinct_pts") < 3)).as("is_valid"))
+          col("q.n_pts").as("n_pts"),
+          col("q.n_zero_len").as("n_zero_len"),
+          col("q.is_ring").as("is_ring"),
+          col("q.n_illegal_repeats").as("n_illegal_repeats"),
+          (col("q.n_zero_len") === 0 && col("q.n_illegal_repeats") === 0 &&
+            !(col("q.is_ring") && col("q.n_distinct_pts") < 3)).as("is_valid"))
         .orderBy(col("way_id"))
     },
 

@@ -125,6 +125,146 @@ class FusedFoldsSpec extends GraftSuite {
            lambda.orderBy("way_id").collect().toSeq)
   }
 
+  // r20: the remaining per-way geometry folds fused (PathManhattan,
+  // PathEuclid, PathGeodesic, StructLongSum3, GeoAreaScale) — pinned
+  // expression-equal (bit-level for doubles) to the lambda formulations
+  // they replaced, on adversarial shapes: negative coords, zero-length
+  // segments, single-point ways, band-edge latitudes (±9000).
+  private def wayPts = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq((1, 10L, 0L, 0L), (2, 11L, 300L, -400L), (3, 12L, 300L, -400L),
+               (4, 13L, -250L, 8999L), (5, 14L, 17L, -9000L))),
+      (2L, Seq((1, 20L, -100000L, 9000L), (2, 21L, 100000L, -9000L))),
+      (3L, Seq((1, 30L, 7L, 7L))))
+      .toDF("way_id", "raw")
+      .select(col("way_id"), expr(
+        "transform(raw, r -> struct(r._1 AS pos, r._2 AS node_ref, r._3 AS lon_c, r._4 AS vlat_c))")
+        .as("pts"))
+  }
+
+  private def assertBitEqual(fused: org.apache.spark.sql.DataFrame,
+                             lambda: org.apache.spark.sql.DataFrame): Unit = {
+    val f = fused.orderBy("way_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val l = lambda.orderBy("way_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(f.length === l.length)
+    f.zip(l).foreach { case ((wa, sa), (wb, sb)) =>
+      assert(wa === wb)
+      assert(java.lang.Double.doubleToRawLongBits(sa) ===
+             java.lang.Double.doubleToRawLongBits(sb),
+        s"way $wa: fused $sa != lambda $sb (bit-level)")
+    }
+  }
+
+  test("PathManhattan matches the abs-delta aggregate lambda exactly") {
+    val fused = wayPts.select(col("way_id"),
+      graft.functions.PathFolds.manhattan(col("pts")).as("v"))
+    val lambda = wayPts.select(col("way_id"), expr(
+      """aggregate(
+        |  zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
+        |           (a, b) -> abs(b.lon_c - a.lon_c) + abs(b.vlat_c - a.vlat_c)),
+        |  0L, (acc, x) -> acc + x)""".stripMargin).as("v"))
+    assert(fused.orderBy("way_id").collect().toSeq ===
+           lambda.orderBy("way_id").collect().toSeq)
+  }
+
+  test("PathEuclid is bit-identical to the sqrt segment fold") {
+    val fused = wayPts.select(col("way_id"),
+      graft.functions.PathFolds.euclid(col("pts")).as("v"))
+    val lambda = wayPts.select(col("way_id"), expr(
+      """aggregate(
+        |  zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
+        |           (a, b) -> sqrt(CAST((b.lon_c - a.lon_c) * (b.lon_c - a.lon_c)
+        |                             + (b.vlat_c - a.vlat_c) * (b.vlat_c - a.vlat_c) AS DOUBLE))),
+        |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin).as("v"))
+    assertBitEqual(fused, lambda)
+  }
+
+  test("PathGeodesic is bit-identical to the geoSeg aggregate lambda") {
+    val seg = graft.operators.OsmKernels.geoSeg(
+      "(b.lon_c - a.lon_c)", "(b.vlat_c - a.vlat_c)", "(a.vlat_c + b.vlat_c)")
+    val fused = wayPts.select(col("way_id"),
+      graft.functions.PathFolds.geodesic(col("pts")).as("v"))
+    val lambda = wayPts.select(col("way_id"), expr(
+      s"""aggregate(
+         |  zip_with(slice(pts, 1, size(pts) - 1), slice(pts, 2, size(pts) - 1),
+         |           (a, b) -> $seg),
+         |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin).as("v"))
+    assertBitEqual(fused, lambda)
+  }
+
+  test("StructLongSum3 + GeoAreaScale match the spliced latBar polynomial bit-for-bit") {
+    val latBar = "(CAST(aggregate(transform(pts, p -> p.vlat_c), CAST(0 AS BIGINT), " +
+      "(acc, x) -> acc + x) AS DOUBLE) / CAST(size(pts) AS DOUBLE))"
+    val fusedSum = wayPts.select(col("way_id"),
+      graft.functions.PathFolds.fieldSum3(col("pts")).as("v"))
+    val lambdaSum = wayPts.select(col("way_id"), expr(
+      "aggregate(transform(pts, p -> p.vlat_c), CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("v"))
+    assert(fusedSum.orderBy("way_id").collect().toSeq ===
+           lambdaSum.orderBy("way_id").collect().toSeq)
+    val fusedScale = wayPts.select(col("way_id"),
+      graft.functions.PathFolds.geoAreaScale(
+        graft.functions.PathFolds.fieldSum3(col("pts")), size(col("pts"))).as("v"))
+    val lambdaScale = wayPts.select(col("way_id"), expr(
+      graft.operators.OsmKernels.geoAreaScale(s"($latBar * 1.7453292519943295e-4)")).as("v"))
+    assertBitEqual(fusedScale, lambdaScale)
+  }
+
+  test("GeomQaStats matches the transform/filter/array_distinct formulation") {
+    import spark.implicits._
+    // adversarial ways: clean ring (one legal closing repeat), zero-length
+    // consecutive duplicates, an illegal mid-way repeat, a single point,
+    // a degenerate 2-distinct-point ring, negative coords
+    val ways = Seq(
+      (1L, Seq((1, 10L, 0L, 0L), (2, 11L, 5L, 0L), (3, 12L, 5L, 5L), (4, 10L, 0L, 0L))),
+      (2L, Seq((1, 20L, 1L, 1L), (2, 21L, 1L, 1L), (3, 20L, 2L, 2L), (4, 22L, 3L, 3L))),
+      (3L, Seq((1, 30L, -7L, -7L))),
+      (4L, Seq((1, 40L, 0L, 0L), (2, 41L, 0L, 0L), (3, 40L, 0L, 0L))))
+      .toDF("way_id", "raw")
+      .select(col("way_id"), expr(
+        "transform(raw, r -> struct(r._1 AS pos, r._2 AS node_ref, r._3 AS lon_c, r._4 AS lat_c))")
+        .as("a"))
+    val fused = ways.select(col("way_id"), graft.functions.GeomQaStats(col("a")).as("q"))
+      .selectExpr("way_id", "q.n_pts", "q.n_zero_len", "q.is_ring",
+        "q.n_illegal_repeats", "q.n_distinct_pts")
+    val lambda = ways
+      .select(col("way_id"),
+        expr("transform(a, p -> p.node_ref)").as("refs"),
+        expr("transform(a, p -> p.lon_c * 100000000L + p.lat_c)").as("pk"))
+      .select(col("way_id"),
+        size(col("refs")).cast("long").as("n_pts"),
+        expr("IF(size(pk) >= 2, size(filter(sequence(0, size(pk) - 2), i -> pk[i] = pk[i + 1])), 0)")
+          .cast("long").as("n_zero_len"),
+        expr("size(refs) >= 2 AND refs[0] = refs[size(refs) - 1]").as("is_ring"),
+        expr("size(refs) - size(array_distinct(refs)) - IF(size(refs) >= 2 AND refs[0] = refs[size(refs) - 1], 1, 0)")
+          .cast("long").as("n_illegal_repeats"),
+        size(array_distinct(col("pk"))).cast("long").as("n_distinct_pts"))
+    assert(fused.orderBy("way_id").collect().toSeq ===
+           lambda.orderBy("way_id").collect().toSeq)
+  }
+
+  test("StructLongCsv/LongsCsv render the exact CAST-AS-STRING join bytes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq((1, 5L), (2, -17L), (3, 123456789012345L))),
+      (2L, Seq((1, 0L))),
+      (3L, Seq.empty[(Int, Long)]))
+      .toDF("way_id", "raw")
+      // nullable producers on purpose: -17 maps to a NULL element /
+      // NULL field, pinning the array_join skip-null semantics too
+      .select(col("way_id"),
+        expr("transform(raw, r -> IF(r._2 = -17L, named_struct('pos', r._1, 'node_ref', CAST(NULL AS BIGINT)), struct(r._1 AS pos, r._2 AS node_ref)))").as("arr"),
+        expr("transform(raw, r -> IF(r._2 = -17L, CAST(NULL AS BIGINT), r._2))").as("longs"))
+    val fused = df.select(col("way_id"),
+      graft.functions.CsvJoins.structCsv(col("arr")).as("s"),
+      graft.functions.CsvJoins.longsCsv(col("longs")).as("l"))
+    val lambda = df.select(col("way_id"),
+      expr("array_join(transform(arr, p -> CAST(p.node_ref AS STRING)), ',')").as("s"),
+      expr("array_join(transform(longs, w -> CAST(w AS STRING)), ',')").as("l"))
+    assert(fused.orderBy("way_id").collect().toSeq ===
+           lambda.orderBy("way_id").collect().toSeq)
+  }
+
   test("ClipTrapFold is bit-identical to the clipTrapTerm lambda fold") {
     import spark.implicits._
     // edges crossing tile bounds every which way: vertical (x1=x2),

@@ -64,13 +64,21 @@ class Round19OpsSpec extends GraftSuite {
     out.foreach { case (q, est, lb, ub) =>
       assert(values(est), s"q=$q estimate $est is not a retained data value")
       val rank = cents.count(_ <= est) / n
-      // the sketch's own 2-sigma rank bounds, widened by one empirical
-      // rank step: true ranks quantize at 1/n, so at tail q's the exact
-      // achievable rank can sit a full step outside the continuous
-      // envelope even for a perfect sketch (seen live: q=0.9999 with
-      // n=6000 — the only achievable neighbors are 0.99983 and 1.0)
-      assert(rank >= lb - 1.0 / n - 1e-6 && rank <= ub + 1.0 / n + 1e-6,
-        s"q=$q est=$est true rank $rank outside [$lb, $ub] ± 1/n")
+      // the sketch's own 2-sigma rank bounds, widened by (a) one
+      // empirical rank step — true ranks quantize at 1/n, so at tail
+      // q's the exact achievable rank can sit a full step outside the
+      // continuous envelope even for a perfect sketch (seen live:
+      // q=0.9999 with n=6000 — the only achievable neighbors are
+      // 0.99983 and 1.0) — and (b) half the envelope again (≈3 sigma
+      // total): the estimate depends on the nondeterministic partition
+      // MERGE ORDER under the shared test session, so a per-draw
+      // 2-sigma bound fails ~5% of suite runs by construction (seen
+      // live r20: q=0.9 rank 0.9025 vs ub+1/n 0.90234 in the full
+      // suite, green in isolation). A broken sketch errs at percent
+      // scale and still fails this.
+      val slack = (ub - lb) / 2 + 1.0 / n + 1e-6
+      assert(rank >= lb - slack && rank <= ub + slack,
+        s"q=$q est=$est true rank $rank outside [$lb, $ub] ± (envelope/2 + 1/n)")
       assert(ub - lb < 0.5, s"q=$q envelope [$lb, $ub] degenerately wide")
     }
   }
