@@ -646,13 +646,20 @@ object TrainingOps {
                 col("t.h2tok").as("h2tok"), col("t.hp").as("hp"))
       val cb = b.groupBy(col("hp"), col("h1"), col("h2tok"))
         .agg(count(lit(1)).as("c12"))
-      val cu = cb.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
-      val n1f = cb.groupBy(col("h1")).agg(count(lit(1)).as("n1f"))
+      // r20 opt (guide §2.4): cu (Σc12 by h1) and n1f (count by h1)
+      // aggregated the model twice ON THE SAME KEY and probed the
+      // stream twice — merged into one aggregate/broadcast/probe. The
+      // concurrent-broadcast shape is otherwise kept: an r20 A/B that
+      // scored the whole template on a chained cb⋈cu⋈n1b dimension
+      // (one stream probe) measured kn 1.38 → 1.68 s solo min — the
+      // serialized dimension-join chain costs more at bench scale than
+      // per-occurrence evaluation saves. Reverted; see OPTIMIZATION_r20.
+      val cf = cb.groupBy(col("h1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
       val n1b = cb.groupBy(col("h2tok")).agg(count(lit(1)).as("n1b"))
       val tt = cb.agg(count(lit(1)).as("tt"))
       b.join(graft.Gate.bcast(cb.select(col("hp"), col("c12"))), Seq("hp"))
-        .join(graft.Gate.bcast(cu), Seq("h1"))
-        .join(graft.Gate.bcast(n1f), Seq("h1"))
+        .join(graft.Gate.bcast(cf), Seq("h1"))
         .join(graft.Gate.bcast(n1b), Seq("h2tok"))
         .crossJoin(broadcast(tt))
         .select(col("doc_id"),
