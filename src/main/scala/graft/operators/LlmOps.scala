@@ -225,8 +225,34 @@ object LlmOps {
     * distinct grams map to distinct hashes up to a 2^-64 per-pair
     * collision — ~1e-8 across this corpus' full candidate set, below
     * the LSH miss probability that already bounds the exactness claim. */
+  /** Scale-adaptive parallelism floor (r20, guide §2.5 "input skew: one
+    * huge unsplittable file ... repartition immediately after the read"):
+    * the doc table ships as ONE small parquet file at test scale, so the
+    * scan plans ONE split and the heavy per-row signature kernels below
+    * (60-permutation MinHash, shingle hashing) ran serially on a single
+    * core — StageProfile showed dedup_incremental spending ~1.5 s in six
+    * consecutive 1-task stages with 31 cores idle. Repartition by the
+    * deterministic doc_id (never rand — guide §2.5 retry hazard) ONLY
+    * when the planned scan parallelism is below the session default: a
+    * no-op (no exchange) on any real corpus, whose scans plan orders of
+    * magnitude more splits than cores; full-width locally. getNumPartitions
+    * only plans the scan — no job runs.
+    *
+    * Applied to the SHINGLE path only: its consumers run the
+    * 60-permutation MinHash per row (interleaved A/B: dedup_incremental
+    * and dedup_minhash both −22% solo min). The word-gram path has no
+    * heavy per-row kernel downstream — its cost is the exploded
+    * joins, which shuffle anyway — and the same widen measured +18% on
+    * dedup_ngram_jaccard / +2% on dedup_containment (the extra exchange
+    * taxes the pipeline for nothing). Measured, not applied there.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want, col("doc_id")) else df
+  }
+
   private def hashedShingles(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+    widen(T.documents(s, d))
       .select(col("doc_id"), graft.functions.HashedShingles(col("text"), 5).as("grams"))
 
   /** doc_id → sorted distinct xxhash64 longs of space-tokenized word
