@@ -5,7 +5,8 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -20,10 +21,16 @@ import org.apache.spark.sql.types._
   * and the fold is the same left-associated acc + term sequence — so
   * the emitted double is bit-identical to the lambda's and the DuckDB
   * oracle's, which both engines round only at the readout.
+  *
+  * r20: was CodegenFallback (interpreted eval per row, which also
+  * splits the surrounding whole-stage-codegen span); now generates a
+  * call to the shared static kernel [[ClipTrapFold.compute]] — the
+  * SAME Scala body runs on both paths, so bit-identity between eval
+  * and codegen is structural, and the projection stays in one span.
   */
 case class ClipTrapFold(edges: Expression, rx0: Expression, rx1: Expression,
                         ry0: Expression, ry1: Expression)
-  extends Expression with CodegenFallback {
+  extends Expression {
 
   override def children: Seq[Expression] = Seq(edges, rx0, rx1, ry0, ry1)
   override def nullable: Boolean = children.exists(_.nullable)
@@ -50,9 +57,38 @@ case class ClipTrapFold(edges: Expression, rx0: Expression, rx1: Expression,
     val a0 = rx0.eval(input); val a1 = rx1.eval(input)
     val b0 = ry0.eval(input); val b1 = ry1.eval(input)
     if (e == null || a0 == null || a1 == null || b0 == null || b1 == null) return null
-    val arr = e.asInstanceOf[ArrayData]
-    val rx0v = a0.asInstanceOf[Long]; val rx1v = a1.asInstanceOf[Long]
-    val ry0v = b0.asInstanceOf[Long]; val ry1v = b1.asInstanceOf[Long]
+    ClipTrapFold.compute(e.asInstanceOf[ArrayData],
+      a0.asInstanceOf[Long], a1.asInstanceOf[Long],
+      b0.asInstanceOf[Long], b1.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = children.map(_.genCode(ctx))
+    val childCode = cs.map(_.code).reduce(_ + _)
+    val anyNull = cs.map(_.isNull).mkString(" || ")
+    val self = classOf[ClipTrapFold].getName.stripSuffix("$")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = $self.compute(${cs(0).value},
+            ${cs(1).value}, ${cs(2).value}, ${cs(3).value}, ${cs(4).value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ClipTrapFold =
+    copy(edges = c(0), rx0 = c(1), rx1 = c(2), ry0 = c(3), ry1 = c(4))
+}
+
+object ClipTrapFold {
+  /** Shared eval/codegen kernel — op-for-op IEEE mirror of the
+    * clipTrapTerm SQL template, left-associated fold.
+    */
+  def compute(arr: ArrayData, rx0v: Long, rx1v: Long,
+              ry0v: Long, ry1v: Long): Double = {
     val ry0d = ry0v.toDouble; val ry1d = ry1v.toDouble
     val dry = (ry1v - ry0v).toDouble
     val n = arr.numElements()
@@ -87,11 +123,6 @@ case class ClipTrapFold(edges: Expression, rx0: Expression, rx1: Expression,
     acc
   }
 
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ClipTrapFold =
-    copy(edges = c(0), rx0 = c(1), rx1 = c(2), ry0 = c(3), ry1 = c(4))
-}
-
-object ClipTrapFold {
   def apply(edges: Column, rx0: Column, rx1: Column, ry0: Column, ry1: Column): Column =
     GraftColumnBridge.column(new ClipTrapFold(
       GraftColumnBridge.expression(edges), GraftColumnBridge.expression(rx0),
