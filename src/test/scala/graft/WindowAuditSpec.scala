@@ -55,6 +55,21 @@ class WindowAuditSpec extends GraftSuite {
       "limit(30) cut — ≤ 30 rows (code comment: 'the cut IS the bound')")
   )
 
+  // quick sibling (TagDiscipline): the audit map stays in sync with the
+  // registry, and one known global-window site is spot-checked so the
+  // collector logic itself has non-Heavy coverage.
+  test("audit map keys are registered; event_cusum's calendar window is global") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(boundedGlobalWindows.keySet.subsetOf(SparkEntry.queries.keySet),
+      s"audit entries for unregistered keys: " +
+        s"${boundedGlobalWindows.keySet -- SparkEntry.queries.keySet}")
+    val plan = SparkEntry.queries("event_cusum")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty,
+      "event_cusum's daily prefix-sum window should plan unpartitioned " +
+        "(calendar-bounded input — see the audit map)")
+  }
+
   test("every unpartitioned window rides a documented bounded source", Heavy) {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.registry.flatMap { q =>
